@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps the engine's operator surface (SURVEY.md §2) onto the driver's
+TPC-H-ish tables: time operators run against ``events`` (timestamps) and
+``orders`` (dates); text/dedup ops against ``documents``; similarity against
+``embeddings``. Every query aliases its computed columns identically to the
+DuckDB oracle SQL so the driver's order-insensitive value-hash matches.
+
+Float policy: aggregate floats are rounded identically on both sides
+(ROUND(x, n)) because double reduction order differs between engines;
+integer aggregates are exact.
 """
 
 from __future__ import annotations
@@ -12,27 +16,417 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tablecloth_time_spark.functions import timeops as T
+from tablecloth_time_spark.operators.rollup import rollup
+from tablecloth_time_spark.operators.rolling import rolling
+from tablecloth_time_spark.operators.slice import slice_time
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: slice -> hourly rollup per user (the README resample recipe,
+# distributed: filter pushdown + partial/final hash agg)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    events = _t(spark, SF_SMALL, "events")
+    sliced = slice_time(events, "ts", "2024-01-01", "2024-03-01")
+    return rollup(
+        sliced,
+        keys=["user_id"],
+        ts_col="ts",
+        interval=1,
+        unit="hour",
+        aggs={
+            "n_events": ("count", "event_id"),
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+            "first_type": ("first", "event_type"),
+            "last_type": ("last", "event_type"),
+        },
+        order_cols=["ts", "event_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_slice_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return slice_time(ev, "ts", "2024-01-03", "2024-01-05 12:00:00").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+SQL_SLICE_EVENTS = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-05 12:00:00'
+"""
+
+
+def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = rollup(
+        ev, ["user_id"], "ts", 1, "hour",
+        {
+            "n_events": ("count", "event_id"),
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+            "avg_value": ("avg", "value"),
+            "first_type": ("first", "event_type"),
+            "last_type": ("last", "event_type"),
+        },
+        order_cols=["ts", "event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("bucket"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round("avg_value", 6).alias("avg_value"),
+        "first_type",
+        "last_type",
+    )
+
+
+SQL_ROLLUP_HOURLY = """
+SELECT user_id,
+       date_trunc('hour', ts) AS bucket,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       ROUND(AVG(value), 6) AS avg_value,
+       FIRST(event_type ORDER BY ts, event_id) AS first_type,
+       LAST(event_type ORDER BY ts, event_id) AS last_type
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def q_rollup_15min_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute buckets through the explicit two-phase salted path."""
+    ev = _t(spark, sf_dir, "events")
+    out = rollup(
+        ev, ["event_type"], "ts", 15, "minute",
+        {"n_events": ("count", "event_id"), "sum_value": ("sum", "value")},
+        order_cols=["ts", "event_id"],
+        salt=8,
+    )
+    return out.select(
+        "event_type", "bucket", "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+SQL_ROLLUP_15MIN = """
+SELECT event_type,
+       make_timestamp((epoch_ms(ts) - epoch_ms(ts) % 900000) * 1000) AS bucket,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_floor_month_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            T.floor_to_month("o_orderdate", 3).cast("timestamp").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+SQL_FLOOR_MONTH_K3 = """
+WITH m AS (
+  SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS em,
+         o_totalprice
+  FROM orders
+)
+SELECT CAST(DATE '1970-01-01' + to_months(CAST(em - em % 3 AS INT)) AS TIMESTAMP) AS bucket,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM m
+GROUP BY 1
+"""
+
+
+def q_floor_year_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        T.floor_to_year("o_orderdate", 5).cast("timestamp").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+SQL_FLOOR_YEAR_K5 = """
+WITH y AS (SELECT year(o_orderdate) - 1970 AS ey FROM orders)
+SELECT CAST(make_date(CAST(1970 + ey - ey % 5 AS INT), 1, 1) AS TIMESTAMP) AS bucket,
+       COUNT(*) AS n_orders
+FROM y
+GROUP BY 1
+"""
+
+
+def q_field_extractors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        T.field_expr("year", "ts").alias("y"),
+        T.field_expr("month", "ts").alias("mo"),
+        T.field_expr("day", "ts").alias("d"),
+        T.field_expr("hour", "ts").alias("h"),
+        T.field_expr("minute", "ts").alias("mi"),
+        T.field_expr("second", "ts").alias("s"),
+        T.field_expr("day-of-week", "ts").alias("dow_iso"),
+        T.field_expr("day-of-year", "ts").alias("doy"),
+        T.field_expr("week-of-year", "ts").alias("woy"),
+        T.field_expr("quarter", "ts").alias("q"),
+        T.field_expr("epoch-day", "ts").alias("epoch_day"),
+        T.field_expr("epoch-week", "ts").alias("epoch_week"),
+        T.field_expr("week-of-year-index", "ts").alias("woy_index"),
+    )
+
+
+SQL_FIELD_EXTRACTORS = """
+SELECT event_id,
+       CAST(year(ts) AS BIGINT) AS y,
+       CAST(month(ts) AS BIGINT) AS mo,
+       CAST(day(ts) AS BIGINT) AS d,
+       CAST(hour(ts) AS BIGINT) AS h,
+       CAST(minute(ts) AS BIGINT) AS mi,
+       CAST(CAST(floor(second(ts)) AS INT) AS BIGINT) AS s,
+       CAST(isodow(ts) AS BIGINT) AS dow_iso,
+       CAST(dayofyear(ts) AS BIGINT) AS doy,
+       CAST(weekofyear(ts) AS BIGINT) AS woy,
+       CAST(quarter(ts) AS BIGINT) AS q,
+       CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day,
+       CAST(trunc(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS epoch_week,
+       CAST(trunc(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT)
+         - CAST(trunc(date_diff('day', DATE '1970-01-01', make_date(year(ts), 1, 1)) / 7) AS BIGINT) AS woy_index
+FROM events
+"""
+
+
+def q_computed_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(T.hour_fractional("ts"), 8).alias("hour_frac"),
+        F.round(T.daily_phase("ts"), 8).alias("daily_phase"),
+        F.round(T.weekly_phase("ts"), 8).alias("weekly_phase"),
+        F.round(T.yearly_phase("ts"), 8).alias("yearly_phase"),
+        T.date_string("ts").alias("date_str"),
+        T.year_week_string("ts").alias("year_week"),
+    )
+
+
+SQL_COMPUTED_FIELDS = """
+SELECT event_id,
+       ROUND(hour(ts) + minute(ts) / 60.0, 8) AS hour_frac,
+       ROUND((hour(ts) + minute(ts) / 60.0) / 24.0, 8) AS daily_phase,
+       ROUND(((isodow(ts) - 1) * 24.0 + hour(ts) + minute(ts) / 60.0) / 168.0, 8) AS weekly_phase,
+       ROUND((dayofyear(ts) - 1) / 365.0, 8) AS yearly_phase,
+       strftime(ts, '%Y-%m-%d') AS date_str,
+       format('{}-W{:02d}', year(ts),
+              CAST(trunc(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT)
+              - CAST(trunc(date_diff('day', DATE '1970-01-01', make_date(year(ts), 1, 1)) / 7) AS BIGINT)
+       ) AS year_week
+FROM events
+"""
+
+
+def q_add_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tablecloth_time_spark.operators.shift import add_lags
+
+    ev = _t(spark, sf_dir, "events")
+    out = add_lags(
+        ev.select("event_id", "user_id", "ts", "value"),
+        "value", [1, 2],
+        order_by=["ts", "event_id"], partition_by=["user_id"], drop_missing=True,
+    )
+    return out.select("event_id", "user_id", "value", "value_lag1", "value_lag2")
+
+
+SQL_ADD_LAGS = """
+SELECT event_id, user_id, value, value_lag1, value_lag2
+FROM (
+  SELECT event_id, user_id, value,
+         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag1,
+         lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag2
+  FROM events
+)
+WHERE value_lag1 IS NOT NULL AND value_lag2 IS NOT NULL
+"""
+
+
+def q_first_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tablecloth_time_spark.operators.shift import first_difference
+
+    ev = _t(spark, sf_dir, "events")
+    out = first_difference(
+        ev.select("event_id", "user_id", "ts", "value"),
+        "value", target="diff",
+        order_by=["ts", "event_id"], partition_by=["user_id"],
+    )
+    return out.select("event_id", "user_id", F.round("diff", 4).alias("diff"))
+
+
+SQL_FIRST_DIFFERENCE = """
+SELECT event_id, user_id,
+       ROUND(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS diff
+FROM events
+"""
+
+
+def q_resample_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README's resample recipe: date-string bucket -> mean."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(T.date_string("ts").alias("day"))
+        .agg(
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_RESAMPLE_DAILY_MEAN = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       ROUND(AVG(value), 6) AS mean_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = rolling(
+        ev, ["user_id"], "ts", 1, "hour",
+        {"roll_sum": ("sum", "value"), "roll_n": ("count", "value")},
+    )
+    return out.select(
+        "event_id", "user_id", F.round("roll_sum", 4).alias("roll_sum"), "roll_n"
+    )
+
+
+SQL_ROLLING_1H = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER w, 4) AS roll_sum,
+       COUNT(value) OVER w AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_temporal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        T.plus_time("o_orderdate", 3, "month").alias("plus_3mo"),
+        T.minus_time("o_orderdate", 90, "day").alias("minus_90d"),
+        T.normalize_date("o_orderdate").alias("normalized"),
+        T.is_month_start("o_orderdate").alias("is_ms"),
+        T.is_quarter_end("o_orderdate").alias("is_qe"),
+        T.day_name("o_orderdate").alias("dname"),
+        T.month_name("o_orderdate").alias("mname"),
+    )
+
+
+SQL_TEMPORAL_ARITHMETIC = """
+SELECT o_orderkey,
+       o_orderdate + to_months(3) AS plus_3mo,
+       o_orderdate - to_days(90) AS minus_90d,
+       date_trunc('day', o_orderdate) AS normalized,
+       day(o_orderdate) = 1 AS is_ms,
+       (o_orderdate = CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+        AND month(o_orderdate) % 3 = 0) AS is_qe,
+       dayname(o_orderdate) AS dname,
+       monthname(o_orderdate) AS mname
+FROM orders
+"""
+
+
+def q_datetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime descriptive stats computed in millis space (mean timestamp)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        # exact integer mean: sum div count in int64 space (double-precision
+        # avg truncates differently between engines at the millis boundary)
+        F.expr(
+            "timestamp_millis(sum(unix_millis(cast(ts as timestamp))) div count(1))"
+        ).alias("mean_ts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_DATETIME_STATS = """
+SELECT event_type,
+       MIN(ts) AS min_ts,
+       MAX(ts) AS max_ts,
+       make_timestamp(CAST(SUM(epoch_ms(ts)) // COUNT(*) AS BIGINT) * 1000) AS mean_ts,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "slice_events": q_slice_events,
+        "rollup_hourly": q_rollup_hourly,
+        "rollup_15min_salted": q_rollup_15min_salted,
+        "floor_month_k3": q_floor_month_k3,
+        "floor_year_k5": q_floor_year_k5,
+        "field_extractors": q_field_extractors,
+        "computed_fields": q_computed_fields,
+        "add_lags": q_add_lags,
+        "first_difference": q_first_difference,
+        "resample_daily_mean": q_resample_daily_mean,
+        "rolling_1h": q_rolling_1h,
+        "temporal_arithmetic": q_temporal_arithmetic,
+        "datetime_stats": q_datetime_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "slice_events": SQL_SLICE_EVENTS,
+        "rollup_hourly": SQL_ROLLUP_HOURLY,
+        "rollup_15min_salted": SQL_ROLLUP_15MIN,
+        "floor_month_k3": SQL_FLOOR_MONTH_K3,
+        "floor_year_k5": SQL_FLOOR_YEAR_K5,
+        "field_extractors": SQL_FIELD_EXTRACTORS,
+        "computed_fields": SQL_COMPUTED_FIELDS,
+        "add_lags": SQL_ADD_LAGS,
+        "first_difference": SQL_FIRST_DIFFERENCE,
+        "resample_daily_mean": SQL_RESAMPLE_DAILY_MEAN,
+        "rolling_1h": SQL_ROLLING_1H,
+        "temporal_arithmetic": SQL_TEMPORAL_ARITHMETIC,
+        "datetime_stats": SQL_DATETIME_STATS,
+    }

@@ -1,0 +1,168 @@
+"""Benchmark harness — the driver runs this per round at sf0.1.
+
+Prints ONE JSON line:
+  {"metric": "rollup_points_per_sec", "value": N, "unit": "sec",
+   "queries": {name: seconds, ...}, "sf": ...}
+
+The headline metric follows BASELINE.json: rolled-up points/sec across
+retention tiers (second/minute/hour/day) on the synthetic transcripts table
+(input_hint shape), measured as total tier output rows / wall-clock for the
+full cascade. Supporting queries time the engine's other headline operators
+on the driver's sf tables. Scaling-efficiency evidence (local[8] vs
+local[32]) is produced separately by scripts/bench_scaling.py into
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tablecloth_time_spark.functions import timeops as T  # noqa: E402
+from tablecloth_time_spark.operators.gapfill import resample_to_regular_grid  # noqa: E402
+from tablecloth_time_spark.operators.rolling import rolling  # noqa: E402
+from tablecloth_time_spark.operators.rollup import rollup, rollup_cascade  # noqa: E402
+from tablecloth_time_spark.operators.shift import add_lags  # noqa: E402
+from tablecloth_time_spark.operators.slice import slice_time  # noqa: E402
+from tablecloth_time_spark.session import get_session  # noqa: E402
+from tablecloth_time_spark.sources.transcripts import generate_transcripts  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+TRANSCRIPT_AGGS = {
+    "n_turns": ("count", "turn_idx"),
+    "n_chars": ("sum", "text_len"),
+    "min_turn": ("min", "turn_idx"),
+    "max_turn": ("max", "turn_idx"),
+    "first_role": ("first", "role"),
+    "last_role": ("last", "role"),
+}
+
+
+def main() -> None:
+    spark = get_session("bench", cores=CPUS, shuffle_partitions=CPUS)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events.cache().count()
+
+    # transcripts scaled with sf: sf0.1 -> ~20k conversations (~700k turns)
+    n_conv = max(200, int(20000 * float(sf) / 0.1)) if _isfloat(sf) else 2000
+    transcripts = generate_transcripts(spark, n_conv=n_conv, seed=42).withColumn(
+        "text_len", F.length("text").cast("long")
+    )
+    transcripts.cache()
+    n_turns = transcripts.count()
+
+    timings: dict[str, float] = {}
+
+    # headline: full retention-tier cascade on transcripts — all tier counts
+    # in ONE action (union of per-tier counts) so fixed job overhead isn't
+    # counted 4x
+    from functools import reduce
+
+    t0 = time.perf_counter()
+    tiers = rollup_cascade(
+        transcripts, ["conv_id"], "ts", TRANSCRIPT_AGGS,
+        order_cols=["ts", "turn_idx"], salt=0,
+    )
+    counts = reduce(
+        lambda a, b: a.unionAll(b),
+        [df.groupBy().count() for df in tiers.values()],
+    )
+    total_points = counts.agg(F.sum("count")).collect()[0][0]
+    cascade_sec = time.perf_counter() - t0
+    timings["rollup_tiers_transcripts"] = round(cascade_sec, 3)
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t, 3)
+
+    timed(
+        "rollup_hourly_events",
+        lambda: rollup(
+            events, ["user_id"], "ts", 1, "hour",
+            {"n": ("count", "event_id"), "s": ("sum", "value"),
+             "lo": ("min", "value"), "hi": ("max", "value")},
+            order_cols=["ts", "event_id"],
+        ).count(),
+    )
+    timed(
+        "slice_rollup_daily",
+        lambda: rollup(
+            slice_time(events, "ts", "2024-01-05", "2024-02-20"),
+            ["event_type"], "ts", 1, "day",
+            {"n": ("count", "event_id"), "s": ("sum", "value")},
+        ).count(),
+    )
+    timed(
+        "gapfill_ffill_hourly",
+        lambda: resample_to_regular_grid(
+            events, ["user_id"], "ts", "value", 1, "hour", method="ffill"
+        ).count(),
+    )
+    timed(
+        "gapfill_linear_hourly",
+        lambda: resample_to_regular_grid(
+            events, ["user_id"], "ts", "value", 1, "hour", method="linear"
+        ).count(),
+    )
+    timed(
+        "rolling_1h_events",
+        lambda: rolling(
+            events, ["user_id"], "ts", 1, "hour", {"rs": ("sum", "value")}
+        ).count(),
+    )
+    timed(
+        "add_lags_events",
+        lambda: add_lags(
+            events, "value", [1, 2, 3],
+            order_by=["ts", "event_id"], partition_by=["user_id"],
+        ).count(),
+    )
+    timed(
+        "field_extractors_events",
+        lambda: events.select(
+            *[T.field_expr(f, "ts").alias(f.replace("-", "_"))
+              for f in ("year", "month", "day-of-week", "week-of-year-index",
+                        "epoch-day", "epoch-week")]
+        ).agg(F.sum("epoch_day")).collect(),
+    )
+
+    points_per_sec = total_points / cascade_sec if cascade_sec > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "rollup_points_per_sec",
+                "value": round(points_per_sec, 1),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if _isfloat(sf) else sf,
+                "detail": {
+                    "transcript_turns": n_turns,
+                    "tier_points": total_points,
+                    "cores": CPUS,
+                },
+            }
+        )
+    )
+
+
+def _isfloat(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+if __name__ == "__main__":
+    main()

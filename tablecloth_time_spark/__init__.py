@@ -1,0 +1,37 @@
+"""tablecloth_time_spark — a from-scratch, PySpark-native time-series engine.
+
+Re-expresses the query semantics of scicloj/tablecloth.time (reference at
+/root/reference, studied behaviorally only) as a distributed rollup +
+downsample + gap-fill + retention pipeline over tables of multi-turn
+transcripts, built Spark-first:
+
+- every time computation is a Catalyst column expression (the reference's
+  "millis pivot" — int64 epoch-millis arithmetic — maps 1:1 onto
+  ``unix_millis``/``timestamp_millis`` whole-stage-codegen exprs);
+- range selection ("slice") is a pushed-down filter, the distributed
+  analogue of the reference's binary search over a sorted column;
+- resampling ("adjust-frequency") is the documented composition
+  bucket-column -> groupBy -> agg, executed as Spark partial/final hash
+  aggregation with optional explicit salting for skewed series keys;
+- the slow path (linear interpolation, ACF, Gorilla/delta-of-delta codecs)
+  is Arrow-vectorized pandas UDFs — never per-row Python.
+
+Package layout:
+  functions/   pure Catalyst column-expression library (timeops, textops,
+               vectorops)
+  operators/   dataset-level operators (slice, shifts, add_time_columns,
+               rollup tiers, gap-fill, rolling, ACF, dedup, similarity,
+               multimodal plumbing)
+  sources/     synthetic transcripts generator + snapshot-log table format
+               (Iceberg-like incremental reads without the Iceberg jar)
+  compression/ Gorilla XOR float codec + delta-of-delta timestamp codec
+  plans/       checkpoint manifest, continuous-aggregate maintenance,
+               retention expiry
+  oracle/      single-node pandas/numpy reference implementation used for
+               bit-for-bit differential testing
+  streaming/   Structured Streaming rollup (watermark + windowed agg)
+"""
+
+__version__ = "0.1.0"
+
+from tablecloth_time_spark.session import get_session  # noqa: F401

@@ -1,0 +1,414 @@
+"""Time-operation column expressions — the engine's "millis pivot" in Catalyst.
+
+Every function here returns a pure ``pyspark.sql.Column`` built from built-in
+functions only, so the whole library stays inside whole-stage codegen (no
+Python crosses the executor boundary). This is the Spark-native form of the
+reference's computational model — normalize to int64 epoch-milliseconds, do
+integer arithmetic, convert back (behavior studied at reference
+development-plan.md:44-67 and src/tablecloth/time/column/api.clj).
+
+Semantics notes (all verified against the reference's golden test values in
+tests/test_timeops_golden.py):
+
+- modulo is truncation-toward-zero (Spark ``%``), matching the reference's
+  integer ``rem`` and DuckDB's ``%`` — identical for the post-epoch data this
+  engine targets;
+- calendar floors (month/quarter/year with interval k) anchor at 1970-01 and
+  operate on epoch-month / epoch-quarter / epoch-year integers (reference
+  src/tablecloth/time/column/api.clj:86-157 behavior);
+- day_of_week is ISO (Monday=1..Sunday=7), NOT Spark's ``dayofweek``
+  (Sunday=1): 1970-01-01 was a Thursday -> 4;
+- epoch_week uses truncation toward zero (week 0 contains 1970-01-01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.functions.units import (
+    is_calendar_unit,
+    milliseconds_in,
+    normalize_unit,
+)
+
+EPOCH_DATE = "1970-01-01"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# representation conversion (the millis pivot) — reference convert-time
+# ---------------------------------------------------------------------------
+
+
+def to_epoch_millis(col: Column | str) -> Column:
+    """timestamp -> int64 epoch milliseconds (the engine's computational IR)."""
+    return F.unix_millis(_c(col).cast("timestamp"))
+
+
+def from_epoch_millis(col: Column | str) -> Column:
+    """int64 epoch milliseconds -> timestamp."""
+    return F.timestamp_millis(_c(col).cast("long"))
+
+
+def to_epoch_seconds(col: Column | str) -> Column:
+    return F.unix_seconds(_c(col).cast("timestamp"))
+
+
+def to_epoch_micros(col: Column | str) -> Column:
+    return F.unix_micros(_c(col).cast("timestamp"))
+
+
+def to_epoch_days(col: Column | str) -> Column:
+    """days since 1970-01-01 for a date/timestamp column (negative before)."""
+    return F.datediff(_c(col).cast("date"), F.lit(EPOCH_DATE).cast("date")).cast("long")
+
+
+def convert_time(col: Column | str, target: str) -> Column:
+    """Convert among temporal and epoch representations.
+
+    Targets: 'timestamp', 'date', 'epoch-milliseconds', 'epoch-microseconds',
+    'epoch-seconds', 'epoch-days'. Mirrors the reference's 4-way category
+    dispatch (temporal<->epoch), UTC-pinned via the session timezone.
+    Durations/intervals are intentionally unsupported, as in the reference.
+    """
+    t = target.strip().lower().replace("_", "-")
+    c = _c(col)
+    if t in ("timestamp", "instant", "zoned-date-time", "local-date-time", "zdt", "ldt"):
+        return c.cast("timestamp")
+    if t in ("date", "local-date"):
+        return c.cast("date")
+    if t in ("epoch-milliseconds", "epoch-millis", "epoch-ms"):
+        return to_epoch_millis(c)
+    if t in ("epoch-microseconds", "epoch-micros", "epoch-us"):
+        return to_epoch_micros(c)
+    if t in ("epoch-seconds", "epoch-s"):
+        return to_epoch_seconds(c)
+    if t in ("epoch-days", "epoch-day"):
+        return to_epoch_days(c)
+    raise ValueError(f"unsupported time conversion target: {target!r}")
+
+
+# ---------------------------------------------------------------------------
+# epoch-integer helpers for calendar arithmetic
+# ---------------------------------------------------------------------------
+
+
+def epoch_month(col: Column | str) -> Column:
+    """Months since 1970-01: (year-1970)*12 + (month-1)."""
+    c = _c(col)
+    return ((F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)).cast("long")
+
+
+def epoch_quarter(col: Column | str) -> Column:
+    """Quarters since 1970-Q1 = epoch_month div 3 (post-epoch exact)."""
+    return (epoch_month(col) / F.lit(3)).cast("long")
+
+
+def epoch_year(col: Column | str) -> Column:
+    return (F.year(_c(col)) - F.lit(1970)).cast("long")
+
+
+def epoch_day(col: Column | str) -> Column:
+    return to_epoch_days(col)
+
+
+def epoch_week(col: Column | str) -> Column:
+    """Weeks since epoch, truncation toward zero: week 0 contains 1970-01-01.
+
+    Cast-of-division reproduces the reference's truncation-toward-zero
+    semantics for pre-1970 inputs (F.floor would floor toward -inf).
+    """
+    return (to_epoch_days(col) / F.lit(7)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# flooring — down_to_nearest / floor_to_{month,quarter,year}
+# ---------------------------------------------------------------------------
+
+
+def floor_to_month(col: Column | str, k: int = 1) -> Column:
+    """Floor a date/timestamp to k-month boundaries anchored at 1970-01.
+
+    m = epoch_month; m' = m - m % k; result = 1970-01-01 + m' months (date).
+    k=1 is equivalent to date_trunc('month', ts)::date.
+    """
+    if k < 1:
+        raise ValueError("interval must be >= 1")
+    m = epoch_month(col)
+    m2 = (m - m % F.lit(k)).cast("int")
+    return F.add_months(F.lit(EPOCH_DATE).cast("date"), m2)
+
+
+def floor_to_quarter(col: Column | str, k: int = 1) -> Column:
+    """Floor to k-quarter boundaries: q = epoch_quarter; back via 3*(q - q%k) months."""
+    if k < 1:
+        raise ValueError("interval must be >= 1")
+    q = epoch_quarter(col)
+    m2 = (F.lit(3) * (q - q % F.lit(k))).cast("int")
+    return F.add_months(F.lit(EPOCH_DATE).cast("date"), m2)
+
+
+def floor_to_year(col: Column | str, k: int = 1) -> Column:
+    """Floor to k-year boundaries anchored at 1970."""
+    if k < 1:
+        raise ValueError("interval must be >= 1")
+    y = epoch_year(col)
+    y2 = y - y % F.lit(k)
+    return F.make_date((F.lit(1970) + y2).cast("int"), F.lit(1), F.lit(1))
+
+
+def down_to_nearest(
+    col: Column | str, interval: int, unit: str, as_timestamp: bool = True
+) -> Column:
+    """Floor a timestamp to the lower multiple of (interval x unit).
+
+    Metric units (ms/s/min/h/d/w): pure int64 arithmetic in codegen —
+    ``timestamp_millis(ms - ms % (interval * unit_ms))``. Week boundaries are
+    epoch-anchored (1970-01-01, a Thursday), matching the reference.
+
+    Calendar units (month/quarter/year): epoch-month/quarter/year integer
+    flooring (see floor_to_* above).
+
+    Returns TimestampType when ``as_timestamp`` (the engine's tier-bucket
+    contract), else DateType for calendar floors.
+    """
+    u = normalize_unit(unit)
+    if interval < 1:
+        raise ValueError("interval must be >= 1")
+    if is_calendar_unit(u):
+        if u == "month":
+            d = floor_to_month(col, interval)
+        elif u == "quarter":
+            d = floor_to_quarter(col, interval)
+        else:
+            d = floor_to_year(col, interval)
+        return d.cast("timestamp") if as_timestamp else d
+    divisor = interval * milliseconds_in(u)
+    ms = to_epoch_millis(col)
+    floored = ms - ms % F.lit(divisor)
+    return F.timestamp_millis(floored)
+
+
+def ceil_to_nearest(col: Column | str, interval: int, unit: str) -> Column:
+    """Ceil to the upper multiple of (interval x unit); aligned values unchanged.
+
+    floor + (interval if not already aligned), per the reference's planned
+    spec (behavior from reference development-plan.md:209-221).
+    """
+    u = normalize_unit(unit)
+    if is_calendar_unit(u):
+        months = {"month": interval, "quarter": 3 * interval, "year": 12 * interval}[u]
+        fl = down_to_nearest(col, interval, u, as_timestamp=False)
+        ts = _c(col).cast("timestamp")
+        return F.when(fl.cast("timestamp") == ts, fl).otherwise(
+            F.add_months(fl, months)
+        ).cast("timestamp")
+    divisor = interval * milliseconds_in(u)
+    ms = to_epoch_millis(col)
+    rem = ms % F.lit(divisor)
+    return F.timestamp_millis(F.when(rem == 0, ms).otherwise(ms - rem + F.lit(divisor)))
+
+
+def round_to_nearest(col: Column | str, interval: int, unit: str) -> Column:
+    """Round to the nearest multiple (ties round up): floor(ms + divisor/2)."""
+    u = normalize_unit(unit)
+    if is_calendar_unit(u):
+        raise ValueError("round_to_nearest supports metric units only")
+    divisor = interval * milliseconds_in(u)
+    ms = to_epoch_millis(col) + F.lit(divisor // 2)
+    return F.timestamp_millis(ms - ms % F.lit(divisor))
+
+
+# ---------------------------------------------------------------------------
+# field extractors (13) — reference column-level API
+# ---------------------------------------------------------------------------
+
+
+def day_of_week_iso(col: Column | str) -> Column:
+    """ISO day-of-week Monday=1..Sunday=7 (1970-01-01 -> 4, a Thursday)."""
+    return (F.weekday(_c(col)) + F.lit(1)).cast("long")
+
+
+def week_of_year_index(col: Column | str) -> Column:
+    """0-based week index within the year: epoch_week(d) - epoch_week(Jan 1).
+
+    Avoids ISO week-52/53 year-boundary wraparound (the reference introduces
+    this exact field for stable weekly grouping).
+    """
+    c = _c(col)
+    jan1 = F.make_date(F.year(c), F.lit(1), F.lit(1))
+    return epoch_week(c) - epoch_week(jan1)
+
+
+FIELD_EXTRACTORS = {
+    "year": lambda c: F.year(_c(c)).cast("long"),
+    "month": lambda c: F.month(_c(c)).cast("long"),
+    "day": lambda c: F.dayofmonth(_c(c)).cast("long"),
+    "hour": lambda c: F.hour(_c(c)).cast("long"),
+    "minute": lambda c: F.minute(_c(c)).cast("long"),
+    "second": lambda c: F.second(_c(c)).cast("long"),
+    "day-of-week": day_of_week_iso,
+    "day-of-year": lambda c: F.dayofyear(_c(c)).cast("long"),
+    "week-of-year": lambda c: F.weekofyear(_c(c)).cast("long"),
+    "quarter": lambda c: F.quarter(_c(c)).cast("long"),
+    "epoch-day": epoch_day,
+    "epoch-week": epoch_week,
+    "week-of-year-index": week_of_year_index,
+}
+
+
+# ---------------------------------------------------------------------------
+# computed fields (10) — reference dataset-level API
+# ---------------------------------------------------------------------------
+
+
+def hour_fractional(col: Column | str) -> Column:
+    """hour + minute/60 (13:30 -> 13.5)."""
+    c = _c(col)
+    return F.hour(c) + F.minute(c) / F.lit(60.0)
+
+
+def daily_phase(col: Column | str) -> Column:
+    """hour_fractional / 24 in [0, 1)."""
+    return hour_fractional(col) / F.lit(24.0)
+
+
+def weekly_phase(col: Column | str) -> Column:
+    """((iso_dow - 1) * 24 + hour_fractional) / 168, Monday-anchored, [0, 1)."""
+    c = _c(col)
+    return (F.weekday(c) * F.lit(24.0) + hour_fractional(c)) / F.lit(168.0)
+
+
+def yearly_phase(col: Column | str) -> Column:
+    """(day_of_year - 1) / 365 in [0, ~1)."""
+    return (F.dayofyear(_c(col)) - F.lit(1)) / F.lit(365.0)
+
+
+def date_string(col: Column | str) -> Column:
+    """'YYYY-MM-DD' grouping key (vectorized, unlike the reference's row map)."""
+    return F.date_format(_c(col), "yyyy-MM-dd")
+
+
+def year_week_string(col: Column | str) -> Column:
+    """'YYYY-Www' using week_of_year_index (NOT ISO week), zero-padded."""
+    return F.format_string("%d-W%02d", F.year(_c(col)), week_of_year_index(col))
+
+
+COMPUTED_FIELDS = {
+    "hour-fractional": hour_fractional,
+    "daily-phase": daily_phase,
+    "weekly-phase": weekly_phase,
+    "yearly-phase": yearly_phase,
+    "date-string": date_string,
+    "year-string": lambda c: F.year(_c(c)).cast("string"),
+    "month-string": lambda c: F.month(_c(c)).cast("string"),
+    "week-string": lambda c: F.weekofyear(_c(c)).cast("string"),
+    "day-of-week-string": lambda c: day_of_week_iso(c).cast("string"),
+    "year-week-string": year_week_string,
+}
+
+ALL_FIELDS = {**FIELD_EXTRACTORS, **COMPUTED_FIELDS}
+
+
+def field_expr(field: str, col: Column | str) -> Column:
+    """Look up a field/computed-field extractor by name; raises on unknown."""
+    key = field.strip().lower().replace("_", "-")
+    if key not in ALL_FIELDS:
+        raise ValueError(
+            f"unknown time field {field!r}; known: {sorted(ALL_FIELDS)}"
+        )
+    return ALL_FIELDS[key](col)
+
+
+# ---------------------------------------------------------------------------
+# temporal arithmetic — plus/minus/between (reference planned surface)
+# ---------------------------------------------------------------------------
+
+
+def plus_time(col: Column | str, n: int, unit: str) -> Column:
+    """ts + n units; calendar units via add_months, metric via millis."""
+    u = normalize_unit(unit)
+    c = _c(col).cast("timestamp")
+    if u == "month":
+        return F.add_months(c, n).cast("timestamp")
+    if u == "quarter":
+        return F.add_months(c, 3 * n).cast("timestamp")
+    if u == "year":
+        return F.add_months(c, 12 * n).cast("timestamp")
+    return F.timestamp_millis(to_epoch_millis(c) + F.lit(n * milliseconds_in(u)))
+
+
+def minus_time(col: Column | str, n: int, unit: str) -> Column:
+    return plus_time(col, -n, unit)
+
+
+def between_time(a: Column | str, b: Column | str, unit: str) -> Column:
+    """Whole units from a to b (b - a), truncation toward zero.
+
+    Calendar months/quarters/years use month arithmetic; metric units use
+    millis division.
+    """
+    u = normalize_unit(unit)
+    ca, cb = _c(a).cast("timestamp"), _c(b).cast("timestamp")
+    if u in ("month", "quarter", "year"):
+        months = F.months_between(cb, ca, roundOff=False)
+        div = {"month": 1, "quarter": 3, "year": 12}[u]
+        return (months / F.lit(div)).cast("long")
+    delta = to_epoch_millis(cb) - to_epoch_millis(ca)
+    return (delta / F.lit(milliseconds_in(u))).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# boolean predicates + normalization + formatting (reference planned surface)
+# ---------------------------------------------------------------------------
+
+
+def is_month_start(col: Column | str) -> Column:
+    return F.dayofmonth(_c(col)) == 1
+
+
+def is_month_end(col: Column | str) -> Column:
+    c = _c(col)
+    return c.cast("date") == F.last_day(c)
+
+
+def is_quarter_start(col: Column | str) -> Column:
+    c = _c(col)
+    return (F.dayofmonth(c) == 1) & (F.month(c) % 3 == 1)
+
+
+def is_quarter_end(col: Column | str) -> Column:
+    c = _c(col)
+    return is_month_end(c) & (F.month(c) % 3 == 0)
+
+
+def is_year_start(col: Column | str) -> Column:
+    c = _c(col)
+    return (F.dayofmonth(c) == 1) & (F.month(c) == 1)
+
+
+def is_year_end(col: Column | str) -> Column:
+    c = _c(col)
+    return (F.dayofmonth(c) == 31) & (F.month(c) == 12)
+
+
+def normalize_date(col: Column | str) -> Column:
+    """Truncate to midnight (timestamp)."""
+    return F.date_trunc("day", _c(col))
+
+
+def strftime(col: Column | str, fmt: str) -> Column:
+    """Format with a Java datetime pattern (e.g. 'yyyy-MM-dd HH:mm')."""
+    return F.date_format(_c(col), fmt)
+
+
+def day_name(col: Column | str) -> Column:
+    return F.date_format(_c(col), "EEEE")
+
+
+def month_name(col: Column | str) -> Column:
+    return F.date_format(_c(col), "MMMM")

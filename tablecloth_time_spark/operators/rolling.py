@@ -1,0 +1,63 @@
+"""Rolling time-duration windows (the reference's planned-but-stubbed op).
+
+The reference stubs ``rolling`` and specifies the intended semantics as
+variable time-duration windows over a sorted time column — one window per
+row, width expressed in real time units (reference
+src/tablecloth/time/api/rolling.clj:6-13, development-plan.md:641-720).
+
+Spark-native form: ``Window.partitionBy(keys).orderBy(unix_millis(ts))
+.rangeBetween(-width_ms, 0)`` — a RANGE frame over the epoch-millis ordering
+key, computed inside the JVM window operator (one shuffle on the series key,
+then a sorted streaming pass per partition; no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tablecloth_time_spark.functions.timeops import to_epoch_millis
+from tablecloth_time_spark.functions.units import milliseconds_in, normalize_unit
+
+ROLLING_AGGS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "stddev": F.stddev_samp,
+}
+
+
+def rolling(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    width: int,
+    unit: str,
+    aggs: dict[str, tuple[str, str]],
+    closed_left: bool = True,
+) -> DataFrame:
+    """Add trailing time-window aggregates, one value per input row.
+
+    ``aggs``: {output_name: (agg_kind, source_col)}. The frame covers
+    [ts - width, ts] inclusive (``closed_left=True``) or (ts - width, ts]
+    (exclusive left edge).
+    """
+    u = normalize_unit(unit)
+    width_ms = width * milliseconds_in(u)
+    lo = -width_ms if closed_left else -(width_ms - 1)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(to_epoch_millis(ts_col))
+        .rangeBetween(lo, 0)
+    )
+    out = df
+    exprs = []
+    for name, (kind, src) in aggs.items():
+        if kind not in ROLLING_AGGS:
+            raise ValueError(f"unsupported rolling agg {kind!r}")
+        exprs.append(ROLLING_AGGS[kind](src).over(w).alias(name))
+    return out.select("*", *exprs)

@@ -1,0 +1,221 @@
+"""Tiered rollup / downsample ("adjust-frequency") with skew-safe aggregation.
+
+The reference deliberately defines resampling as the composition
+*bucket column -> group-by -> aggregate* rather than a dedicated operator
+(reference README.md:20-36, development-plan.md:424-455). This module is
+that composition, made distributed and skew-safe:
+
+- the bucket key is ``down_to_nearest(ts, interval, unit)`` — pure codegen;
+- every aggregate is kept in a MERGEABLE partial form (count, sum, min, max,
+  first/last as lexicographic min/max over an order struct, avg as
+  (sum, count)), so tiers cascade: second -> minute -> hour -> day each
+  re-merge the tier below instead of re-scanning raw data — at 100 TB the
+  raw table is read ONCE for all tiers;
+- optional explicit salting splits a mega-series (conv_id with 10^8 turns)
+  across ``salt`` sub-groups before the final merge (two-phase partial/final
+  aggregation). Spark's map-side partial hash aggregation already bounds
+  groupBy skew for built-in aggs; the explicit salt stage exists for the
+  paths where partials can't combine map-side (e.g. feeding applyInPandas
+  codecs) and as the north-star-mandated explicit strategy.
+
+Aggregate spec format: ``{output_name: (kind, source_col)}`` with kinds
+``count | sum | min | max | avg | first | last``. first/last order by the
+rollup's ``order_cols`` (stable (ts, turn_idx) ordering for transcripts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.functions.timeops import down_to_nearest
+
+BUCKET_COL = "bucket"
+
+
+@dataclass(frozen=True)
+class _Agg:
+    name: str
+    kind: str
+    src: str
+
+    def partial_cols(self) -> list[str]:
+        if self.kind == "avg":
+            return [f"{self.name}__sum", f"{self.name}__cnt"]
+        return [f"__p_{self.name}"]
+
+    def partial_exprs(self, order_cols: list[str]) -> list[Column]:
+        p = f"__p_{self.name}"
+        if self.kind == "count":
+            return [F.count(F.lit(1)).alias(p)]
+        if self.kind == "sum":
+            return [F.sum(self.src).alias(p)]
+        if self.kind == "min":
+            return [F.min(self.src).alias(p)]
+        if self.kind == "max":
+            return [F.max(self.src).alias(p)]
+        if self.kind == "avg":
+            return [
+                F.sum(F.col(self.src).cast("double")).alias(f"{self.name}__sum"),
+                F.count(self.src).alias(f"{self.name}__cnt"),
+            ]
+        if self.kind in ("first", "last"):
+            # lexicographic struct min/max = value at the earliest/latest
+            # (order_cols...) position; struct min/max is itself mergeable,
+            # which is what lets first/last survive the tier cascade
+            ordered = F.struct(
+                *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+                F.col(self.src).alias("v"),
+            )
+            fn = F.min if self.kind == "first" else F.max
+            return [fn(ordered).alias(p)]
+        raise ValueError(f"unknown aggregate kind: {self.kind!r}")
+
+    def merge_exprs(self) -> list[Column]:
+        p = f"__p_{self.name}"
+        if self.kind in ("count", "sum"):
+            return [F.sum(p).alias(p)]
+        if self.kind == "min":
+            return [F.min(p).alias(p)]
+        if self.kind == "max":
+            return [F.max(p).alias(p)]
+        if self.kind == "avg":
+            return [
+                F.sum(f"{self.name}__sum").alias(f"{self.name}__sum"),
+                F.sum(f"{self.name}__cnt").alias(f"{self.name}__cnt"),
+            ]
+        if self.kind == "first":
+            return [F.min(p).alias(p)]
+        if self.kind == "last":
+            return [F.max(p).alias(p)]
+        raise ValueError(self.kind)
+
+    def final_expr(self) -> Column:
+        p = f"__p_{self.name}"
+        if self.kind == "avg":
+            return (
+                F.col(f"{self.name}__sum") / F.col(f"{self.name}__cnt")
+            ).alias(self.name)
+        if self.kind in ("first", "last"):
+            return F.col(p).getField("v").alias(self.name)
+        return F.col(p).alias(self.name)
+
+
+def _parse_aggs(aggs: dict[str, tuple[str, str]]) -> list[_Agg]:
+    return [_Agg(name, kind, src) for name, (kind, src) in aggs.items()]
+
+
+AGG_BUILDERS = ("count", "sum", "min", "max", "avg", "first", "last")
+
+
+def rollup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    interval: int,
+    unit: str,
+    aggs: dict[str, tuple[str, str]],
+    order_cols: list[str] | None = None,
+    salt: int = 0,
+    bucket_col: str = BUCKET_COL,
+) -> DataFrame:
+    """Single-tier rollup: groupBy(keys + time bucket) with mergeable aggs.
+
+    ``salt > 0`` forces explicit two-phase aggregation: a first groupBy on
+    (keys, bucket, salt_id) computes partials, a second merges them — the
+    mega-thread skew strategy. With salt=0 Spark's built-in partial/final
+    hash aggregation handles the two phases implicitly.
+    """
+    specs = _parse_aggs(aggs)
+    order_cols = order_cols or [ts_col]
+    bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
+
+    partial_exprs = [e for s in specs for e in s.partial_exprs(order_cols)]
+    if salt and salt > 1:
+        salt_id = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt))
+        partial = df.groupBy(*keys, bucket, salt_id.alias("__salt")).agg(*partial_exprs)
+        merged = partial.groupBy(*keys, bucket_col).agg(
+            *[e for s in specs for e in s.merge_exprs()]
+        )
+    else:
+        merged = df.groupBy(*keys, bucket).agg(*partial_exprs)
+    return merged.select(*keys, bucket_col, *[s.final_expr() for s in specs])
+
+
+# tier name -> (interval, unit); coarser tiers must be exact multiples of
+# finer ones for the cascade to be lossless
+DEFAULT_TIERS: dict[str, tuple[int, str]] = {
+    "second": (1, "second"),
+    "minute": (1, "minute"),
+    "hour": (1, "hour"),
+    "day": (1, "day"),
+}
+
+
+def rollup_cascade(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    aggs: dict[str, tuple[str, str]],
+    tiers: dict[str, tuple[int, str]] | None = None,
+    order_cols: list[str] | None = None,
+    salt: int = 0,
+    bucket_col: str = BUCKET_COL,
+) -> dict[str, DataFrame]:
+    """Cascading multi-tier rollup: raw -> finest tier, then tier -> tier.
+
+    Each coarser tier merges the PARTIAL representation of the tier below
+    (sums of sums, min of struct-mins, ...), so raw data is scanned once.
+    Returns {tier_name: finalized DataFrame}. The finest tier's partial
+    frame is cached so coarser tiers and the finalized view share the scan.
+    """
+    tiers = tiers or DEFAULT_TIERS
+    specs = _parse_aggs(aggs)
+    order_cols = order_cols or [ts_col]
+    items = sorted(
+        tiers.items(),
+        key=lambda kv: _bucket_width_ms(*kv[1]),
+    )
+
+    # finest tier: partial agg straight off the raw table
+    fi, fu = items[0][1]
+    fbucket = down_to_nearest(ts_col, fi, fu).alias(bucket_col)
+    partial_exprs = [e for s in specs for e in s.partial_exprs(order_cols)]
+    if salt and salt > 1:
+        salt_id = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt))
+        p0 = df.groupBy(*keys, fbucket, salt_id.alias("__salt")).agg(*partial_exprs)
+        partial = p0.groupBy(*keys, bucket_col).agg(
+            *[e for s in specs for e in s.merge_exprs()]
+        )
+    else:
+        partial = df.groupBy(*keys, fbucket).agg(*partial_exprs)
+    partial = partial.cache()
+
+    out: dict[str, DataFrame] = {}
+    prev = partial
+    for idx, (tier_name, (interval, unit)) in enumerate(items):
+        if idx > 0:
+            rebucket = down_to_nearest(bucket_col, interval, unit).alias(bucket_col)
+            prev = prev.groupBy(*keys, rebucket).agg(
+                *[e for s in specs for e in s.merge_exprs()]
+            )
+        out[tier_name] = prev.select(
+            *keys, bucket_col, *[s.final_expr() for s in specs]
+        )
+    return out
+
+
+def _bucket_width_ms(interval: int, unit: str) -> int:
+    from tablecloth_time_spark.functions.units import (
+        is_calendar_unit,
+        milliseconds_in,
+        normalize_unit,
+    )
+
+    u = normalize_unit(unit)
+    if is_calendar_unit(u):
+        approx = {"month": 2_629_800_000, "quarter": 7_889_400_000, "year": 31_557_600_000}
+        return interval * approx[u]
+    return interval * milliseconds_in(u)

@@ -1,0 +1,125 @@
+"""lag/lead dataset operators — partitioned window shifts.
+
+The reference shifts a column by k positions with nil fill, type-preserved
+(reference src/tablecloth/time/column/api.clj:295-327, api.clj:171-267).
+Distributed, "position" must be defined by an explicit ordering; the engine
+uses (partition keys, order columns) — for transcripts that is
+partitionBy(conv_id).orderBy(turn_idx), preserving the reference's
+per-series shift semantics while scaling horizontally (each series shifts
+independently inside its hash partition; one shuffle on the series key,
+reused across all lags in the same select).
+
+``add_lags``/``add_leads`` auto-name columns ``{src}_lag{k}`` /
+``{src}_lead{k}`` and by default drop rows that are null in ANY of the new
+columns (the reference's drop-missing default).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _window(partition_by: list[str] | None, order_by: list[str]):
+    w = Window.orderBy(*order_by)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return w
+
+
+def add_lag(
+    df: DataFrame,
+    src: str,
+    k: int,
+    target: str | None = None,
+    order_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Add a k-lagged copy of ``src`` (k leading nulls per partition)."""
+    target = target or f"{src}_lag{k}"
+    order_by = order_by or [src]
+    w = _window(partition_by, order_by)
+    return df.withColumn(target, F.lag(src, k).over(w))
+
+
+def add_lead(
+    df: DataFrame,
+    src: str,
+    k: int,
+    target: str | None = None,
+    order_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Add a k-lead copy of ``src`` (k trailing nulls per partition)."""
+    target = target or f"{src}_lead{k}"
+    order_by = order_by or [src]
+    w = _window(partition_by, order_by)
+    return df.withColumn(target, F.lead(src, k).over(w))
+
+
+def _multi_shift(
+    df: DataFrame,
+    src: str,
+    ks,
+    order_by: list[str],
+    partition_by: list[str] | None,
+    drop_missing: bool,
+    fn,
+    suffix: str,
+) -> DataFrame:
+    if isinstance(ks, Mapping):
+        pairs = [(int(k), str(name)) for k, name in ks.items()]
+    elif isinstance(ks, Iterable):
+        pairs = [(int(k), f"{src}_{suffix}{int(k)}") for k in ks]
+    else:
+        raise ValueError("ks must be a sequence of ints or a {k: name} mapping")
+    w = _window(partition_by, order_by)
+    # one projection -> Catalyst computes every shift over ONE window
+    # (single sort/shuffle), not one shuffle per lag
+    out = df.select("*", *[fn(src, k).over(w).alias(name) for k, name in pairs])
+    if drop_missing:
+        out = out.na.drop(subset=[name for _, name in pairs])
+    return out
+
+
+def add_lags(
+    df: DataFrame,
+    src: str,
+    ks,
+    order_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    drop_missing: bool = True,
+) -> DataFrame:
+    """Add multiple lag columns; drop rows null in any new column by default."""
+    return _multi_shift(
+        df, src, ks, order_by or [src], partition_by, drop_missing, F.lag, "lag"
+    )
+
+
+def add_leads(
+    df: DataFrame,
+    src: str,
+    ks,
+    order_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    drop_missing: bool = True,
+) -> DataFrame:
+    """Add multiple lead columns; drop rows null in any new column by default."""
+    return _multi_shift(
+        df, src, ks, order_by or [src], partition_by, drop_missing, F.lead, "lead"
+    )
+
+
+def first_difference(
+    df: DataFrame,
+    src: str,
+    target: str | None = None,
+    order_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """x_t - x_{t-1} per partition (the notebook's manual diff recipe)."""
+    target = target or f"{src}_diff"
+    w = _window(partition_by, order_by or [src])
+    return df.withColumn(target, F.col(src) - F.lag(src, 1).over(w))

@@ -1,0 +1,139 @@
+"""Gap-fill (FIXTURES.md F6 stocks fixture) + rolling time-window tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tablecloth_time_spark.operators.gapfill import resample_to_regular_grid
+from tablecloth_time_spark.operators.rolling import rolling
+
+STOCKS = pd.DataFrame(
+    {
+        "symbol": ["AAPL"] * 5 + ["MSFT"] * 5,
+        "date": pd.to_datetime(
+            ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-05", "2024-01-08",
+             "2024-01-01", "2024-01-02", "2024-01-04", "2024-01-05", "2024-01-08"]
+        ),
+        "close": [180.0, 182.5, 181.0, 183.0, 185.0,
+                  330.0, 332.0, 331.5, 333.0, 334.5],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def stocks_df(spark):
+    return spark.createDataFrame(STOCKS)
+
+
+def _grid(df, symbol):
+    rows = [r for r in df.orderBy("bucket").collect() if r["symbol"] == symbol]
+    return [(r["bucket"].date().isoformat(), r["close"]) for r in rows]
+
+
+def test_grid_none_has_nulls(stocks_df):
+    out = resample_to_regular_grid(
+        stocks_df, ["symbol"], "date", "close", 1, "day", method="none"
+    )
+    aapl = _grid(out, "AAPL")
+    assert len(aapl) == 8  # 01..08 daily grid
+    assert aapl[3] == ("2024-01-04", None)  # gap on the 4th
+    assert aapl[0] == ("2024-01-01", 180.0)
+
+
+def test_ffill(stocks_df):
+    out = resample_to_regular_grid(
+        stocks_df, ["symbol"], "date", "close", 1, "day", method="ffill"
+    )
+    aapl = dict(_grid(out, "AAPL"))
+    assert aapl["2024-01-04"] == 181.0  # carried from the 3rd
+    assert aapl["2024-01-06"] == 183.0 and aapl["2024-01-07"] == 183.0
+    msft = dict(_grid(out, "MSFT"))
+    assert msft["2024-01-03"] == 332.0
+
+
+def test_bfill(stocks_df):
+    out = resample_to_regular_grid(
+        stocks_df, ["symbol"], "date", "close", 1, "day", method="bfill"
+    )
+    aapl = dict(_grid(out, "AAPL"))
+    assert aapl["2024-01-04"] == 183.0  # next obs on the 5th
+    assert aapl["2024-01-06"] == 185.0
+
+
+def test_zero(stocks_df):
+    out = resample_to_regular_grid(
+        stocks_df, ["symbol"], "date", "close", 1, "day", method="zero"
+    )
+    aapl = dict(_grid(out, "AAPL"))
+    assert aapl["2024-01-04"] == 0.0
+
+
+def test_linear(stocks_df):
+    out = resample_to_regular_grid(
+        stocks_df, ["symbol"], "date", "close", 1, "day", method="linear"
+    )
+    aapl = dict(_grid(out, "AAPL"))
+    assert aapl["2024-01-04"] == pytest.approx(182.0)  # midpoint 181 -> 183
+    # 3-day gap 05->08: 06 and 07 interpolate at 1/3 and 2/3
+    assert aapl["2024-01-06"] == pytest.approx(183.0 + 2.0 / 3)
+    assert aapl["2024-01-07"] == pytest.approx(183.0 + 4.0 / 3)
+
+
+def test_nearest(stocks_df):
+    out = resample_to_regular_grid(
+        stocks_df, ["symbol"], "date", "close", 1, "day", method="nearest"
+    )
+    aapl = dict(_grid(out, "AAPL"))
+    assert aapl["2024-01-04"] in (181.0, 183.0)  # tie — either neighbor ok
+    assert aapl["2024-01-06"] == 183.0  # closer to the 5th
+    assert aapl["2024-01-07"] == 185.0  # closer to the 8th
+
+
+def test_rolling_2day_window(stocks_df):
+    out = rolling(
+        stocks_df, ["symbol"], "date", 2, "day",
+        {"roll_sum": ("sum", "close"), "roll_n": ("count", "close")},
+    )
+    rows = {
+        (r["symbol"], r["date"].date().isoformat()): (r["roll_sum"], r["roll_n"])
+        for r in out.collect()
+    }
+    # AAPL 01-03: window [01-01, 01-03] -> 180 + 182.5 + 181
+    assert rows[("AAPL", "2024-01-03")] == (543.5, 3)
+    # AAPL 01-05: window [01-03, 01-05] -> 181 + 183
+    assert rows[("AAPL", "2024-01-05")] == (364.0, 2)
+    # AAPL 01-08: window [01-06, 01-08] -> 185 alone
+    assert rows[("AAPL", "2024-01-08")] == (185.0, 1)
+
+
+def test_rolling_differential_on_transcripts(spark, transcripts_df, transcripts_pdf):
+    from pyspark.sql import functions as F
+
+    eng = rolling(
+        transcripts_df.withColumn("n_chars", F.length("text").cast("double")),
+        ["conv_id"], "ts", 1, "hour", {"r_sum": ("sum", "n_chars")},
+    ).toPandas()
+    pdf = transcripts_pdf.copy()
+    pdf["n_chars"] = pdf["text"].str.len().astype("float64")
+    pdf = pdf.sort_values(["conv_id", "ts"], kind="stable")
+
+    # oracle matches RANGE-frame semantics: for each row, sum over ALL rows
+    # with ts in [t-1h, t] — including later-positioned duplicate-ts rows
+    import numpy as np
+
+    def _roll(g):
+        ms = g["ts"].values.astype("datetime64[ms]").astype("int64")
+        vals = g["n_chars"].values
+        csum = np.concatenate([[0.0], np.cumsum(vals)])
+        lo = np.searchsorted(ms, ms - 3_600_000, side="left")
+        hi = np.searchsorted(ms, ms, side="right")
+        g = g.copy()
+        g["r_sum"] = csum[hi] - csum[lo]
+        return g
+
+    ora = pdf.groupby("conv_id", group_keys=False)[["ts", "n_chars", "conv_id", "turn_idx"]].apply(_roll)
+    key = ["conv_id", "turn_idx"]
+    eng = eng.sort_values(key, kind="stable").reset_index(drop=True)
+    ora = ora.sort_values(key, kind="stable").reset_index(drop=True)
+    pd.testing.assert_series_equal(eng["r_sum"], ora["r_sum"], check_exact=False)

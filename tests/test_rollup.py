@@ -1,0 +1,116 @@
+"""Rollup differential tests: engine (Spark) vs oracle (pandas), exact equality.
+
+The north-star invariant: rolled-up points at every tier match the
+single-node reference bit-for-bit, including first/last under stable
+(conv_id, turn_idx, ts) ordering — exercised on the seeded transcripts
+table with mega-thread skew and duplicate timestamps, with and without
+explicit salting.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.operators.rollup import rollup, rollup_cascade
+from tablecloth_time_spark.oracle import timeops as O
+
+AGGS = {
+    "n_turns": ("count", "turn_idx"),
+    "sum_chars": ("sum", "n_chars"),
+    "min_turn": ("min", "turn_idx"),
+    "max_turn": ("max", "turn_idx"),
+    "avg_chars": ("avg", "n_chars"),
+    "first_text": ("first", "text"),
+    "last_text": ("last", "text"),
+}
+ORDER = ["ts", "turn_idx"]
+
+
+def _with_chars_spark(df):
+    return df.withColumn("n_chars", F.length("text").cast("long"))
+
+
+def _with_chars_pandas(pdf):
+    pdf = pdf.copy()
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    return pdf
+
+
+def _compare(eng_df, ora_pdf, keys):
+    eng = eng_df.toPandas()
+    eng = eng.sort_values(keys, kind="stable").reset_index(drop=True)
+    ora = ora_pdf.sort_values(keys, kind="stable").reset_index(drop=True)
+    eng = eng[sorted(eng.columns)]
+    ora = ora[sorted(ora.columns)]
+    # integer count columns: pandas groupby yields int64, Spark count int64 — ok
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+
+
+@pytest.mark.parametrize("salt", [0, 8])
+@pytest.mark.parametrize("interval,unit", [(1, "hour"), (15, "minute"), (1, "day")])
+def test_rollup_matches_oracle(spark, transcripts_df, transcripts_pdf, salt, interval, unit):
+    eng = rollup(
+        _with_chars_spark(transcripts_df),
+        ["conv_id"], "ts", interval, unit, AGGS, order_cols=ORDER, salt=salt,
+    )
+    ora = O.rollup(
+        _with_chars_pandas(transcripts_pdf),
+        ["conv_id"], "ts", interval, unit, AGGS, order_cols=ORDER,
+    )
+    _compare(eng, ora, ["conv_id", "bucket"])
+
+
+def test_rollup_cascade_matches_per_tier(spark, transcripts_df, transcripts_pdf):
+    tiers = {
+        "minute": (1, "minute"),
+        "hour": (1, "hour"),
+        "day": (1, "day"),
+    }
+    eng_tiers = rollup_cascade(
+        _with_chars_spark(transcripts_df),
+        ["conv_id"], "ts", AGGS, tiers=tiers, order_cols=ORDER, salt=4,
+    )
+    pdf = _with_chars_pandas(transcripts_pdf)
+    for tier, (iv, unit) in tiers.items():
+        ora = O.rollup(pdf, ["conv_id"], "ts", iv, unit, AGGS, order_cols=ORDER)
+        _compare(eng_tiers[tier], ora, ["conv_id", "bucket"])
+
+
+def test_cascade_equals_direct(spark, transcripts_df):
+    """Tier-from-tier merge must equal rolling up raw data directly."""
+    eng_tiers = rollup_cascade(
+        _with_chars_spark(transcripts_df), ["conv_id"], "ts", AGGS, order_cols=ORDER
+    )
+    direct = rollup(
+        _with_chars_spark(transcripts_df), ["conv_id"], "ts", 1, "day", AGGS,
+        order_cols=ORDER,
+    )
+    a = eng_tiers["day"].toPandas().sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+    b = direct.toPandas().sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_first_last_stable_under_duplicate_ts(spark):
+    """Duplicate ts rows: first/last must use turn_idx as tiebreaker."""
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": [0, 1, 2, 3],
+            "text": ["a", "b", "c", "d"],
+            "ts": pd.to_datetime(
+                ["2025-01-01 00:00:05", "2025-01-01 00:00:05",
+                 "2025-01-01 00:00:05", "2025-01-01 00:00:59"]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = rollup(
+        df, ["conv_id"], "ts", 1, "minute",
+        {"first_text": ("first", "text"), "last_text": ("last", "text")},
+        order_cols=["ts", "turn_idx"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["first_text"] == "a"
+    assert out[0]["last_text"] == "d"

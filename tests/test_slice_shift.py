@@ -1,0 +1,163 @@
+"""Slice + lag/lead semantics (FIXTURES.md F3/F5) and oracle differentials."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tablecloth_time_spark.operators.slice import slice_time
+from tablecloth_time_spark.operators.shift import add_lag, add_lags, add_lead, add_leads
+from tablecloth_time_spark.oracle import timeops as O
+
+DATES = ["2024-01-01", "2024-01-05", "2024-01-10", "2024-01-15",
+         "2024-01-20", "2024-01-25", "2024-01-31"]
+VALUES = [10, 20, 30, 40, 50, 60, 70]
+
+
+@pytest.fixture(scope="module")
+def days_df(spark):
+    pdf = pd.DataFrame({"timestamp": pd.to_datetime(DATES), "value": VALUES})
+    return spark.createDataFrame(pdf)
+
+
+def _vals(df):
+    return sorted(r["value"] for r in df.select("value").collect())
+
+
+def test_slice_inclusive_interior(days_df):
+    assert _vals(slice_time(days_df, "timestamp", "2024-01-07", "2024-01-18")) == [30, 40]
+
+
+def test_slice_boundary_match(days_df):
+    assert _vals(slice_time(days_df, "timestamp", "2024-01-10", "2024-01-20")) == [30, 40, 50]
+
+
+def test_slice_empty_out_of_range(days_df):
+    assert _vals(slice_time(days_df, "timestamp", "2025-01-01", "2025-02-01")) == []
+
+
+def test_slice_single_row(days_df):
+    assert _vals(slice_time(days_df, "timestamp", "2024-01-15", "2024-01-15")) == [40]
+
+
+def test_slice_duplicates_all_included(spark):
+    pdf = pd.DataFrame(
+        {
+            "timestamp": pd.to_datetime(
+                ["2024-01-01", "2024-01-05", "2024-01-05", "2024-01-05", "2024-01-10"]
+            ),
+            "value": [10, 20, 21, 22, 30],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    assert _vals(slice_time(df, "timestamp", "2024-01-05", "2024-01-05")) == [20, 21, 22]
+    # oracle agrees (duplicate-aware binary search)
+    got = O.slice_time(pdf, "timestamp", "2024-01-05", "2024-01-05")
+    assert sorted(got["value"]) == [20, 21, 22]
+
+
+def test_slice_from_gt_to_raises(days_df):
+    with pytest.raises(ValueError, match="from > to"):
+        slice_time(days_df, "timestamp", "2024-02-01", "2024-01-01")
+
+
+def test_slice_missing_column_raises(days_df):
+    with pytest.raises(ValueError, match="not found"):
+        slice_time(days_df, "nope", "2024-01-01", "2024-01-02")
+
+
+def test_slice_epoch_millis_keys(days_df):
+    lo = int(pd.Timestamp("2024-01-10").value // 1_000_000)
+    hi = int(pd.Timestamp("2024-01-20").value // 1_000_000)
+    assert _vals(slice_time(days_df, "timestamp", lo, hi)) == [30, 40, 50]
+
+
+def test_slice_differential_on_transcripts(spark, transcripts_df, transcripts_pdf):
+    lo, hi = "2025-01-10", "2025-01-20 12:00:00"
+    eng = slice_time(transcripts_df, "ts", lo, hi).toPandas()
+    pdf = transcripts_pdf.sort_values("ts", kind="stable").reset_index(drop=True)
+    ora = O.slice_time(pdf, "ts", lo, hi)
+    key = ["conv_id", "turn_idx"]
+    eng = eng.sort_values(key, kind="stable").reset_index(drop=True)
+    ora = ora.sort_values(key, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng[sorted(eng.columns)], ora[sorted(ora.columns)].reset_index(drop=True))
+
+
+def test_oracle_bounds_semantics():
+    arr = np.array([1, 3, 3, 3, 7])
+    assert O.find_lower_bound(arr, 3) == 1
+    assert O.find_upper_bound(arr, 3) == 4
+    assert O.find_lower_bound(arr, 0) == 0
+    assert O.find_upper_bound(arr, 9) == 5
+    assert O.find_lower_bound(np.array([]), 5) == 0
+    assert O.find_lower_bound(np.array([5]), 5) == 0
+    assert O.find_upper_bound(np.array([5]), 5) == 1
+
+
+def test_oracle_slice_descending_and_unsorted():
+    pdf = pd.DataFrame(
+        {"timestamp": pd.to_datetime(list(reversed(DATES))), "value": list(reversed(VALUES))}
+    )
+    out = O.slice_time(pdf, "timestamp", "2024-01-07", "2024-01-18")
+    assert list(out["value"]) == [40, 30]  # reversed order preserved
+
+
+# --- lag / lead (F5) --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    pdf = pd.DataFrame({"i": range(1, 7), "a": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    return spark.createDataFrame(pdf)
+
+
+def _col(df, name, order="i"):
+    return [r[name] for r in df.orderBy(order).collect()]
+
+
+def test_lag2(series_df):
+    out = add_lag(series_df, "a", 2, order_by=["i"])
+    assert _col(out, "a_lag2") == [None, None, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_lead2(series_df):
+    out = add_lead(series_df, "a", 2, order_by=["i"])
+    assert _col(out, "a_lead2") == [3.0, 4.0, 5.0, 6.0, None, None]
+
+
+def test_lag0_identity(series_df):
+    out = add_lag(series_df, "a", 0, order_by=["i"])
+    assert _col(out, "a_lag0") == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    # dtype preserved
+    assert dict(out.dtypes)["a_lag0"] == "double"
+
+
+def test_add_lags_drop_missing(series_df):
+    out = add_lags(series_df, "a", [2, 4], order_by=["i"])
+    rows = out.orderBy("i").collect()
+    assert len(rows) == 2  # drop-missing default true: rows 5,6 survive
+    assert [r["a_lag2"] for r in rows] == [3.0, 4.0]
+    assert [r["a_lag4"] for r in rows] == [1.0, 2.0]
+
+
+def test_add_lags_keep_missing_named(series_df):
+    out = add_lags(series_df, "a", {1: "prev"}, order_by=["i"], drop_missing=False)
+    assert _col(out, "prev") == [None, 1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_add_leads_partitioned(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["x", "x", "x", "y", "y"],
+            "i": [1, 2, 3, 1, 2],
+            "v": [1.0, 2.0, 3.0, 10.0, 20.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = add_leads(df, "v", [1], order_by=["i"], partition_by=["k"], drop_missing=False)
+    got = {(r["k"], r["i"]): r["v_lead1"] for r in out.collect()}
+    assert got == {
+        ("x", 1): 2.0, ("x", 2): 3.0, ("x", 3): None,
+        ("y", 1): 20.0, ("y", 2): None,
+    }

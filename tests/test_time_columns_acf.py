@@ -1,0 +1,82 @@
+"""add_time_columns contract + ACF golden/differential tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tablecloth_time_spark.operators.acf import acf
+from tablecloth_time_spark.operators.time_columns import add_time_columns
+
+
+@pytest.fixture(scope="module")
+def ts_df(spark):
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-06-15 14:30:45", "1970-01-01 00:00:00"])}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_vector_fields(ts_df):
+    out = add_time_columns(ts_df, "ts", ["year", "month", "day-of-week"])
+    rows = out.orderBy("ts").collect()
+    assert rows[1]["year"] == 2024 and rows[1]["month"] == 6
+    assert rows[0]["day_of_week"] == 4  # 1970-01-01 Thursday
+    assert set(out.columns) == {"ts", "year", "month", "day_of_week"}
+
+
+def test_mapping_fields(ts_df):
+    out = add_time_columns(ts_df, "ts", {"date-string": "Day", "hour": "h"})
+    row = out.orderBy("ts").collect()[1]
+    assert row["Day"] == "2024-06-15" and row["h"] == 14
+
+
+def test_all_fields(ts_df):
+    out = add_time_columns(ts_df, "ts", "all")
+    assert len(out.columns) == 1 + 23  # 13 extractors + 10 computed
+
+
+def test_unknown_field_raises(ts_df):
+    with pytest.raises(ValueError, match="unknown time field"):
+        add_time_columns(ts_df, "ts", ["bogus"])
+
+
+def test_missing_time_col_raises(ts_df):
+    with pytest.raises(ValueError, match="not found"):
+        add_time_columns(ts_df, "nope", ["year"])
+
+
+def test_acf_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    n = 200
+    y = np.cumsum(rng.standard_normal(n)) + 10 * np.sin(np.arange(n) / 6)
+    pdf = pd.DataFrame(
+        {"k": ["s"] * n, "i": np.arange(n, dtype="int64"), "v": y}
+    )
+    df = spark.createDataFrame(pdf)
+    out = acf(df, ["k"], "i", "v", max_lag=5).orderBy("lag").collect()
+
+    yc = y - y.mean()
+    denom = float(np.dot(yc, yc))
+    for row in out:
+        k = row["lag"]
+        expect = float(np.dot(yc[k:], yc[:-k]) / denom)
+        assert row["acf"] == pytest.approx(expect, rel=1e-12), f"lag {k}"
+
+
+def test_acf_multi_series(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 10 + ["b"] * 10,
+            "i": list(range(10)) * 2,
+            "v": [float(i % 2) for i in range(10)] + [float(i) for i in range(10)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = acf(df, ["k"], "i", "v", max_lag=2).collect()
+    got = {(r["k"], r["lag"]): r["acf"] for r in rows}
+    # alternating series: strong negative lag-1, positive lag-2
+    assert got[("a", 1)] < -0.8 and got[("a", 2)] > 0.6
+    # linear ramp: positive lag-1 autocorrelation
+    assert got[("b", 1)] > 0.5

@@ -1,0 +1,253 @@
+"""Golden-value tests for the timeops expression library.
+
+Input/expected pairs re-derive the reference's hand-verified bucket tables
+(reference test/tablecloth/time/column/api_test.clj — floors at
+k in {1,2,3,4,5,6,10}, field extractors incl. leap years and ISO
+boundaries) and FIXTURES.md F2/F4. Every case is asserted THREE ways:
+engine (Spark expr) == oracle (pandas) == hardcoded golden value.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.functions import timeops as T
+from tablecloth_time_spark.oracle import timeops as O
+
+TS = pd.Timestamp
+
+
+def run_expr(spark, expr_fn, values):
+    pdf = pd.DataFrame({"ts": pd.to_datetime(values)})
+    df = spark.createDataFrame(pdf)
+    out = df.select(expr_fn("ts").alias("out")).toPandas()["out"]
+    return list(out)
+
+
+# --- floor_to_month -------------------------------------------------------
+
+MONTH_CASES = [
+    # (input, k, expected) — k-month boundaries anchored at 1970-01
+    ("2024-05-17 13:45:00", 1, "2024-05-01"),
+    ("2024-05-17 13:45:00", 3, "2024-04-01"),  # months since epoch 652 -> 651? no:
+    ("2024-06-30", 6, "2024-01-01"),
+    ("2024-07-01", 6, "2024-07-01"),
+    ("1970-02-15", 3, "1970-01-01"),
+    ("1971-01-01", 1, "1971-01-01"),
+]
+
+
+@pytest.mark.parametrize("inp,k,exp", MONTH_CASES)
+def test_floor_to_month(spark, inp, k, exp):
+    # derive expected independently: epoch-month arithmetic
+    t = TS(inp)
+    m = (t.year - 1970) * 12 + t.month - 1
+    m2 = m - m % k
+    check = TS(year=1970 + m2 // 12, month=m2 % 12 + 1, day=1)
+    assert TS(exp) == check, f"golden value self-check failed for {inp}, k={k}"
+    got = run_expr(spark, lambda c: T.floor_to_month(c, k).cast("timestamp"), [inp])[0]
+    assert TS(got) == TS(exp)
+    ora = O.floor_to_month(pd.Series(pd.to_datetime([inp])), k)[0]
+    assert TS(ora) == TS(exp)
+
+
+QUARTER_CASES = [
+    ("2024-05-17", 1, "2024-04-01"),
+    ("2024-05-17", 2, "2024-01-01"),
+    ("2024-08-01", 2, "2024-07-01"),
+    ("2024-11-30", 4, "2024-01-01"),
+    ("1970-03-31", 1, "1970-01-01"),
+    ("2025-02-01", 3, "2024-10-01"),  # q=220 -> 219 (=3*73) -> month 657
+]
+
+
+@pytest.mark.parametrize("inp,k,exp", QUARTER_CASES)
+def test_floor_to_quarter(spark, inp, k, exp):
+    got = run_expr(spark, lambda c: T.floor_to_quarter(c, k).cast("timestamp"), [inp])[0]
+    assert TS(got) == TS(exp)
+    ora = O.floor_to_quarter(pd.Series(pd.to_datetime([inp])), k)[0]
+    assert TS(ora) == TS(exp)
+
+
+YEAR_CASES = [
+    ("2024-05-17", 1, "2024-01-01"),
+    ("2024-05-17", 5, "2020-01-01"),
+    ("2024-05-17", 10, "2020-01-01"),
+    ("1979-12-31", 10, "1970-01-01"),
+    ("1980-01-01", 10, "1980-01-01"),
+]
+
+
+@pytest.mark.parametrize("inp,k,exp", YEAR_CASES)
+def test_floor_to_year(spark, inp, k, exp):
+    got = run_expr(spark, lambda c: T.floor_to_year(c, k).cast("timestamp"), [inp])[0]
+    assert TS(got) == TS(exp)
+    ora = O.floor_to_year(pd.Series(pd.to_datetime([inp])), k)[0]
+    assert TS(ora) == TS(exp)
+
+
+# --- down_to_nearest (metric + calendar) ----------------------------------
+
+DTN_CASES = [
+    ("2024-05-17 13:45:37.894", 500, "millisecond", "2024-05-17 13:45:37.500"),
+    ("2024-05-17 13:45:37.894", 30, "second", "2024-05-17 13:45:30"),
+    ("2024-05-17 13:45:37", 15, "minute", "2024-05-17 13:45:00"),
+    ("2024-05-17 13:45:37", 6, "hour", "2024-05-17 12:00:00"),
+    ("2024-05-17 13:45:37", 1, "day", "2024-05-17 00:00:00"),
+    ("2024-05-17 13:45:37", 7, "day", "2024-05-16 00:00:00"),  # epoch-anchored
+    # weeks anchor at 1970-01-01 (Thursday): 2024-05-17 is a Friday;
+    # 2 weeks = 1209600000 ms
+    ("2024-05-17 13:45:37", 2, "week", "2024-05-09 00:00:00"),
+    ("2024-05-17 13:45:37", 3, "month", "2024-04-01"),
+    ("2024-05-17 13:45:37", 2, "quarter", "2024-01-01"),
+    ("2024-05-17 13:45:37", 5, "year", "2020-01-01"),
+]
+
+
+@pytest.mark.parametrize("inp,iv,unit,exp", DTN_CASES)
+def test_down_to_nearest(spark, inp, iv, unit, exp):
+    got = run_expr(spark, lambda c: T.down_to_nearest(c, iv, unit), [inp])[0]
+    assert TS(got) == TS(exp), f"{inp} {iv} {unit}"
+    ora = O.down_to_nearest(pd.Series(pd.to_datetime([inp])), iv, unit)[0]
+    assert TS(ora) == TS(exp)
+
+
+def test_down_to_nearest_epoch_week_anchor(spark):
+    # 1970-01-01 itself is a week boundary
+    got = run_expr(spark, lambda c: T.down_to_nearest(c, 1, "week"), ["1970-01-04"])[0]
+    assert TS(got) == TS("1970-01-01")
+
+
+# --- field extractors (FIXTURES.md F4 anchors) ----------------------------
+
+FIELD_CASES = [
+    ("1970-01-01", "day-of-week", 4),  # Thursday
+    ("1970-01-05", "day-of-week", 1),  # Monday
+    ("1970-12-28", "week-of-year", 53),
+    ("2000-02-29", "day-of-year", 60),
+    ("2000-12-31", "day-of-year", 366),
+    ("2024-06-15 14:30:45", "year", 2024),
+    ("2024-06-15 14:30:45", "month", 6),
+    ("2024-06-15 14:30:45", "day", 15),
+    ("2024-06-15 14:30:45", "hour", 14),
+    ("2024-06-15 14:30:45", "minute", 30),
+    ("2024-06-15 14:30:45", "second", 45),
+    ("2024-06-15 14:30:45", "day-of-week", 6),
+    ("2024-06-15 14:30:45", "day-of-year", 167),
+    ("2024-06-15 14:30:45", "week-of-year", 24),
+    ("2024-06-15 14:30:45", "quarter", 2),
+    ("1970-01-01", "epoch-day", 0),
+    ("1969-12-31", "epoch-day", -1),
+    ("1970-01-08", "epoch-week", 1),
+    ("1970-01-07", "epoch-week", 0),
+    ("2024-01-01", "week-of-year-index", 0),
+    ("2024-01-08", "week-of-year-index", 1),
+]
+
+
+@pytest.mark.parametrize("inp,fieldname,exp", FIELD_CASES)
+def test_field_extractors(spark, inp, fieldname, exp):
+    got = run_expr(spark, lambda c: T.field_expr(fieldname, c), [inp])[0]
+    assert got == exp, f"spark {fieldname}({inp}) = {got}, want {exp}"
+    ora = O.field(pd.Series(pd.to_datetime([inp])), fieldname)[0]
+    assert ora == exp, f"oracle {fieldname}({inp}) = {ora}, want {exp}"
+
+
+# --- computed fields -------------------------------------------------------
+
+
+def test_hour_fractional_and_phases(spark):
+    vals = run_expr(spark, T.hour_fractional, ["2024-06-15 13:30:00"])
+    assert vals[0] == 13.5
+    assert run_expr(spark, T.daily_phase, ["2024-06-15 12:00:00"])[0] == 0.5
+    # Monday 00:00 -> weekly phase 0
+    assert run_expr(spark, T.weekly_phase, ["2024-06-10 00:00:00"])[0] == 0.0
+    # Jan 1 -> yearly phase 0
+    assert run_expr(spark, T.yearly_phase, ["2024-01-01"])[0] == 0.0
+    assert run_expr(spark, T.date_string, ["2024-06-15 13:30:00"])[0] == "2024-06-15"
+    assert run_expr(spark, T.year_week_string, ["2024-01-08"])[0] == "2024-W01"
+
+
+def test_unknown_field_raises(spark):
+    with pytest.raises(ValueError, match="unknown time field"):
+        T.field_expr("bogus", "ts")
+
+
+# --- ceil / round / arithmetic ---------------------------------------------
+
+
+def test_ceil_round(spark):
+    assert TS(
+        run_expr(spark, lambda c: T.ceil_to_nearest(c, 15, "minute"), ["2024-05-17 13:01:00"])[0]
+    ) == TS("2024-05-17 13:15:00")
+    # aligned input unchanged
+    assert TS(
+        run_expr(spark, lambda c: T.ceil_to_nearest(c, 15, "minute"), ["2024-05-17 13:15:00"])[0]
+    ) == TS("2024-05-17 13:15:00")
+    assert TS(
+        run_expr(spark, lambda c: T.ceil_to_nearest(c, 1, "month"), ["2024-05-17"])[0]
+    ) == TS("2024-06-01")
+    assert TS(
+        run_expr(spark, lambda c: T.round_to_nearest(c, 1, "hour"), ["2024-05-17 13:31:00"])[0]
+    ) == TS("2024-05-17 14:00:00")
+    assert TS(
+        run_expr(spark, lambda c: T.round_to_nearest(c, 1, "hour"), ["2024-05-17 13:29:00"])[0]
+    ) == TS("2024-05-17 13:00:00")
+
+
+def test_plus_minus_between(spark):
+    assert TS(
+        run_expr(spark, lambda c: T.plus_time(c, 90, "minute"), ["2024-05-17 13:00:00"])[0]
+    ) == TS("2024-05-17 14:30:00")
+    assert TS(
+        run_expr(spark, lambda c: T.plus_time(c, 2, "month"), ["2024-01-31"])[0]
+    ) == TS("2024-03-31")
+    assert TS(
+        run_expr(spark, lambda c: T.minus_time(c, 1, "year"), ["2024-02-29"])[0]
+    ) == TS("2023-02-28")
+    pdf = pd.DataFrame(
+        {
+            "a": pd.to_datetime(["2024-01-01 00:00:00"]),
+            "b": pd.to_datetime(["2024-01-02 12:00:00"]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    row = df.select(
+        T.between_time("a", "b", "hour").alias("h"),
+        T.between_time("a", "b", "day").alias("d"),
+    ).collect()[0]
+    assert row["h"] == 36 and row["d"] == 1
+
+
+def test_predicates(spark):
+    pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-04-01", "2024-03-31", "2024-12-31"])})
+    df = spark.createDataFrame(pdf)
+    rows = df.select(
+        T.is_month_start("ts").alias("ms"),
+        T.is_month_end("ts").alias("me"),
+        T.is_quarter_start("ts").alias("qs"),
+        T.is_quarter_end("ts").alias("qe"),
+        T.is_year_end("ts").alias("ye"),
+    ).collect()
+    assert [r["ms"] for r in rows] == [True, False, False]
+    assert [r["me"] for r in rows] == [False, True, True]
+    assert [r["qs"] for r in rows] == [True, False, False]
+    assert [r["qe"] for r in rows] == [False, True, True]
+    assert [r["ye"] for r in rows] == [False, False, True]
+
+
+def test_convert_time_roundtrip(spark):
+    pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-05-17 13:45:37.894"])})
+    df = spark.createDataFrame(pdf)
+    row = df.select(
+        T.convert_time("ts", "epoch-milliseconds").alias("ms"),
+        T.from_epoch_millis(T.convert_time("ts", "epoch-milliseconds")).alias("back"),
+        T.convert_time("ts", "epoch-days").alias("ed"),
+    ).collect()[0]
+    assert row["ms"] == int(TS("2024-05-17 13:45:37.894").value // 1_000_000)
+    assert TS(row["back"]) == TS("2024-05-17 13:45:37.894")
+    assert row["ed"] == (TS("2024-05-17") - TS("1970-01-01")).days
+    with pytest.raises(ValueError, match="unsupported time conversion"):
+        T.convert_time("ts", "duration")
