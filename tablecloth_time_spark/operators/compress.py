@@ -1,0 +1,425 @@
+"""Gorilla-style XOR float + delta-of-delta timestamp block compression.
+
+North-star requirement (BASELINE.json): per-conversation turn-rate /
+token-count series are stored as compressed binary blocks — Gorilla XOR for
+float series, delta-of-delta for the timestamp axis and integer series —
+keyed by (conv_id, block_start).
+
+The reference has no compression at all (its datasets live uncompressed in
+one JVM); this module is the north-star-only surface listed in SURVEY.md
+§2.4. The codec follows the Facebook Gorilla paper's value layout with one
+documented deviation: the XOR encoder always writes the (leading, length)
+window per entry instead of conditionally reusing the previous entry's
+window. Dropping that sequential dependency makes the ENCODER fully
+numpy-vectorizable (the per-entry control/meta/payload bit fields are
+computed for the whole series at once and packed with a single boolean
+gather + ``np.packbits``), which is what "only vectorized pandas/Arrow
+UDFs — no per-row Python" demands of a codec that runs inside
+``applyInPandas`` on a 10^12-turn table. Cost: ≤13 extra bits per entry vs
+the paper; determinism and exact round-trip are unaffected.
+
+Bitstream formats (all integers little-endian in the fixed header, bit
+fields MSB-first in the packed payload):
+
+float64 XOR block   : n:int32 | first:float64 bits | nbits:int64 | payload
+  entry (per value after the first):
+    '0'                                      xor == 0
+    '1' + lead:6 + (mbits-1):6 + payload     xor != 0 (mbits = 64-lead-trail)
+
+int64 delta-of-delta block : n:int32 | first:int64 | first_delta:int64
+                             | nbits:int64 | payload
+  entry (per delta-of-delta, Gorilla timestamp buckets):
+    '0'                 dod == 0
+    '10'   + 7 bits     dod ∈ [-63, 64]       (stored dod+63)
+    '110'  + 9 bits     dod ∈ [-255, 256]     (stored dod+255)
+    '1110' + 12 bits    dod ∈ [-2047, 2048]   (stored dod+2047)
+    '1111' + 64 bits    otherwise             (stored as two's complement)
+
+Decoding is inherently sequential (entry lengths are data-dependent); the
+decoder is a driver/test-side verification tool and a per-block loop inside
+``mapInPandas`` — one Python iteration per POINT of one block, never per
+Spark row of the plan.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from tablecloth_time_spark.functions.timeops import down_to_nearest
+
+_U64 = np.uint64
+_MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# vectorized bit packing
+# ---------------------------------------------------------------------------
+
+
+def _bit_length_u32(x: np.ndarray) -> np.ndarray:
+    """Bit length of uint32 values (float64 log2 is exact below 2^53)."""
+    out = np.zeros(x.shape, dtype=np.int64)
+    nz = x != 0
+    out[nz] = np.floor(np.log2(x[nz].astype(np.float64))).astype(np.int64) + 1
+    return out
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    hi = (x >> _U64(32)).astype(np.uint32)
+    lo = (x & _U64(0xFFFFFFFF)).astype(np.uint32)
+    return np.where(hi != 0, 32 + _bit_length_u32(hi), _bit_length_u32(lo))
+
+
+def _leading_zeros_u64(x: np.ndarray) -> np.ndarray:
+    return 64 - _bit_length_u64(x)
+
+
+def _trailing_zeros_u64(x: np.ndarray) -> np.ndarray:
+    low = x & ((~x + _U64(1)) & _MASK64)  # isolate lowest set bit
+    return np.where(x == 0, 64, _bit_length_u64(low) - 1)
+
+
+def _pack_entries(vals: np.ndarray, lens: np.ndarray) -> tuple[bytes, int]:
+    """Concatenate variable-length bit fields (MSB-first, ≤64 bits each).
+
+    Pure numpy: a (n, 64) bit matrix is built by broadcast shifts, the valid
+    bits are gathered row-major (which IS the concatenated stream order) and
+    packed 8-per-byte. Zero-length entries contribute nothing.
+    """
+    if len(vals) == 0:
+        return b"", 0
+    vals = vals.astype(_U64)
+    lens = lens.astype(np.int64)
+    width = int(lens.max()) if len(lens) else 0
+    if width == 0:
+        return b"", 0
+    j = np.arange(width, dtype=np.int64)[None, :]
+    shifts = lens[:, None] - 1 - j
+    valid = shifts >= 0
+    bits = (vals[:, None] >> shifts.clip(0, 63).astype(_U64)) & _U64(1)
+    flat = bits[valid].astype(np.uint8)
+    return np.packbits(flat, bitorder="big").tobytes(), int(lens.sum())
+
+
+class _BitReader:
+    """Sequential MSB-first bit reader over a packed payload (decode only)."""
+
+    def __init__(self, payload: bytes, nbits: int):
+        self.bits = np.unpackbits(
+            np.frombuffer(payload, dtype=np.uint8), bitorder="big"
+        )[:nbits].astype(np.int64)
+        self.pos = 0
+
+    def take(self, k: int) -> int:
+        b = self.bits[self.pos : self.pos + k]
+        self.pos += k
+        v = 0
+        for bit in b:
+            v = (v << 1) | int(bit)
+        return v
+
+
+# ---------------------------------------------------------------------------
+# float64 XOR codec (Gorilla values)
+# ---------------------------------------------------------------------------
+
+_F_MAGIC = b"GX"  # Gorilla-XOR
+_I_MAGIC = b"DD"  # delta-of-delta
+_VERSION = 1
+
+
+def encode_floats_xor(values: np.ndarray) -> bytes:
+    """Encode a float64 series into a Gorilla-XOR binary block."""
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    n = len(v)
+    head = _F_MAGIC + bytes([_VERSION]) + struct.pack("<i", n)
+    if n == 0:
+        return head + struct.pack("<q", 0)
+    bits = v.view(_U64)
+    first = bits[0]
+    head += struct.pack("<Q", first)
+    if n == 1:
+        return head + struct.pack("<q", 0)
+
+    xor = bits[1:] ^ bits[:-1]
+    lead = np.minimum(_leading_zeros_u64(xor), 63)
+    trail = _trailing_zeros_u64(xor)
+    mbits = np.where(xor == 0, 0, 64 - lead - trail)
+
+    # per entry: meta field then payload field (two packed entries each)
+    meta_val = np.where(
+        xor == 0,
+        _U64(0),
+        (_U64(1) << _U64(12))
+        | (lead.astype(_U64) << _U64(6))
+        | (mbits - 1).clip(0).astype(_U64),
+    )
+    meta_len = np.where(xor == 0, 1, 13)
+    pay_val = np.where(
+        xor == 0, _U64(0), (xor >> trail.clip(0, 63).astype(_U64)) & _MASK64
+    )
+    pay_len = np.where(xor == 0, 0, mbits)
+
+    vals = np.empty(2 * (n - 1), dtype=_U64)
+    lens = np.empty(2 * (n - 1), dtype=np.int64)
+    vals[0::2], vals[1::2] = meta_val, pay_val
+    lens[0::2], lens[1::2] = meta_len, pay_len
+    payload, nbits = _pack_entries(vals, lens)
+    return head + struct.pack("<q", nbits) + payload
+
+
+def decode_floats_xor(buf: bytes) -> np.ndarray:
+    assert buf[:2] == _F_MAGIC and buf[2] == _VERSION, "not a GX block"
+    (n,) = struct.unpack_from("<i", buf, 3)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    (first,) = struct.unpack_from("<Q", buf, 7)
+    out = np.empty(n, dtype=_U64)
+    out[0] = first
+    if n == 1:
+        return out.view(np.float64)
+    (nbits,) = struct.unpack_from("<q", buf, 15)
+    r = _BitReader(buf[23:], nbits)
+    prev = int(first)
+    for i in range(1, n):
+        if r.take(1) == 0:
+            out[i] = prev
+            continue
+        lead = r.take(6)
+        mbits = r.take(6) + 1
+        payload = r.take(mbits)
+        trail = 64 - lead - mbits
+        prev ^= payload << trail
+        out[i] = prev
+    return out.view(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# int64 delta-of-delta codec (Gorilla timestamps; also integer value series)
+# ---------------------------------------------------------------------------
+
+
+def encode_ints_dod(values: np.ndarray) -> bytes:
+    """Encode an int64 series (timestamps in ms, counts, ...) as DoD block."""
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    n = len(v)
+    head = _I_MAGIC + bytes([_VERSION]) + struct.pack("<i", n)
+    if n == 0:
+        return head + struct.pack("<q", 0)
+    head += struct.pack("<q", int(v[0]))
+    if n == 1:
+        return head + struct.pack("<q", 0)
+    delta = np.diff(v)
+    head += struct.pack("<q", int(delta[0]))
+    if n == 2:
+        return head + struct.pack("<q", 0)
+
+    dod = np.diff(delta)
+    c0 = dod == 0
+    c1 = (dod >= -63) & (dod <= 64)
+    c2 = (dod >= -255) & (dod <= 256)
+    c3 = (dod >= -2047) & (dod <= 2048)
+
+    meta_val = np.select(
+        [c0, c1, c2, c3],
+        [_U64(0), _U64(0b10), _U64(0b110), _U64(0b1110)],
+        default=_U64(0b1111),
+    )
+    meta_len = np.select([c0, c1, c2, c3], [1, 2, 3, 4], default=4)
+    pay_val = np.select(
+        [c0, c1, c2, c3],
+        [
+            np.zeros_like(dod),
+            dod + 63,
+            dod + 255,
+            dod + 2047,
+        ],
+        default=dod,  # two's complement via uint64 view below
+    ).astype(np.int64).view(_U64) & _MASK64
+    pay_len = np.select([c0, c1, c2, c3], [0, 7, 9, 12], default=64)
+
+    m = len(dod)
+    vals = np.empty(2 * m, dtype=_U64)
+    lens = np.empty(2 * m, dtype=np.int64)
+    vals[0::2], vals[1::2] = meta_val, pay_val
+    lens[0::2], lens[1::2] = meta_len, pay_len
+    payload, nbits = _pack_entries(vals, lens)
+    return head + struct.pack("<q", nbits) + payload
+
+
+def decode_ints_dod(buf: bytes) -> np.ndarray:
+    assert buf[:2] == _I_MAGIC and buf[2] == _VERSION, "not a DD block"
+    (n,) = struct.unpack_from("<i", buf, 3)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    (first,) = struct.unpack_from("<q", buf, 7)
+    if n == 1:
+        return np.array([first], dtype=np.int64)
+    (first_delta,) = struct.unpack_from("<q", buf, 15)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    second = (first + first_delta) & ((1 << 64) - 1)
+    out[1] = second - (1 << 64) if second >= (1 << 63) else second
+    if n == 2:
+        return out
+    (nbits,) = struct.unpack_from("<q", buf, 23)
+    r = _BitReader(buf[31:], nbits)
+
+    def wrap(x: int) -> int:
+        # two's-complement int64 wrap: the encoder's numpy delta arithmetic
+        # wraps mod 2^64, so reconstruction must too; values inside int64
+        # range come back exact under modular arithmetic
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    delta = first_delta
+    prev = int(out[1])
+    for i in range(2, n):
+        if r.take(1) == 0:
+            dod = 0
+        elif r.take(1) == 0:
+            dod = r.take(7) - 63
+        elif r.take(1) == 0:
+            dod = r.take(9) - 255
+        elif r.take(1) == 0:
+            dod = r.take(12) - 2047
+        else:
+            raw = r.take(64)
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+        delta = wrap(delta + dod)
+        prev = wrap(prev + delta)
+        out[i] = prev
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+def _block_schema(value_cols: dict[str, str]) -> StructType:
+    fields = [
+        StructField("conv_id", StringType()),
+        StructField("block_start", TimestampType()),
+        StructField("n_points", LongType()),
+        StructField("ts_block", BinaryType()),
+    ]
+    for c in value_cols:
+        fields.append(StructField(f"{c}_block", BinaryType()))
+    fields += [
+        StructField("raw_bytes", LongType()),
+        StructField("enc_bytes", LongType()),
+        StructField("compression_ratio", DoubleType()),
+    ]
+    return StructType(fields)
+
+
+def compress_series(
+    df: DataFrame,
+    ts_col: str,
+    value_cols: dict[str, str],
+    key_col: str = "conv_id",
+    block_interval: int = 1,
+    block_unit: str = "day",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Compress per-key series into binary blocks, one row per (key, block).
+
+    ``value_cols`` maps column name -> codec ('float' = Gorilla XOR on
+    float64, 'int' = delta-of-delta on int64). The timestamp axis is always
+    delta-of-delta over epoch-millis. Grouping (key, block_start) bounds
+    per-task state: a mega-thread spanning months splits into per-day blocks
+    that land on different tasks, so no executor ever materializes a whole
+    mega-conversation — the skew story at 10^12 turns.
+    """
+    order_cols = list(order_cols or [ts_col])
+    schema = _block_schema(value_cols)
+    n_sort = len(order_cols)
+
+    def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([f"__o{i}" for i in range(n_sort)], kind="stable")
+        ts_ms = (pdf["__ts_ms"].to_numpy()).astype(np.int64)
+        ts_block = encode_ints_dod(ts_ms)
+        row: dict[str, object] = {
+            "conv_id": pdf["__key"].iloc[0],
+            "block_start": pdf["__block"].iloc[0],
+            "n_points": len(pdf),
+            "ts_block": ts_block,
+        }
+        raw = 8 * len(pdf)
+        enc = len(ts_block)
+        for c, codec in value_cols.items():
+            if codec == "float":
+                blk = encode_floats_xor(pdf[c].to_numpy(dtype=np.float64))
+            else:
+                blk = encode_ints_dod(pdf[c].to_numpy(dtype=np.int64))
+            row[f"{c}_block"] = blk
+            raw += 8 * len(pdf)
+            enc += len(blk)
+        row["raw_bytes"] = raw
+        row["enc_bytes"] = enc
+        row["compression_ratio"] = raw / enc if enc else 1.0
+        return pd.DataFrame([row])
+
+    prepared = df.select(
+        F.col(key_col).cast("string").alias("__key"),
+        down_to_nearest(ts_col, block_interval, block_unit)
+        .cast("timestamp")
+        .alias("__block"),
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("__ts_ms"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        *[F.col(c) for c in value_cols],
+    )
+    return prepared.groupBy("__key", "__block").applyInPandas(encode_block, schema)
+
+
+def decompress_blocks(
+    blocks: DataFrame,
+    value_cols: dict[str, str],
+) -> DataFrame:
+    """Inverse of :func:`compress_series` — blocks back to one row per point."""
+    fields = [
+        StructField("conv_id", StringType()),
+        StructField("ts", TimestampType()),
+    ] + [
+        StructField(c, DoubleType() if codec == "float" else LongType())
+        for c, codec in value_cols.items()
+    ]
+    schema = StructType(fields)
+
+    def expand(batches):
+        for pdf in batches:
+            frames = []
+            for _, r in pdf.iterrows():
+                ts = decode_ints_dod(bytes(r["ts_block"]))
+                d = {
+                    "conv_id": np.repeat(r["conv_id"], len(ts)),
+                    "ts": pd.to_datetime(ts, unit="ms"),
+                }
+                for c, codec in value_cols.items():
+                    blk = bytes(r[f"{c}_block"])
+                    d[c] = (
+                        decode_floats_xor(blk)
+                        if codec == "float"
+                        else decode_ints_dod(blk)
+                    )
+                frames.append(pd.DataFrame(d))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cols = ["conv_id", "ts_block"] + [f"{c}_block" for c in value_cols]
+    return blocks.select(*cols).mapInPandas(expand, schema)

@@ -1,0 +1,142 @@
+"""Round-trip property tests for the Gorilla XOR / delta-of-delta codecs.
+
+SURVEY.md §5.2 item 4: decompress(compress(series)) == series exactly for
+random-walk, constant, and gappy series — plus the Spark-level block
+pipeline on the synthetic transcripts table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tablecloth_time_spark.operators.compress import (
+    compress_series,
+    decode_floats_xor,
+    decode_ints_dod,
+    decompress_blocks,
+    encode_floats_xor,
+    encode_ints_dod,
+)
+
+rng = np.random.default_rng(7)
+
+
+FLOAT_SERIES = {
+    "empty": np.array([], dtype=np.float64),
+    "single": np.array([3.25], dtype=np.float64),
+    "pair": np.array([1.0, 1.0]),
+    "constant": np.full(500, 42.125),
+    "random_walk": np.cumsum(rng.normal(0, 1, 1000)),
+    "gappy": np.where(rng.random(300) < 0.3, 0.0, rng.normal(5, 2, 300)),
+    "extremes": np.array(
+        [0.0, -0.0, 1e308, -1e308, 5e-324, np.inf, -np.inf, 1.5, -1.5]
+    ),
+    "nan": np.array([1.0, np.nan, 2.0, np.nan, np.nan]),
+}
+
+
+@pytest.mark.parametrize("name", list(FLOAT_SERIES))
+def test_float_xor_roundtrip(name):
+    v = FLOAT_SERIES[name]
+    out = decode_floats_xor(encode_floats_xor(v))
+    # bitwise equality (NaN payloads preserved exactly)
+    assert out.view(np.uint64).tolist() == v.view(np.uint64).tolist()
+
+
+INT_SERIES = {
+    "empty": np.array([], dtype=np.int64),
+    "single": np.array([1_700_000_000_000]),
+    "pair": np.array([10, 17]),
+    "regular_1s": 1_700_000_000_000 + 1000 * np.arange(2000),
+    "jittered": 1_700_000_000_000
+    + np.cumsum(rng.integers(0, 4000, 2000)),
+    "dup_ts": np.sort(
+        np.concatenate([np.arange(100) * 900_000] * 3) + 1_600_000_000_000
+    ),
+    "negative": np.cumsum(rng.integers(-(10**9), 10**9, 500)),
+    "big_jumps": np.array([0, 2**40, -(2**40), 2**62, -(2**62), 17]),
+    "counts": rng.integers(0, 50, 1000),
+}
+
+
+@pytest.mark.parametrize("name", list(INT_SERIES))
+def test_int_dod_roundtrip(name):
+    v = INT_SERIES[name].astype(np.int64)
+    out = decode_ints_dod(encode_ints_dod(v))
+    assert out.tolist() == v.tolist()
+
+
+def test_regular_series_compresses_well():
+    """A perfectly regular timestamp grid is the DoD codec's best case."""
+    v = 1_700_000_000_000 + 60_000 * np.arange(10_000, dtype=np.int64)
+    blk = encode_ints_dod(v)
+    # 10k ts at 8 bytes raw = 80 KB; DoD should be ~1 bit/point + header
+    assert len(blk) < 2000
+    assert decode_ints_dod(blk).tolist() == v.tolist()
+
+
+def test_constant_floats_compress_well():
+    v = np.full(10_000, 3.75)
+    blk = encode_floats_xor(v)
+    assert len(blk) < 2000
+
+
+# ---------------------------------------------------------------------------
+# Spark block pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_spark_compress_roundtrip(spark, transcripts_df):
+    """Rollup minute-tier per conv -> compress to blocks -> decompress ->
+    exact match against the uncompressed rollup."""
+    from pyspark.sql import functions as F
+
+    from tablecloth_time_spark.operators.rollup import rollup
+
+    src = transcripts_df.withColumn("text_len", F.length("text").cast("long"))
+    tier = rollup(
+        src,
+        ["conv_id"],
+        "ts",
+        1,
+        "minute",
+        {"n_turns": ("count", "turn_idx"), "sum_chars": ("sum", "text_len")},
+        order_cols=["ts", "turn_idx"],
+    ).withColumn("rate", F.col("n_turns").cast("double"))
+
+    blocks = compress_series(
+        tier,
+        ts_col="bucket",
+        value_cols={"n_turns": "int", "sum_chars": "int", "rate": "float"},
+        key_col="conv_id",
+        block_unit="day",
+    )
+    blocks.cache()
+    stats = blocks.agg(
+        {"raw_bytes": "sum", "enc_bytes": "sum", "n_points": "sum"}
+    ).collect()[0]
+    n_rows = tier.count()
+    assert stats["sum(n_points)"] == n_rows
+    assert stats["sum(enc_bytes)"] < stats["sum(raw_bytes)"]
+
+    restored = decompress_blocks(
+        blocks, {"n_turns": "int", "sum_chars": "int", "rate": "float"}
+    )
+    left = (
+        restored.toPandas()
+        .sort_values(["conv_id", "ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    right = (
+        tier.selectExpr(
+            "conv_id", "bucket as ts", "n_turns", "sum_chars", "rate"
+        )
+        .toPandas()
+        .sort_values(["conv_id", "ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        left[sorted(left.columns)], right[sorted(right.columns)], check_dtype=False
+    )
