@@ -207,6 +207,66 @@ def rollup_cascade(
     return out
 
 
+# ---------------------------------------------------------------------------
+# partial-aggregation phases, exposed for incremental maintenance (plans/)
+# ---------------------------------------------------------------------------
+
+
+def partial_rollup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    interval: int,
+    unit: str,
+    aggs: dict[str, tuple[str, str]],
+    order_cols: list[str] | None = None,
+    bucket_col: str = BUCKET_COL,
+) -> DataFrame:
+    """Bucket + partial-aggregate, KEEPING the mergeable representation.
+
+    The continuous-aggregate state tables store this form (sums, counts,
+    min/max, first/last order-structs) so later increments merge exactly —
+    never the finalized form, where avg/first/last would be unmergeable.
+    """
+    specs = _parse_aggs(aggs)
+    order_cols = order_cols or [ts_col]
+    bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
+    return df.groupBy(*keys, bucket).agg(
+        *[e for s in specs for e in s.partial_exprs(order_cols)]
+    )
+
+
+def merge_partials(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    bucket_col: str = BUCKET_COL,
+    rebucket: tuple[int, str] | None = None,
+) -> DataFrame:
+    """Merge partial rows that share (keys, bucket); optionally re-bucket
+    the partials into a coarser tier first (the cascade step)."""
+    specs = _parse_aggs(aggs)
+    if rebucket is not None:
+        interval, unit = rebucket
+        bucket = down_to_nearest(bucket_col, interval, unit).alias(bucket_col)
+    else:
+        bucket = F.col(bucket_col)
+    return df.groupBy(*keys, bucket).agg(
+        *[e for s in specs for e in s.merge_exprs()]
+    )
+
+
+def finalize_partials(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    bucket_col: str = BUCKET_COL,
+) -> DataFrame:
+    """Partial representation -> user-facing columns."""
+    specs = _parse_aggs(aggs)
+    return df.select(*keys, bucket_col, *[s.final_expr() for s in specs])
+
+
 def _bucket_width_ms(interval: int, unit: str) -> int:
     from tablecloth_time_spark.functions.units import (
         is_calendar_unit,

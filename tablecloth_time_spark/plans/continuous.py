@@ -1,0 +1,332 @@
+"""Incrementally-maintained tiered continuous aggregates with retention.
+
+North-star surface (SURVEY.md §2.4): continuous aggregates per Iceberg
+snapshot, tier-based retention expiry, checkpoint manifest with
+per-partition lineage / row counts / compression ratios, resumable runs.
+
+Design (scale-first):
+
+- **State is stored in PARTIAL form** (mergeable: count/sum/min/max,
+  first/last as order-structs, avg as sum+count — operators/rollup.py), so
+  an increment merges exactly without re-reading history. The finalized
+  user view is a projection (`read_tier`).
+- **Dirty-partition rewrite, never full rewrite.** Tier state is
+  partitioned by ``p_date = date(bucket)``. An increment touches only the
+  (conv_id, bucket) groups it contains; only the p_date partitions holding
+  those buckets are read back, merged, and replaced via Spark's dynamic
+  partition overwrite. At 10^12 turns with a 30-day hot window, a daily
+  increment rewrites ~1/365th of each tier, not the tier.
+- **One scan for all tiers.** The increment is partially aggregated once at
+  the finest tier; coarser tiers re-merge those partials (sums of sums) —
+  the same cascade as operators/rollup.rollup_cascade.
+- **Checkpoint manifest + resume.** Every refresh appends a run record
+  keyed by its snapshot range; each tier commit is recorded with row counts
+  and dirty partitions AFTER its write lands. A crashed run resumes by
+  skipping tiers its manifest already marks completed — re-merging a
+  completed tier would double-count, so completion tracking is what makes
+  refresh idempotent.
+- **Retention expiry = partition drop.** Expiring a tier below a horizon
+  deletes whole p_date partition directories (the Iceberg analogue is a
+  metadata-only partition drop), recorded in the manifest.
+
+The source table is any :class:`~tablecloth_time_spark.plans.snapshots.
+SnapshotTable` (the Iceberg stand-in); swap in a real Iceberg table by
+implementing the same three-method interface over
+``option("start-snapshot-id", ...)`` reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.operators.compress import compress_series
+from tablecloth_time_spark.operators.rollup import (
+    finalize_partials,
+    merge_partials,
+    partial_rollup,
+)
+from tablecloth_time_spark.plans.snapshots import SnapshotTable
+
+P_DATE = "p_date"
+BUCKET = "bucket"
+
+
+@dataclass(frozen=True)
+class TierSpec:
+    name: str
+    interval: int
+    unit: str
+    retention_days: int | None = None  # None = keep forever
+
+
+DEFAULT_TIERS = (
+    TierSpec("second", 1, "second", retention_days=7),
+    TierSpec("minute", 1, "minute", retention_days=90),
+    TierSpec("hour", 1, "hour", retention_days=365),
+    TierSpec("day", 1, "day", retention_days=None),
+)
+
+
+@dataclass
+class CompressSpec:
+    """Recompress one tier's dirty partitions into binary blocks."""
+
+    tier: str
+    value_cols: dict[str, str] = field(default_factory=dict)  # col -> codec
+
+
+class ContinuousAggregate:
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: SnapshotTable,
+        root: str,
+        keys: list[str],
+        ts_col: str,
+        aggs: dict[str, tuple[str, str]],
+        tiers: tuple[TierSpec, ...] = DEFAULT_TIERS,
+        order_cols: list[str] | None = None,
+        compress: CompressSpec | None = None,
+    ):
+        self.spark = spark
+        self.source = source
+        self.root = root
+        self.keys = keys
+        self.ts_col = ts_col
+        self.aggs = aggs
+        self.tiers = tuple(sorted(tiers, key=lambda t: _width_ms(t)))
+        self.order_cols = order_cols or [ts_col]
+        self.compress = compress
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest -----------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"last_snapshot": None, "runs": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+
+    # -- state paths --------------------------------------------------------
+
+    def _tier_path(self, tier: str) -> str:
+        return os.path.join(self.root, "tiers", tier)
+
+    def _blocks_path(self, tier: str) -> str:
+        return os.path.join(self.root, "blocks", tier)
+
+    def _tier_exists(self, tier: str) -> bool:
+        p = self._tier_path(tier)
+        return os.path.exists(p) and any(
+            e.startswith(f"{P_DATE}=") for e in os.listdir(p)
+        )
+
+    def _read_state(self, tier: str) -> DataFrame:
+        return self.spark.read.parquet(self._tier_path(tier))
+
+    # -- refresh ------------------------------------------------------------
+
+    def refresh(self, fail_after_tier: str | None = None) -> dict:
+        """Fold all unprocessed source snapshots into every tier.
+
+        Returns the run record. ``fail_after_tier`` injects a crash after
+        that tier's commit (resume tests only).
+        """
+        m = self.manifest()
+        last = m["last_snapshot"]
+        current = self.source.current_snapshot_id()
+        if current is None or current == last:
+            return {"run_id": None, "status": "noop", "tiers": {}}
+        run_id = f"{last}-{current}"
+
+        # resume: reuse the incomplete run record for this same range
+        run = next(
+            (r for r in m["runs"] if r["run_id"] == run_id and r["status"] != "completed"),
+            None,
+        )
+        if run is None:
+            run = {
+                "run_id": run_id,
+                "from_snapshot": last,
+                "to_snapshot": current,
+                "status": "running",
+                "tiers": {},
+                "compression": None,
+            }
+            m["runs"].append(run)
+            self._commit_manifest(m)
+
+        inc = self.source.read_incremental(last, current)
+        if inc is None:
+            run["status"] = "completed"
+            m["last_snapshot"] = current
+            self._commit_manifest(m)
+            return run
+        finest = self.tiers[0]
+        finest_partial = partial_rollup(
+            inc, self.keys, self.ts_col, finest.interval, finest.unit,
+            self.aggs, self.order_cols,
+        ).cache()
+        rows_in = inc.count()
+
+        for tier in self.tiers:
+            if run["tiers"].get(tier.name, {}).get("status") == "completed":
+                continue  # resume: this tier's merge already landed
+            info = self._refresh_tier(tier, finest_partial)
+            info["status"] = "completed"
+            run["tiers"][tier.name] = info
+            self._commit_manifest(m)
+            if fail_after_tier == tier.name:
+                finest_partial.unpersist()
+                raise RuntimeError(f"injected failure after tier {tier.name}")
+
+        if self.compress is not None and run.get("compression") is None:
+            run["compression"] = self._refresh_blocks(run)
+            self._commit_manifest(m)
+
+        finest_partial.unpersist()
+        run["status"] = "completed"
+        run["rows_in"] = rows_in
+        m["last_snapshot"] = current
+        self._commit_manifest(m)
+        return run
+
+    def _refresh_tier(self, tier: TierSpec, finest_partial: DataFrame) -> dict:
+        new_partial = merge_partials(
+            finest_partial, self.keys, self.aggs,
+            rebucket=(tier.interval, tier.unit),
+        ).withColumn(P_DATE, F.date_format(BUCKET, "yyyy-MM-dd"))
+
+        dirty = [r[0] for r in new_partial.select(P_DATE).distinct().collect()]
+        path = self._tier_path(tier.name)
+        if self._tier_exists(tier.name):
+            old = self._read_state(tier.name).filter(F.col(P_DATE).isin(dirty))
+            merged = merge_partials(
+                old.drop(P_DATE).unionByName(new_partial.drop(P_DATE)),
+                self.keys,
+                self.aggs,
+            ).withColumn(P_DATE, F.date_format(BUCKET, "yyyy-MM-dd"))
+            # the merge reads the same path it overwrites; localCheckpoint
+            # materializes the (dirty-partition-sized) result and truncates
+            # the file-source lineage so the dynamic overwrite is legal
+            merged = merged.localCheckpoint(eager=True)
+        else:
+            merged = new_partial
+
+        # per-partition lineage before the write (small: one row per day)
+        part_counts = {
+            r[0]: r[1]
+            for r in merged.groupBy(P_DATE).count().collect()
+        }
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(P_DATE)
+            .parquet(path)
+        )
+        return {
+            "dirty_partitions": sorted(dirty),
+            "partition_rows": part_counts,
+            "rows_out": int(sum(part_counts.values())),
+        }
+
+    def _refresh_blocks(self, run: dict) -> dict:
+        """Recompress the compress-tier's dirty partitions into blocks."""
+        spec = self.compress
+        tier_info = run["tiers"][spec.tier]
+        dirty = tier_info["dirty_partitions"]
+        state = self._read_state(spec.tier).filter(F.col(P_DATE).isin(dirty))
+        final = finalize_partials(state, self.keys, self.aggs)
+        blocks = compress_series(
+            final,
+            ts_col=BUCKET,
+            value_cols=spec.value_cols,
+            key_col=self.keys[0],
+            block_unit="day",
+        ).withColumn(P_DATE, F.date_format("block_start", "yyyy-MM-dd"))
+        stats = blocks.agg(
+            F.sum("raw_bytes").alias("raw"),
+            F.sum("enc_bytes").alias("enc"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        ).collect()[0]
+        (
+            blocks.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(P_DATE)
+            .parquet(self._blocks_path(spec.tier))
+        )
+        raw, enc = int(stats["raw"] or 0), int(stats["enc"] or 0)
+        return {
+            "tier": spec.tier,
+            "dirty_partitions": dirty,
+            "n_blocks": int(stats["n_blocks"]),
+            "raw_bytes": raw,
+            "enc_bytes": enc,
+            "compression_ratio": round(raw / enc, 3) if enc else None,
+        }
+
+    # -- reads --------------------------------------------------------------
+
+    def read_tier(self, tier: str) -> DataFrame:
+        return finalize_partials(self._read_state(tier), self.keys, self.aggs)
+
+    def read_blocks(self, tier: str) -> DataFrame:
+        return self.spark.read.parquet(self._blocks_path(tier))
+
+    # -- retention ----------------------------------------------------------
+
+    def expire(self, as_of: str) -> dict:
+        """Drop tier partitions older than each tier's retention horizon.
+
+        ``as_of`` is an ISO date; a tier with retention_days=R keeps
+        p_date >= as_of - R days. Partition-directory removal is the
+        parquet analogue of Iceberg's metadata-only partition drop —
+        no data rewrite, O(expired partitions) filesystem ops.
+        """
+        import datetime as dt
+
+        as_of_d = dt.date.fromisoformat(as_of)
+        expired: dict[str, list[str]] = {}
+        for tier in self.tiers:
+            if tier.retention_days is None or not self._tier_exists(tier.name):
+                continue
+            horizon = (as_of_d - dt.timedelta(days=tier.retention_days)).isoformat()
+            path = self._tier_path(tier.name)
+            dropped = []
+            for entry in sorted(os.listdir(path)):
+                if not entry.startswith(f"{P_DATE}="):
+                    continue
+                if entry.split("=", 1)[1] < horizon:
+                    shutil.rmtree(os.path.join(path, entry))
+                    dropped.append(entry.split("=", 1)[1])
+            if dropped:
+                expired[tier.name] = dropped
+        m = self.manifest()
+        m["runs"].append(
+            {"run_id": f"expire-{as_of}", "status": "completed", "expired": expired}
+        )
+        self._commit_manifest(m)
+        return expired
+
+
+def _width_ms(t: TierSpec) -> int:
+    from tablecloth_time_spark.operators.rollup import _bucket_width_ms
+
+    return _bucket_width_ms(t.interval, t.unit)

@@ -1,0 +1,189 @@
+"""Continuous aggregates: incremental == full recompute, resume, retention.
+
+SURVEY.md §5.2 items 2 and 5: differential equality against a wholesale
+rollup of the same data, and crash/resume idempotence from the checkpoint
+manifest.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.operators.rollup import rollup
+from tablecloth_time_spark.plans.continuous import (
+    CompressSpec,
+    ContinuousAggregate,
+    TierSpec,
+)
+from tablecloth_time_spark.plans.snapshots import SnapshotTable
+from tablecloth_time_spark.sources.transcripts import (
+    TRANSCRIPTS_SCHEMA,
+    generate_transcripts_pandas,
+)
+
+AGGS = {
+    "n_turns": ("count", "turn_idx"),
+    "sum_chars": ("sum", "text_len"),
+    "min_turn": ("min", "turn_idx"),
+    "max_turn": ("max", "turn_idx"),
+    "first_role": ("first", "role"),
+    "avg_chars": ("avg", "text_len"),
+}
+
+TIERS = (
+    TierSpec("minute", 1, "minute", retention_days=30),
+    TierSpec("hour", 1, "hour", retention_days=None),
+    TierSpec("day", 1, "day", retention_days=None),
+)
+
+
+def _with_len(df):
+    return df.withColumn("text_len", F.length("text").cast("long"))
+
+
+@pytest.fixture()
+def batches(spark):
+    """Two disjoint deterministic transcript batches (new convs + new turns)."""
+    b1 = generate_transcripts_pandas(n_conv=60, seed=42)
+    b2 = generate_transcripts_pandas(n_conv=90, seed=43)
+    # make batch 2 extend batch-1 conversations too (late-arriving turns)
+    df1 = spark.createDataFrame(b1, schema=TRANSCRIPTS_SCHEMA)
+    df2 = spark.createDataFrame(b2, schema=TRANSCRIPTS_SCHEMA)
+    return _with_len(df1), _with_len(df2)
+
+
+def _expected_tier(full_df, interval, unit):
+    return rollup(
+        full_df, ["conv_id"], "ts", interval, unit, AGGS,
+        order_cols=["ts", "turn_idx"],
+    )
+
+
+def _assert_tier_equal(actual_df, expected_df):
+    a = (
+        actual_df.toPandas()
+        .sort_values(["conv_id", "bucket"], kind="stable")
+        .reset_index(drop=True)
+    )
+    e = (
+        expected_df.toPandas()
+        .sort_values(["conv_id", "bucket"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], e[sorted(e.columns)], check_dtype=False
+    )
+
+
+def _make_ca(spark, src_root, agg_root, compress=None):
+    src = SnapshotTable(spark, src_root)
+    ca = ContinuousAggregate(
+        spark, src, agg_root,
+        keys=["conv_id"], ts_col="ts", aggs=AGGS, tiers=TIERS,
+        order_cols=["ts", "turn_idx"], compress=compress,
+    )
+    return src, ca
+
+
+def test_incremental_matches_full_recompute(spark, tmp_path, batches):
+    df1, df2 = batches
+    src, ca = _make_ca(spark, str(tmp_path / "src"), str(tmp_path / "agg"))
+
+    src.append(df1)
+    run1 = ca.refresh()
+    assert run1["status"] == "completed"
+    for t in TIERS:
+        _assert_tier_equal(ca.read_tier(t.name), _expected_tier(df1, t.interval, t.unit))
+
+    # second snapshot: new conversations AND new turns in overlapping buckets
+    src.append(df2)
+    run2 = ca.refresh()
+    full = df1.unionByName(df2)
+    for t in TIERS:
+        _assert_tier_equal(ca.read_tier(t.name), _expected_tier(full, t.interval, t.unit))
+
+    # lineage recorded
+    m = ca.manifest()
+    assert m["last_snapshot"] == 2
+    assert run2["tiers"]["minute"]["rows_out"] > 0
+    assert run2["tiers"]["minute"]["partition_rows"]
+
+
+def test_refresh_noop_without_new_snapshot(spark, tmp_path, batches):
+    df1, _ = batches
+    src, ca = _make_ca(spark, str(tmp_path / "src"), str(tmp_path / "agg"))
+    src.append(df1)
+    ca.refresh()
+    assert ca.refresh()["status"] == "noop"
+
+
+def test_crash_resume_is_exact(spark, tmp_path, batches):
+    df1, df2 = batches
+    src, ca = _make_ca(spark, str(tmp_path / "src"), str(tmp_path / "agg"))
+    src.append(df1)
+    ca.refresh()
+
+    src.append(df2)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ca.refresh(fail_after_tier="hour")  # minute + hour landed, day did not
+
+    m = ca.manifest()
+    assert m["last_snapshot"] == 1  # run not committed
+    incomplete = [r for r in m["runs"] if r["status"] != "completed"]
+    assert incomplete and incomplete[0]["tiers"]["hour"]["status"] == "completed"
+    assert "day" not in incomplete[0]["tiers"]
+
+    # resume: completes day tier WITHOUT re-merging minute/hour (no double count)
+    run = ca.refresh()
+    assert run["status"] == "completed"
+    full = df1.unionByName(df2)
+    for t in TIERS:
+        _assert_tier_equal(ca.read_tier(t.name), _expected_tier(full, t.interval, t.unit))
+
+
+def test_retention_expiry(spark, tmp_path, batches):
+    df1, _ = batches
+    src, ca = _make_ca(spark, str(tmp_path / "src"), str(tmp_path / "agg"))
+    src.append(df1)
+    ca.refresh()
+
+    max_date = df1.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    as_of = str(max_date)
+    expired = ca.expire(as_of)
+    # minute tier retains 30 days; generator spans ~30+ days so the earliest
+    # partitions can expire; hour/day tiers must be untouched
+    assert "hour" not in expired and "day" not in expired
+    minute = ca.read_tier("minute")
+    import datetime as dt
+
+    horizon = max_date - dt.timedelta(days=30)
+    assert minute.filter(F.to_date("bucket") < str(horizon)).count() == 0
+    assert minute.count() > 0
+
+
+def test_compression_stage_in_refresh(spark, tmp_path, batches):
+    df1, _ = batches
+    src, ca = _make_ca(
+        spark, str(tmp_path / "src"), str(tmp_path / "agg"),
+        compress=CompressSpec(tier="minute", value_cols={"n_turns": "int", "sum_chars": "int"}),
+    )
+    src.append(df1)
+    run = ca.refresh()
+    comp = run["compression"]
+    assert comp["n_blocks"] > 0 and comp["compression_ratio"] is not None
+
+    from tablecloth_time_spark.operators.compress import decompress_blocks
+
+    restored = decompress_blocks(
+        ca.read_blocks("minute"), {"n_turns": "int", "sum_chars": "int"}
+    )
+    expected = ca.read_tier("minute").selectExpr(
+        "conv_id", "bucket as ts", "n_turns", "sum_chars"
+    )
+    a = restored.toPandas().sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    e = expected.toPandas().sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], e[sorted(e.columns)], check_dtype=False
+    )
