@@ -396,6 +396,295 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+from tablecloth_time_spark.functions.text import STOPWORDS as _STOPWORDS
+
+_STOPWORD_SQL = "['" + "','".join(_STOPWORDS) + "']"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tablecloth_time_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws("text").alias("ws_tokens"),
+        TX.token_count_bpe("text").alias("bpe_tokens"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(TX.mean_word_len("text"), 6).alias("mean_word_len"),
+        F.round(TX.quality_score("text"), 6).alias("quality"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+), tok AS (
+  SELECT doc_id, text, norm,
+         CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks
+  FROM t
+), stats AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+         len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+            / greatest(length(text), 1) AS punct_r,
+         len(regexp_extract_all(text, '[0-9]')) * 1.0
+            / greatest(length(text), 1) AS digit_r,
+         len(list_filter(toks, x -> list_contains({_STOPWORD_SQL}, x))) * 1.0
+            / greatest(len(toks), 1) AS sw_r,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0
+            / greatest(len(toks), 1) AS mwl,
+         length(text) AS n_chars
+  FROM tok
+)
+SELECT doc_id,
+       CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+       ROUND(punct_r, 6) AS punct_ratio,
+       ROUND(sw_r, 6) AS stopword_ratio,
+       ROUND(COALESCE(mwl, 0), 6) AS mean_word_len,
+       ROUND(
+         0.25 * least(n_chars / 200.0, 1.0)
+         + 0.25 * least(sw_r / 0.3, 1.0)
+         + 0.2 * (CASE WHEN COALESCE(mwl, 0) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.3 END)
+         + 0.3 * greatest(1.0 - (punct_r + digit_r) * 2, 0.0)
+       , 6) AS quality
+FROM stats
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tablecloth_time_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+def _lang_sql() -> str:
+    from tablecloth_time_spark.functions.text import LANG_MARKERS
+
+    hits = ",\n         ".join(
+        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b')) AS h_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"h_{la}" for la in langs) + ")"
+    cases = " ".join(f"WHEN h_{la} = best THEN '{la}'" for la in langs)
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         {hits}
+  FROM documents
+), b AS (
+  SELECT doc_id, h_en, h_de, h_fr, h_es, {best} AS best FROM h
+)
+SELECT doc_id, CASE WHEN best = 0 THEN 'und' {cases} END AS lang_pred
+FROM b
+"""
+
+
+SQL_LANG_ID = _lang_sql()
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tablecloth_time_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram Jaccard near-dup pairs, blocked by source, verified
+    exactly; threshold keeps ~top-1% of in-block pairs."""
+    from tablecloth_time_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 250")
+    g = docs.select(
+        F.col("source").alias("blk"),
+        F.col("doc_id"),
+        TX.char_ngrams("text", 3).alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.blk") == F.col("b.blk"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        ],
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(
+            TX.jaccard(F.col("a.grams"), F.col("b.grams")), 6
+        ).alias("jaccard_sim"),
+    )
+    return pairs.filter(F.col("jaccard_sim") >= 0.62)
+
+
+SQL_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id, source,
+         list_distinct([substring(text, i, 3) for i in range(1, length(text)-1)]) AS g
+  FROM documents WHERE doc_id < 250
+),
+p AS (
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.g, b.g)) * 1.0
+             / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard_sim
+FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+SELECT * FROM p WHERE jaccard_sim >= 0.62
+"""
+
+
+def _cosine_expr(a, b):
+    from tablecloth_time_spark.operators.similarity import cosine
+
+    return cosine(a, b)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter("vec_id < 300")
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, on=[F.col("a.vec_id") < F.col("b.vec_id")])
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                _cosine_expr(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.30)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings WHERE vec_id < 300),
+p AS (
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_inner_product(a.embedding, b.embedding)
+             / (sqrt(list_inner_product(a.embedding, a.embedding))
+                * sqrt(list_inner_product(b.embedding, b.embedding))), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT * FROM p WHERE cosine_sim >= 0.30
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 probe vectors; rank on the rounded
+    similarity so the window order is engine-independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.crossJoin(F.broadcast(queries_df)).select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine_expr(F.col("qv"), F.col("embedding")), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH ed AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM ed WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_inner_product(q.qv, e.embedding)
+               / (sqrt(list_inner_product(q.qv, q.qv))
+                  * sqrt(list_inner_product(e.embedding, e.embedding))), 6) AS cosine_sim
+  FROM ed e CROSS JOIN q
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS INT) AS rank
+FROM s
+QUALIFY rank <= 10
+"""
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (exact-Jaccard verified). Hash-dependent
+    candidate set -> no SQL oracle; driver records a rows-only check, and
+    tests/test_training_ops.py pins semantics against a python oracle."""
+    from tablecloth_time_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, threshold=0.35, n_hashes=64, bands=16, shingle_words=2
+    ).select(
+        "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim")
+    )
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (no SQL oracle; see tests)."""
+    from tablecloth_time_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=6, shingle_words=2)
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (no SQL oracle: approximate by
+    design; recall floor pinned in tests/test_training_ops.py)."""
+    from tablecloth_time_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_ann_topk(emb, queries_df, dim=64, k=10, n_planes=10, n_tables=4)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing smoke: deterministic fake decode over synthetic
+    media (payload decode stubbed; Spark-side schema/batching real)."""
+    from tablecloth_time_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=64)
+    feats = extract_features(media, feature_dim=16)
+    return feats.select(
+        "media_id",
+        "payload_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "slice_events": q_slice_events,
@@ -411,6 +700,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_1h": q_rolling_1h,
         "temporal_arithmetic": q_temporal_arithmetic,
         "datetime_stats": q_datetime_stats,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_topk": q_embedding_topk,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "media_features": q_media_features,
     }
 
 
@@ -429,4 +728,13 @@ def oracle_sql() -> dict[str, str]:
         "rolling_1h": SQL_ROLLING_1H,
         "temporal_arithmetic": SQL_TEMPORAL_ARITHMETIC,
         "datetime_stats": SQL_DATETIME_STATS,
+        "text_stats": SQL_TEXT_STATS,
+        "lang_id": SQL_LANG_ID,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+        # minhash_dedup / simhash_dedup / lsh_ann_topk / media_features:
+        # hash-seeded or approximate by design -> rows-only driver check;
+        # exact semantics pinned in tests/test_training_ops.py
     }

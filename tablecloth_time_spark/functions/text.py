@@ -1,0 +1,221 @@
+"""Text-analysis expression library for training-data pipelines.
+
+Everything here is a pure Catalyst column expression (whole-stage codegen,
+no Python in the hot path): normalization, tokenization/counting, shingling,
+quality scoring, language ID, fingerprints, and a SimHash built entirely
+from higher-order array functions.
+
+These are the text primitives under operators/dedup.py and the
+documents-table queries in __spark_entry__.py. The reference has no text
+surface (it is a time kernel); this module is part of the engine's
+training-data extension mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: letter runs, single digits, single punctuation —
+# the shape GPT-2-style pre-tokenizers produce, minus byte-level merges
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+STOPWORDS = (
+    "the a an of to and in is are for on with as at by it this that from "
+    "be or was were"
+).split()
+
+# tiny per-language marker lexicons for the n-gram/marker language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in"],
+    "de": ["der", "und", "die", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "de", "la", "los", "es", "una"],
+}
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(c: str | Column) -> Column:
+    """Lowercase, trim, collapse whitespace — the canonical dedup key."""
+    return F.regexp_replace(F.lower(F.trim(_col(c))), r"\s+", " ")
+
+
+def tokens_ws(c: str | Column) -> Column:
+    """Whitespace tokens (empty input -> empty array, not [''])."""
+    t = F.trim(_col(c))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count_ws(c: str | Column) -> Column:
+    return F.size(tokens_ws(c)).cast("long")
+
+
+def token_count_bpe(c: str | Column) -> Column:
+    """Count of BPE-ish pre-tokens via a single vectorized regexp scan."""
+    return F.regexp_count(_col(c), F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
+def char_ngrams(c: str | Column, n: int = 3, distinct: bool = True) -> Column:
+    """Character n-gram array via sequence+transform (no UDF)."""
+    s = _col(c)
+    # sequence(1, x) DESCENDS when x < 1, so short inputs need an explicit
+    # empty-array branch
+    grams = F.when(
+        F.length(s) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - (n - 1)),
+            lambda i: F.substring(s, i, n),
+        )
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
+def word_shingles(c: str | Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles of the normalized text."""
+    toks = tokens_ws(normalize_text(c))
+    sh = F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return F.array_distinct(sh) if distinct else sh
+
+
+def punct_ratio(c: str | Column) -> Column:
+    s = _col(c)
+    return F.regexp_count(s, F.lit(r"[^\w\s]")) / F.greatest(
+        F.length(s), F.lit(1)
+    )
+
+
+def digit_ratio(c: str | Column) -> Column:
+    s = _col(c)
+    return F.regexp_count(s, F.lit(r"[0-9]")) / F.greatest(F.length(s), F.lit(1))
+
+
+def stopword_ratio(c: str | Column) -> Column:
+    toks = tokens_ws(normalize_text(c))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_len(c: str | Column) -> Column:
+    toks = tokens_ws(normalize_text(c))
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(c: str | Column) -> Column:
+    """Composite document-quality heuristic in [0, 1].
+
+    Rewards natural-language shape: some stopwords, moderate word length,
+    low punctuation/digit noise, non-trivial length. Weights are fixed and
+    documented so the DuckDB oracle reproduces them exactly.
+    """
+    s = _col(c)
+    length_ok = F.least(F.length(s) / F.lit(200.0), F.lit(1.0))
+    sw = stopword_ratio(s)
+    sw_ok = F.least(sw / F.lit(0.3), F.lit(1.0))
+    mwl = mean_word_len(s)
+    mwl_ok = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.3))
+    noise = punct_ratio(s) + digit_ratio(s)
+    noise_ok = F.greatest(F.lit(1.0) - noise * 2, F.lit(0.0))
+    return (
+        0.25 * length_ok + 0.25 * sw_ok + 0.2 * mwl_ok + 0.3 * noise_ok
+    ).alias("quality_score")
+
+
+def lang_marker_hits(c: str | Column, lang: str) -> Column:
+    """Count of language marker-word occurrences (word-boundary regex)."""
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.regexp_count(F.lower(_col(c)), F.lit(pat))
+
+
+def lang_id(c: str | Column) -> Column:
+    """Argmax of marker-hit counts; 'und' (undetermined) when all zero.
+
+    Ties break by the fixed language order en > de > fr > es so the result
+    is deterministic and reproducible in the SQL oracle.
+    """
+    s = _col(c)
+    hits = {lang: lang_marker_hits(s, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    out = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # insertion order = tie-break order
+        out = out.when(hits[lang] == best, F.lit(lang))
+    return out
+
+
+def fingerprint_md5(c: str | Column) -> Column:
+    """Portable content fingerprint: md5 of normalized text (matches the
+    SQL oracle bit-for-bit)."""
+    return F.md5(normalize_text(c))
+
+
+def fingerprint_xxhash(c: str | Column) -> Column:
+    """Engine-internal 64-bit fingerprint (faster; JVM codegen)."""
+    return F.xxhash64(normalize_text(c))
+
+
+def simhash64(c: str | Column, shingle_words: int = 2) -> Column:
+    """64-bit SimHash of word shingles — pure higher-order array exprs.
+
+    Per shingle: xxhash64 -> 64 sign contributions (+1 if bit set else -1);
+    sum per bit position across shingles; final bit i = (sum_i >= 0).
+    Near-duplicate docs differ in few bit positions (small hamming
+    distance), which operators/dedup.simhash_dedup exploits with banded
+    blocking.
+    """
+    sh = word_shingles(c, n=shingle_words)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+
+    def bit_signs(h: Column) -> Column:
+        # +1/-1 per bit position, unrolled in Python (shift amounts must be
+        # plan-time ints for shiftright)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) == 1, 1
+                ).otherwise(-1)
+                for i in range(64)
+            ]
+        )
+
+    sums = F.aggregate(
+        hashes, zeros, lambda acc, h: F.zip_with(acc, bit_signs(h), lambda a, b: a + b)
+    )
+    # bit weights as int64 two's complement (bit 63 is the sign bit)
+    weights = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            weights,
+            lambda s, w: F.when(s >= 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two DISTINCT-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)

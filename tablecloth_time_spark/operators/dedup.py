@@ -1,0 +1,282 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five strategies, each a `DataFrame -> DataFrame` with a scale-first shape:
+
+- exact: hash-groupBy on the normalized-text fingerprint. One shuffle on a
+  short key; the text column itself never shuffles.
+- MinHash + LSH: shingle -> k minhashes (one xxhash64 per shingle + k
+  affine rehashes, all array exprs) -> band buckets -> self-join within
+  bucket -> exact-Jaccard verify. The self-join key is (band_id, band_hash)
+  so candidate pairs are generated per-bucket, never all-pairs; verify cost
+  is proportional to candidates, not n^2.
+- SimHash: 64-bit signature -> 4x16-bit band blocking -> hamming<=t verify
+  via bit_count(xor).
+- n-gram Jaccard: blocked self-join + exact set Jaccard (the verify kernel
+  alone, for when an upstream blocking key already exists).
+- embedding cosine near-dup: random-hyperplane LSH buckets -> in-bucket
+  cosine (see operators/similarity.py) or brute-force within a blocking
+  key for oracle-checkable small scopes.
+
+All pair outputs are canonical: (id_a < id_b), one row per pair, sorted
+columns — dedup 'clusters' derive from pairs via the min-id representative
+(connected components are deliberately out of scope; at 100 TB you run
+label propagation over the pair table, which composes from these outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.functions.text import (
+    char_ngrams,
+    fingerprint_md5,
+    jaccard,
+    normalize_text,
+    simhash64,
+    word_shingles,
+)
+
+# Mersenne prime 2^31-1 for affine minhash rehashing: keeps a*h + b within
+# int64 under ANSI overflow checking (a, h < 2^31 -> product < 2^62)
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct normalized text: representative id + count.
+
+    groupBy on the md5 fingerprint — the wide text column is dropped before
+    the shuffle, so shuffle bytes are O(n * 32B) regardless of doc size.
+    """
+    return (
+        df.select(
+            fingerprint_md5(text_col).alias("fingerprint"),
+            F.col(id_col).alias("__id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("__id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup_keep_first(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Filter df down to the representative row per duplicate group."""
+    keep = exact_dedup(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    # keep-set is O(distinct docs) — same order as df, so this is a real
+    # shuffle join (leftsemi keeps it shuffle-one-side + no duplicate cols)
+    return df.join(keep, on=id_col, how="leftsemi")
+
+
+def minhash_signature(
+    text_col: str | Column,
+    n_hashes: int = 64,
+    shingle_words: int = 3,
+    seed: int = 42,
+) -> Column:
+    """Array of n_hashes minhash values as a column expression.
+
+    One xxhash64 per shingle, then k affine rehashes (a_i*h + b_i mod M) —
+    k array-min scans over in-memory arrays, no extra hashing of text.
+    Coefficients are deterministic in `seed`.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(n_hashes)
+    ]
+    sh = word_shingles(text_col, n=shingle_words)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    sig = [
+        F.coalesce(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: F.pmod(
+                        F.pmod(F.lit(a) * h, F.lit(_MERSENNE)) + F.lit(b),
+                        F.lit(_MERSENNE),
+                    ),
+                )
+            ),
+            F.lit(-1).cast("long"),  # empty doc sentinel
+        )
+        for a, b in coeffs
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs with exact-Jaccard verification.
+
+    LSH recall knob: rows-per-band r = n_hashes/bands; candidate-capture
+    probability for similarity s is 1-(1-s^r)^bands.
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b, jaccard_sim from
+    the EXACT shingle sets (false positives filtered; output is exact
+    given the candidate set).
+    """
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, n=shingle_words).alias("__shingles"),
+        minhash_signature(text_col, n_hashes, shingle_words, seed).alias("__sig"),
+    )
+
+    banded = sig.select(
+        "__id",
+        "__shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("__sig", b * r + 1, r))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("__id", "__shingles", "band.band_id", "band.band_hash")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__shingles").alias("sh_a"),
+            F.col("b.__shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    shingle_words: int = 2,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded blocking + exact hamming verify.
+
+    With 4 bands of 16 bits, any pair within hamming distance 3 shares at
+    least one exact band (pigeonhole); larger max_hamming trades recall.
+    """
+    bits_per = 64 // bands
+    sigs = df.select(
+        F.col(id_col).alias("__id"), simhash64(text_col, shingle_words).alias("__sim")
+    )
+    banded = sigs.select(
+        "__id",
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("__sim", b * bits_per)
+                        .bitwiseAND(F.lit((1 << bits_per) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("__id", "__sim", "band.band_id", "band.band_val")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sim").alias("sim_a"),
+            F.col("b.__sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact char-n-gram Jaccard pairs within a blocking key.
+
+    The verify kernel: all-pairs INSIDE each block only. Use when a cheap
+    partitioning (domain, length band, LSH bucket) already bounds block
+    size; cost is sum of block_size^2, never global n^2.
+    """
+    g = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("__id"),
+        char_ngrams(normalize_text(text_col), n).alias("__grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.__blk") == F.col("b.__blk"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            jaccard(F.col("a.__grams"), F.col("b.__grams")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )

@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a training-data pipeline needs both:
+
+- **Brute-force cosine top-k** — the exact baseline. Query set broadcast
+  against the corpus (a map-side nested loop: corpus never shuffles),
+  cosine as zip_with/aggregate codegen exprs, per-query top-k via window.
+  Exact, O(|Q| * n); right whenever |Q| is small — which is the common
+  "find neighbors of these 1k probes in 10^10 docs" shape.
+- **Random-hyperplane LSH ANN** — the scale path for all-pairs-ish loads:
+  sign-pattern bucket per vector (planes fixed by seed, shipped as
+  literal arrays into codegen), candidates = same-bucket rows (optionally
+  multi-probe across several independent tables), exact cosine re-rank
+  within buckets. Bucket join shuffles on a 32-bit key, never on vectors.
+
+Cosine is computed in double precision with an explicit left-to-right
+zip_with/aggregate sum so results are deterministic for a given plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query row; queries are broadcast.
+
+    Ties order deterministically by (cosine desc, corpus id asc).
+    """
+    joined = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(query_vec_col), F.col(vec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def rp_lsh_bucket(
+    vec_col: str | Column, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Random-hyperplane sign bucket (int) as a pure expression.
+
+    Bit i = sign(v . plane_i). Cosine-similar vectors collide with
+    probability (1 - theta/pi)^n_planes (SimHash bound for angles).
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = _planes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(dot(v, plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: multi-table LSH candidates + exact re-rank.
+
+    ``n_tables`` independent hash tables (different seeds) are unioned per
+    row via explode, so one shuffle covers all tables; recall rises as
+    1-(1-p)^n_tables. Candidates dedupe before the cosine re-rank.
+    """
+    def with_buckets(df: DataFrame, vcol: str, idc: str, keep: list[str]) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    rp_lsh_bucket(vcol, dim, n_planes, seed + 1000 * t).alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            *keep, F.explode(tables).alias("tb")
+        ).select(*keep, "tb.table_id", "tb.bucket")
+
+    c = with_buckets(corpus, vec_col, id_col, [id_col, vec_col])
+    q = with_buckets(queries, query_vec_col, query_id_col, [query_id_col, query_vec_col])
+
+    cand = (
+        c.join(F.broadcast(q), on=["table_id", "bucket"])
+        .select(query_id_col, id_col, query_vec_col, vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        cosine(F.col(query_vec_col), F.col(vec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    n_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via LSH blocking + exact verify.
+
+    Returns (id_a < id_b, cosine_sim >= threshold). Bucket sizes bound the
+    quadratic term; at corpus scale tune n_planes up for smaller buckets.
+    """
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                rp_lsh_bucket(vec_col, dim, n_planes, seed + 1000 * t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    b = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
+        F.explode(tables).alias("tb"),
+    ).select("__id", "__vec", "tb.table_id", "tb.bucket")
+    x, y = b.alias("a"), b.alias("b")
+    cand = (
+        x.join(
+            y,
+            on=[
+                F.col("a.table_id") == F.col("b.table_id"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__vec").alias("va"),
+            F.col("b.__vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)

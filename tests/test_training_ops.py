@@ -1,0 +1,275 @@
+"""Training-data pipeline ops: text analysis, dedup family, similarity,
+multimodal plumbing — verified against pure-Python/numpy oracles."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.functions import text as TX
+from tablecloth_time_spark.operators import dedup as DD
+from tablecloth_time_spark.operators import multimodal as MM
+from tablecloth_time_spark.operators import similarity as SIM
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog near the river bank."),
+    (1, "The quick brown fox jumps over the lazy dog near the river bend."),  # near-dup of 0
+    (2, "Der Hund und die Katze sind nicht im Haus, das ist klar."),
+    (3, "Le chat et le chien sont dans la maison et les jardins."),
+    (4, "El perro y el gato de la casa es una maravilla para los vecinos."),
+    (5, "completely different content about spark query engines and shuffles"),
+    (6, "The quick brown fox jumps over the lazy dog near the river bank."),  # exact dup of 0
+    (7, ""),
+    (8, "a b a b a b a b a b"),
+    (9, "numbers 123 and 456 plus punctuation!!! ??? ..."),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text"]),
+        schema="doc_id long, text string",
+    )
+    df.cache().count()
+    return df
+
+
+# ---------------------------------------------------------------------------
+# text expressions vs python oracle
+# ---------------------------------------------------------------------------
+
+
+def _py_norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s.strip().lower())
+
+
+def test_token_counts(spark, docs_df):
+    rows = docs_df.select(
+        "doc_id",
+        TX.token_count_ws("text").alias("ws"),
+        TX.token_count_bpe("text").alias("bpe"),
+    ).collect()
+    for r in rows:
+        s = dict(DOCS)[r["doc_id"]]
+        assert r["ws"] == len(s.split()), (r["doc_id"], s)
+        assert r["bpe"] == len(re.findall(TX.BPE_TOKEN_PATTERN, s))
+
+
+def test_char_ngrams_and_shingles(spark, docs_df):
+    r = docs_df.filter("doc_id = 8").select(
+        TX.char_ngrams("text", 3).alias("g"),
+        TX.word_shingles("text", 2).alias("w"),
+    ).collect()[0]
+    s = dict(DOCS)[8]
+    expected_g = sorted({s[i : i + 3] for i in range(len(s) - 2)})
+    assert sorted(r["g"]) == expected_g
+    toks = _py_norm(s).split()
+    expected_w = sorted({" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)})
+    assert sorted(r["w"]) == expected_w
+
+
+def test_quality_score_bounds_and_shape(spark, docs_df):
+    rows = docs_df.select("doc_id", TX.quality_score("text").alias("q")).collect()
+    q = {r["doc_id"]: r["q"] for r in rows}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    # natural sentence beats punctuation soup and empty text
+    assert q[0] > q[9]
+    assert q[0] > q[7]
+
+
+def test_lang_id(spark, docs_df):
+    rows = docs_df.select("doc_id", TX.lang_id("text").alias("lang")).collect()
+    lang = {r["doc_id"]: r["lang"] for r in rows}
+    assert lang[0] == "en"
+    assert lang[2] == "de"
+    assert lang[3] == "fr"
+    assert lang[4] == "es"
+    assert lang[7] == "und"
+
+
+def test_simhash_properties(spark, docs_df):
+    rows = docs_df.select("doc_id", TX.simhash64("text").alias("h")).collect()
+    h = {r["doc_id"]: r["h"] for r in rows}
+    assert h[0] == h[6]  # identical text -> identical signature
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(h[0], h[1]) < ham(h[0], h[5])  # near-dup closer than unrelated
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup(spark, docs_df):
+    groups = DD.exact_dedup(docs_df).collect()
+    by_keep = {r["keep_id"]: r["n_docs"] for r in groups}
+    assert by_keep[0] == 2  # docs 0 and 6
+    assert sum(by_keep.values()) == len(DOCS)
+    kept = DD.exact_dedup_keep_first(docs_df)
+    assert kept.count() == len(DOCS) - 1
+    assert kept.filter("doc_id = 6").count() == 0
+
+
+def _py_shingle_jaccard(a: str, b: str, n: int) -> float:
+    ta, tb = _py_norm(a).split(), _py_norm(b).split()
+    sa = {" ".join(ta[i : i + n]) for i in range(max(len(ta) - n + 1, 0))}
+    sb = {" ".join(tb[i : i + n]) for i in range(max(len(tb) - n + 1, 0))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_lsh_pairs(spark, docs_df):
+    pairs = DD.minhash_lsh_pairs(
+        docs_df, threshold=0.5, n_hashes=64, bands=16, shingle_words=3
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in pairs}
+    assert (0, 6) in found and found[(0, 6)] == 1.0  # exact dup
+    assert (0, 1) in found  # near dup
+    assert found[(0, 1)] == pytest.approx(_py_shingle_jaccard(DOCS[0][1], DOCS[1][1], 3))
+    assert (1, 6) in found
+    # unrelated docs never pass the exact-jaccard verify
+    assert all(a in (0, 1, 6) and b in (0, 1, 6) for (a, b) in found)
+
+
+def test_simhash_pairs(spark, docs_df):
+    pairs = DD.simhash_pairs(docs_df, max_hamming=10).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found[(0, 6)] == 0
+    assert (0, 1) in found
+    assert (0, 5) not in found
+
+
+def test_ngram_jaccard_pairs(spark, docs_df):
+    blocked = docs_df.withColumn("blk", F.lit(1))
+    pairs = DD.ngram_jaccard_pairs(blocked, "blk", threshold=0.6).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(0, 1), (0, 6), (1, 6)} <= found
+    assert (0, 5) not in found
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, 32)) * 3
+    rows = []
+    for i in range(200):
+        c = i % 5
+        v = centers[c] + rng.standard_normal(32) * 0.15
+        rows.append({"vec_id": i, "cluster": c, "embedding": v.astype(np.float32).tolist()})
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(
+        pdf, schema="vec_id long, cluster int, embedding array<float>"
+    )
+    df.cache().count()
+    return df, pdf
+
+
+def _np_topk(pdf, qvec, k):
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(cos)), key=lambda i: (-cos[i], pdf["vec_id"][i]))
+    return [pdf["vec_id"][i] for i in order[:k]], cos
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    df, pdf = vectors
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            [{"query_id": 0, "query_vec": pdf["embedding"][0]},
+             {"query_id": 7, "query_vec": pdf["embedding"][7]}]
+        ),
+        schema="query_id long, query_vec array<float>",
+    )
+    out = SIM.brute_force_topk(df, queries, k=10).collect()
+    for qid in (0, 7):
+        got = [r["vec_id"] for r in sorted(
+            (r for r in out if r["query_id"] == qid), key=lambda r: r["rank"]
+        )]
+        expected, _ = _np_topk(pdf, pdf["embedding"][qid], 10)
+        assert got == expected
+
+
+def test_lsh_ann_recall(spark, vectors):
+    df, pdf = vectors
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            [{"query_id": i, "query_vec": pdf["embedding"][i]} for i in range(10)]
+        ),
+        schema="query_id long, query_vec array<float>",
+    )
+    ann = SIM.lsh_ann_topk(df, queries, dim=32, k=10, n_planes=10, n_tables=6).collect()
+    recall_num = recall_den = 0
+    for qid in range(10):
+        expected, _ = _np_topk(pdf, pdf["embedding"][qid], 10)
+        got = {r["vec_id"] for r in ann if r["query_id"] == qid}
+        recall_num += len(got & set(expected))
+        recall_den += len(expected)
+    assert recall_num / recall_den >= 0.8  # clustered data, generous tables
+
+
+def test_cosine_near_dup_pairs(spark, vectors):
+    df, pdf = vectors
+    # plant an exact duplicate vector pair
+    dup = spark.createDataFrame(
+        pd.DataFrame(
+            [{"vec_id": 9000, "cluster": 0, "embedding": pdf["embedding"][0]}]
+        ),
+        schema="vec_id long, cluster int, embedding array<float>",
+    )
+    out = SIM.cosine_near_dup_pairs(
+        df.unionByName(dup), dim=32, threshold=0.999
+    ).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 9000 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_extract_features_deterministic(spark):
+    media = MM.synthetic_media(spark, n=24)
+    feats = MM.extract_features(media, feature_dim=16)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 24
+    codec = MM.fake_decode(16)
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, r in rows.items():
+        np.testing.assert_allclose(
+            np.array(r["feature"], dtype=np.float32), codec(src[mid]), rtol=1e-6
+        )
+        assert r["payload_bytes"] == len(src[mid])
+
+
+def test_real_codec_is_gated(spark):
+    media = MM.synthetic_media(spark, n=3)
+    out = MM.extract_features(media, codec=MM.real_image_decode)
+    with pytest.raises(Exception, match="NotImplementedError|Pillow|image decode"):
+        out.collect()
+
+
+def test_frame_sample_counts(spark):
+    media = MM.synthetic_media(spark, n=24).filter("duration_ms IS NOT NULL")
+    frames = MM.frame_sample(media, every_ms=1000)
+    got = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    for r in media.select("media_id", "duration_ms").collect():
+        expected = (r["duration_ms"] - 1) // 1000 + 1
+        assert got[r["media_id"]] == expected
+    one = frames.limit(1).collect()[0]
+    assert isinstance(bytes(one["frame"]), bytes) and len(bytes(one["frame"])) > 0
