@@ -412,3 +412,43 @@ def day_name(col: Column | str) -> Column:
 
 def month_name(col: Column | str) -> Column:
     return F.date_format(_c(col), "MMMM")
+
+
+# ---------------------------------------------------------------------------
+# time-zone re-interpretation — with-tz / force-tz (reference planned surface,
+# behavior from reference development-plan.md:260-272)
+# ---------------------------------------------------------------------------
+
+
+def with_tz(col: Column | str, tz: str) -> Column:
+    """Same instant, re-zoned clock: the wall-clock reading of this instant
+    in ``tz`` (UTC 12:00 with tz=Europe/Berlin -> 13:00/14:00 wall time)."""
+    return F.from_utc_timestamp(_c(col).cast("timestamp"), tz)
+
+
+def force_tz(col: Column | str, tz: str) -> Column:
+    """Same clock, re-interpreted zone: treat the stored wall-clock time as
+    being IN ``tz`` and return the corresponding instant (UTC-normalized)."""
+    return F.to_utc_timestamp(_c(col).cast("timestamp"), tz)
+
+
+# ---------------------------------------------------------------------------
+# string parsing — reference parse / parse-with-formatter
+# ---------------------------------------------------------------------------
+
+
+def parse_temporal(col: Column | str, fmt: str | None = None) -> Column:
+    """string -> timestamp, mirroring the reference's parser cascade.
+
+    With ``fmt``: strict pattern parse (Java pattern), null on mismatch.
+    Without: ISO cascade — full timestamp first, then bare date (midnight),
+    the vectorized analogue of the reference's Instant->...->LocalDate
+    formatter chain.
+    """
+    c = _c(col)
+    if fmt is not None:
+        return F.try_to_timestamp(c, F.lit(fmt))
+    return F.coalesce(
+        F.try_to_timestamp(c),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+    )

@@ -350,30 +350,79 @@ def compress_series(
     schema = _block_schema(value_cols)
     n_sort = len(order_cols)
 
-    def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([f"__o{i}" for i in range(n_sort)], kind="stable")
-        ts_ms = (pdf["__ts_ms"].to_numpy()).astype(np.int64)
-        ts_block = encode_ints_dod(ts_ms)
-        row: dict[str, object] = {
-            "conv_id": pdf["__key"].iloc[0],
-            "block_start": pdf["__block"].iloc[0],
-            "n_points": len(pdf),
-            "ts_block": ts_block,
+    n_values = len(value_cols)
+
+    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        # group boundaries on raw numpy (rows arrive grouped+ordered from
+        # the shuffle sort): ~10x cheaper than pandas groupby's per-group
+        # DataFrame construction, which dominates at millions of small blocks
+        keys = pdf["__key"].to_numpy()
+        blocks = pdf["__block"].to_numpy()
+        ts = pdf["__ts_ms"].to_numpy().astype(np.int64)
+        series = {
+            c: pdf[c].to_numpy(
+                dtype=np.float64 if codec == "float" else np.int64
+            )
+            for c, codec in value_cols.items()
         }
-        raw = 8 * len(pdf)
-        enc = len(ts_block)
-        for c, codec in value_cols.items():
-            if codec == "float":
-                blk = encode_floats_xor(pdf[c].to_numpy(dtype=np.float64))
-            else:
-                blk = encode_ints_dod(pdf[c].to_numpy(dtype=np.int64))
-            row[f"{c}_block"] = blk
-            raw += 8 * len(pdf)
-            enc += len(blk)
-        row["raw_bytes"] = raw
-        row["enc_bytes"] = enc
-        row["compression_ratio"] = raw / enc if enc else 1.0
-        return pd.DataFrame([row])
+        n = len(pdf)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (keys[1:] != keys[:-1]) | (blocks[1:] != blocks[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+
+        out: dict[str, list] = {
+            "conv_id": keys[starts].tolist(),
+            "block_start": list(pd.to_datetime(blocks[starts])),
+            "n_points": (ends - starts).tolist(),
+            "ts_block": [],
+            **{f"{c}_block": [] for c in value_cols},
+            "raw_bytes": [],
+            "enc_bytes": [],
+            "compression_ratio": [],
+        }
+        for s, e in zip(starts, ends):
+            ts_blk = encode_ints_dod(ts[s:e])
+            out["ts_block"].append(ts_blk)
+            enc = len(ts_blk)
+            for c, codec in value_cols.items():
+                blk = (
+                    encode_floats_xor(series[c][s:e])
+                    if codec == "float"
+                    else encode_ints_dod(series[c][s:e])
+                )
+                out[f"{c}_block"].append(blk)
+                enc += len(blk)
+            raw = 8 * (e - s) * (1 + n_values)
+            out["raw_bytes"].append(raw)
+            out["enc_bytes"].append(enc)
+            out["compression_ratio"].append(raw / enc if enc else 1.0)
+        return pd.DataFrame(out)
+
+    def encode_stream(batches):
+        # Groups arrive contiguous and ordered (repartition + sortWithin
+        # Partitions below), but an Arrow batch boundary can split a group;
+        # hold the final group of each batch until the next batch arrives.
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            last_key = pdf["__key"].iloc[-1]
+            last_blk = pdf["__block"].iloc[-1]
+            tail = (
+                (pdf["__key"] == last_key) & (pdf["__block"] == last_blk)
+            ).to_numpy()
+            not_tail = np.where(~tail)[0]
+            cut = int(not_tail[-1]) + 1 if len(not_tail) else 0
+            pending = pdf.iloc[cut:]
+            if cut:
+                yield encode_groups(pdf.iloc[:cut])
+        if pending is not None and len(pending):
+            yield encode_groups(pending)
 
     prepared = df.select(
         F.col(key_col).cast("string").alias("__key"),
@@ -384,7 +433,17 @@ def compress_series(
         *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
         *[F.col(c) for c in value_cols],
     )
-    return prepared.groupBy("__key", "__block").applyInPandas(encode_block, schema)
+    # ONE shuffle co-locates each (key, block) group; the in-partition sort
+    # fixes both group contiguity and the intra-series (order_cols) order,
+    # so the kernel streams whole Arrow batches instead of paying the
+    # per-group applyInPandas round-trip (matters at millions of small
+    # blocks: ~20x fewer Python crossings)
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = prepared.repartition(nparts, "__key", "__block").sortWithinPartitions(
+        "__key", "__block", *[f"__o{i}" for i in range(n_sort)]
+    )
+    return part.mapInPandas(encode_stream, schema)
 
 
 def decompress_blocks(

@@ -1,0 +1,112 @@
+"""Structured Streaming tier rollup — the live-tail path.
+
+The engine's primary maintenance mode is snapshot-incremental batch
+(plans/continuous.py), matching the reference's batch model (SURVEY.md
+§1.4). This module is the complementary live path: the SAME mergeable
+aggregate semantics as operators/rollup.py expressed as a Structured
+Streaming query, for deployments that want second/minute tiers fresh
+within seconds instead of per-snapshot.
+
+Design:
+- event-time bucketing uses ``F.window(ts, interval)`` — for metric units
+  window.start is exactly ``down_to_nearest(ts, n, unit)``, and using
+  window() (not the bare expr) is what lets the state store drop buckets
+  once the watermark passes them;
+- the watermark bounds BOTH late data and state size: a 10-minute
+  watermark on a second tier keeps ~600 buckets per conversation in state,
+  regardless of stream length;
+- aggregates reuse the partial/mergeable forms (count/sum/min/max,
+  first/last as order-struct min/max), so a streaming tier can later be
+  merged into batch tier state without recomputation — append-mode output
+  per closed bucket is the streaming analogue of the batch dirty-partition
+  rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.functions.units import (
+    is_calendar_unit,
+    milliseconds_in,
+    normalize_unit,
+)
+from tablecloth_time_spark.operators.rollup import _parse_aggs
+
+
+def _interval_string(interval: int, unit: str) -> str:
+    u = normalize_unit(unit)
+    if is_calendar_unit(u):
+        raise ValueError(
+            "streaming rollup supports metric units only (calendar buckets "
+            "have no fixed duration for window()); tier months/quarters/"
+            "years via the batch cascade instead"
+        )
+    return f"{interval * milliseconds_in(u)} milliseconds"
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    interval: int,
+    unit: str,
+    aggs: dict[str, tuple[str, str]],
+    order_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Streaming DataFrame of finalized tier rows (append after watermark).
+
+    ``stream`` is any streaming source in the transcripts shape
+    (``spark.readStream.schema(...).parquet(dir)``, Kafka + from_json, ...).
+    """
+    specs = _parse_aggs(aggs)
+    order_cols = order_cols or [ts_col]
+    win = F.window(F.col(ts_col), _interval_string(interval, unit))
+    partials = [e for s in specs for e in s.partial_exprs(order_cols)]
+    grouped = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys, win.alias("__w"))
+        .agg(*partials)
+    )
+    return grouped.select(
+        *keys,
+        F.col("__w.start").alias(bucket_col),
+        *[s.final_expr() for s in specs],
+    )
+
+
+def streaming_rollup_to_sink(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    interval: int,
+    unit: str,
+    aggs: dict[str, tuple[str, str]],
+    sink_path: str,
+    checkpoint_dir: str,
+    order_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+    available_now: bool = False,
+):
+    """Start (or one-shot drain with available_now) the rollup to parquet.
+
+    Append mode: a bucket row is emitted exactly once, when the watermark
+    closes it — downstream consumers see immutable tier rows, and the
+    checkpoint makes the query exactly-once across restarts.
+    """
+    out = streaming_rollup(
+        stream, keys, ts_col, interval, unit, aggs,
+        order_cols=order_cols, watermark=watermark,
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

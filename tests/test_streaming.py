@@ -1,0 +1,105 @@
+"""Streaming rollup == batch rollup on the same closed input.
+
+availableNow drains the file source and closes every watermarked bucket,
+so the parquet sink must contain exactly the batch tier (for buckets older
+than the watermark horizon — with a bounded input and max event time far
+below now, that is ALL buckets)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.operators.rollup import rollup
+from tablecloth_time_spark.streaming.rollup import (
+    streaming_rollup_to_sink,
+    _interval_string,
+)
+
+AGGS = {
+    "n_turns": ("count", "turn_idx"),
+    "sum_chars": ("sum", "text_len"),
+    "first_role": ("first", "role"),
+}
+
+
+def test_interval_string_rejects_calendar():
+    assert _interval_string(5, "minute") == "300000 milliseconds"
+    with pytest.raises(ValueError, match="metric units only"):
+        _interval_string(1, "month")
+
+
+def test_streaming_matches_batch(spark, transcripts_df, tmp_path):
+    src_dir = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch = transcripts_df.withColumn("text_len", F.length("text").cast("long"))
+    # append-mode emits a bucket only once the watermark passes it; a
+    # far-future sentinel row closes every real bucket (its own bucket
+    # stays open and is excluded from the expectation)
+    sentinel = batch.limit(1).withColumn(
+        "ts", F.expr("timestamp'2030-01-01 00:00:00'")
+    ).withColumn("conv_id", F.lit("__flush__"))
+    batch.unionByName(sentinel).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(src_dir)
+    )
+    q = streaming_rollup_to_sink(
+        stream, ["conv_id"], "ts", 1, "minute", AGGS,
+        sink_path=sink, checkpoint_dir=ckpt,
+        order_cols=["ts", "turn_idx"], watermark="0 seconds",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(sink)
+        .filter("conv_id <> '__flush__'")
+        .toPandas()
+        .sort_values(["conv_id", "bucket"], kind="stable")
+        .reset_index(drop=True)
+    )
+    expected = (
+        rollup(
+            batch, ["conv_id"], "ts", 1, "minute", AGGS,
+            order_cols=["ts", "turn_idx"],
+        )
+        .toPandas()
+        .sort_values(["conv_id", "bucket"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], expected[sorted(expected.columns)],
+        check_dtype=False,
+    )
+
+
+def test_streaming_restart_is_exactly_once(spark, transcripts_df, tmp_path):
+    """Re-running availableNow on an unchanged source adds no rows."""
+    src_dir = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    batch = transcripts_df.withColumn("text_len", F.length("text").cast("long"))
+    sentinel = batch.limit(1).withColumn(
+        "ts", F.expr("timestamp'2030-01-01 00:00:00'")
+    ).withColumn("conv_id", F.lit("__flush__"))
+    batch.unionByName(sentinel).write.parquet(src_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+
+    for _ in range(2):
+        q = streaming_rollup_to_sink(
+            stream, ["conv_id"], "ts", 1, "hour", AGGS,
+            sink_path=sink, checkpoint_dir=ckpt,
+            order_cols=["ts", "turn_idx"], watermark="0 seconds",
+            available_now=True,
+        )
+        q.awaitTermination(300)
+
+    n = spark.read.parquet(sink).filter("conv_id <> '__flush__'").count()
+    expected = rollup(
+        batch, ["conv_id"], "ts", 1, "hour", AGGS, order_cols=["ts", "turn_idx"]
+    ).count()
+    assert n == expected
