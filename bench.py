@@ -137,6 +137,51 @@ def main() -> None:
         ).agg(F.sum("epoch_day")).collect(),
     )
 
+    # training-data ops + compression (sf tables: documents / embeddings)
+    from tablecloth_time_spark.operators.compress import compress_series
+    from tablecloth_time_spark.operators.dedup import minhash_lsh_pairs
+    from tablecloth_time_spark.operators.similarity import brute_force_topk
+    from tablecloth_time_spark.functions import text as TX
+
+    minute_tier = rollup(
+        transcripts, ["conv_id"], "ts", 1, "minute",
+        {"n_turns": ("count", "turn_idx"), "sum_chars": ("sum", "text_len")},
+        order_cols=["ts", "turn_idx"],
+    )
+    timed(
+        "compress_minute_blocks",
+        lambda: compress_series(
+            minute_tier, ts_col="bucket",
+            value_cols={"n_turns": "int", "sum_chars": "int"},
+            key_col="conv_id", block_unit="day",
+        ).agg(F.sum("enc_bytes")).collect(),
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed(
+        "text_stats_documents",
+        lambda: docs.select(
+            TX.token_count_bpe("text").alias("bpe"),
+            TX.quality_score("text").alias("q"),
+            TX.lang_id("text").alias("lang"),
+        ).agg(F.sum("bpe"), F.avg("q")).collect(),
+    )
+    timed(
+        "minhash_dedup_documents",
+        lambda: minhash_lsh_pairs(
+            docs, threshold=0.5, n_hashes=64, bands=8, shingle_words=3
+        ).count(),
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probe = emb.filter("vec_id < 16").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    timed(
+        "embedding_topk_bruteforce",
+        lambda: brute_force_topk(emb, probe, k=10).count(),
+    )
+
     points_per_sec = total_points / cascade_sec if cascade_sec > 0 else 0.0
     print(
         json.dumps(

@@ -33,7 +33,6 @@ from tablecloth_time_spark.functions.text import (
     fingerprint_md5,
     jaccard,
     normalize_text,
-    simhash64,
     word_shingles,
 )
 
@@ -75,43 +74,66 @@ def exact_dedup_keep_first(
     return df.join(keep, on=id_col, how="leftsemi")
 
 
-def minhash_signature(
-    text_col: str | Column,
-    n_hashes: int = 64,
-    shingle_words: int = 3,
-    seed: int = 42,
-) -> Column:
-    """Array of n_hashes minhash values as a column expression.
-
-    One xxhash64 per shingle, then k affine rehashes (a_i*h + b_i mod M) —
-    k array-min scans over in-memory arrays, no extra hashing of text.
-    Coefficients are deterministic in `seed`.
-    """
+def _minhash_coeffs(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     import random
 
     rnd = random.Random(seed)
-    coeffs = [
+    return [
         (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
         for _ in range(n_hashes)
     ]
-    sh = word_shingles(text_col, n=shingle_words)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    sig = [
-        F.coalesce(
-            F.array_min(
-                F.transform(
-                    base,
-                    lambda h: F.pmod(
-                        F.pmod(F.lit(a) * h, F.lit(_MERSENNE)) + F.lit(b),
-                        F.lit(_MERSENNE),
-                    ),
-                )
-            ),
-            F.lit(-1).cast("long"),  # empty doc sentinel
-        )
-        for a, b in coeffs
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_words: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(__id, __sig: array<long>) — one minhash signature row per document.
+
+    Shape matters here: a pure column expression for the signature would be
+    re-inlined by Catalyst's project collapsing into EVERY one of the
+    n_hashes elements (and again into every LSH band), recomputing the
+    shingle pipeline 64x+ per row — measured 100x slower. Instead: explode
+    shingles, hash each ONCE, and take the k affine min-aggregates in a
+    single hash-aggregation pass (map-side partial mins, tiny shuffle of
+    k longs per doc). The agg's exchange is also a plan barrier, so
+    downstream band projections reference the signature attribute instead
+    of re-deriving it.
+    """
+    coeffs = _minhash_coeffs(n_hashes, seed)
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(word_shingles(text_col, n=shingle_words)).alias("__s"),
+    )
+    base = exploded.select(
+        "__id",
+        F.when(
+            F.col("__s").isNull(), F.lit(None).cast("long")
+        ).otherwise(F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE))).alias("__h"),
+    )
+    mins = [
+        F.min(
+            F.pmod(
+                F.pmod(F.lit(a) * F.col("__h"), F.lit(_MERSENNE)) + F.lit(b),
+                F.lit(_MERSENNE),
+            )
+        ).alias(f"__m{i}")
+        for i, (a, b) in enumerate(coeffs)
     ]
-    return F.array(*sig)
+    sig = base.groupBy("__id").agg(*mins)
+    return sig.select(
+        "__id",
+        F.array(
+            *[
+                F.coalesce(F.col(f"__m{i}"), F.lit(-1).cast("long"))
+                for i in range(n_hashes)
+            ]
+        ).alias("__sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -135,55 +157,103 @@ def minhash_lsh_pairs(
     assert n_hashes % bands == 0
     r = n_hashes // bands
 
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(text_col, n=shingle_words).alias("__shingles"),
-        minhash_signature(text_col, n_hashes, shingle_words, seed).alias("__sig"),
+    sig = minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_words, seed
     )
 
+    # band join carries ONLY (id, band key): candidate volume is ids, never
+    # shingle arrays (16 bands would otherwise ship every shingle set 16x)
     banded = sig.select(
         "__id",
-        "__shingles",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("__sig", b * r + 1, r))
-                    ).alias("band_hash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(",", F.slice("__sig", b * r + 1, r))
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band"),
-    ).select("__id", "__shingles", "band.band_id", "band.band_hash")
+    ).select("__id", "band.band_id", "band.band_hash")
 
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             on=[
                 F.col("a.band_id") == F.col("b.band_id"),
                 F.col("a.band_hash") == F.col("b.band_hash"),
                 F.col("a.__id") < F.col("b.__id"),
             ],
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__shingles").alias("sh_a"),
-            F.col("b.__shingles").alias("sh_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    # exact-Jaccard verify: re-attach shingle sets per side (shuffle joins
+    # on the id, proportional to candidates + corpus, not candidates x bands)
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, n=shingle_words).alias("__shingles"),
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("__id", "id_a"), "id_a")
+        .withColumnRenamed("__shingles", "sh_a")
+        .join(sh.withColumnRenamed("__id", "id_b"), "id_b")
+        .withColumnRenamed("__shingles", "sh_b")
+    )
     return (
-        cand.select(
+        verified.select(
             "id_a",
             "id_b",
             jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 2,
+) -> DataFrame:
+    """(__id, __sim: long) — SimHash64 per document via explode + groupBy.
+
+    Same bit semantics as functions/text.simhash64 (bit i set iff the
+    per-position sign sum >= 0; empty docs hash to all-ones), but computed
+    with ONE xxhash per shingle and 64 sum-aggregates in a single
+    hash-aggregation pass — the df-level shape that avoids Catalyst
+    re-inlining the shingle pipeline into every bit position (see
+    minhash_signatures)."""
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(word_shingles(text_col, n=shingle_words)).alias("__s"),
+    )
+    h = F.xxhash64("__s")
+    sums = [
+        F.sum(
+            F.when(F.col("__s").isNull(), F.lit(0))
+            .when(F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(64)
+    ]
+    agg = exploded.groupBy("__id").agg(*sums)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        sim = sim.bitwiseOR(
+            F.when(
+                F.coalesce(F.col(f"__b{i}"), F.lit(0)) >= 0,
+                F.lit(weight).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("__id", sim.alias("__sim"))
 
 
 def simhash_pairs(
@@ -200,9 +270,7 @@ def simhash_pairs(
     least one exact band (pigeonhole); larger max_hamming trades recall.
     """
     bits_per = 64 // bands
-    sigs = df.select(
-        F.col(id_col).alias("__id"), simhash64(text_col, shingle_words).alias("__sim")
-    )
+    sigs = simhash_signatures(df, text_col, id_col, shingle_words)
     banded = sigs.select(
         "__id",
         "__sim",

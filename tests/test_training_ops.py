@@ -92,6 +92,21 @@ def test_lang_id(spark, docs_df):
     assert lang[7] == "und"
 
 
+def test_simhash_df_matches_expression(spark, docs_df):
+    """The scalable explode+groupBy SimHash equals the expression form."""
+    expr_vals = {
+        r["doc_id"]: r["h"]
+        for r in docs_df.select(
+            "doc_id", TX.simhash64("text", 2).alias("h")
+        ).collect()
+    }
+    df_vals = {
+        r["__id"]: r["__sim"]
+        for r in DD.simhash_signatures(docs_df, shingle_words=2).collect()
+    }
+    assert df_vals == expr_vals
+
+
 def test_simhash_properties(spark, docs_df):
     rows = docs_df.select("doc_id", TX.simhash64("text").alias("h")).collect()
     h = {r["doc_id"]: r["h"] for r in rows}
