@@ -396,6 +396,151 @@ GROUP BY event_type
 """
 
 
+def q_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid per user with forward-fill (the reference's planned
+    resample-to-regular-grid, :method :ffill)."""
+    from tablecloth_time_spark.operators.gapfill import resample_to_regular_grid
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_to_regular_grid(
+        ev, ["user_id"], "ts", "value", 1, "hour", method="ffill", agg="avg"
+    )
+    return out.select(
+        "user_id", "bucket", F.round("value", 6).alias("value")
+    )
+
+
+SQL_GAPFILL_FFILL = """
+WITH o AS (
+  SELECT user_id,
+         make_timestamp((epoch_ms(ts) - epoch_ms(ts) % 3600000) * 1000) AS b,
+         AVG(value) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id,
+         unnest(generate_series(min(b), max(b), INTERVAL 1 HOUR)) AS bucket
+  FROM o GROUP BY user_id
+), j AS (
+  SELECT s.user_id, s.bucket, o.v
+  FROM s LEFT JOIN o ON o.user_id = s.user_id AND o.b = s.bucket
+)
+SELECT user_id, bucket,
+       ROUND(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+FROM j
+"""
+
+
+def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1..3 of each user's hourly mean-value series (the
+    notebook's 'core function we need')."""
+    from tablecloth_time_spark.operators.acf import acf
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = rollup(
+        ev, ["user_id"], "ts", 1, "hour", {"v": ("avg", "value")},
+    )
+    out = acf(hourly, ["user_id"], "bucket", "v", max_lag=3)
+    return out.select(
+        "user_id",
+        "lag",
+        F.when(F.isnan("acf"), F.lit(None)).otherwise(F.round("acf", 6)).alias("acf"),
+    )
+
+
+SQL_ACF_HOURLY = """
+WITH s AS (
+  SELECT user_id, date_trunc('hour', ts) AS b, AVG(value) AS v
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT user_id, AVG(v) AS mu FROM s GROUP BY 1
+), c AS (
+  SELECT s.user_id, s.b, s.v - st.mu AS yc
+  FROM s JOIN st USING (user_id)
+), l AS (
+  SELECT user_id, yc,
+         lag(yc, 1) OVER w AS yc1,
+         lag(yc, 2) OVER w AS yc2,
+         lag(yc, 3) OVER w AS yc3
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY b)
+), agg AS (
+  SELECT user_id,
+         SUM(yc * yc) AS denom,
+         SUM(yc * yc1) AS n1, SUM(yc * yc2) AS n2, SUM(yc * yc3) AS n3
+  FROM l GROUP BY 1
+)
+SELECT CAST(user_id AS VARCHAR) AS user_id, CAST(lag AS INT) AS lag,
+       ROUND(num / denom, 6) AS acf
+FROM (
+  SELECT user_id, 1 AS lag, n1 AS num, denom FROM agg
+  UNION ALL SELECT user_id, 2, n2, denom FROM agg
+  UNION ALL SELECT user_id, 3, n3, denom FROM agg
+)
+"""
+
+
+def q_timeops_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ceil/round-to-nearest, between (days), with_tz, parse — the planned
+    temporal-arithmetic surface in one projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        T.ceil_to_nearest("l_shipdate", 1, "week").alias("ship_ceil_week"),
+        T.round_to_nearest("l_shipdate", 12, "hour").alias("ship_round_12h"),
+        T.between_time(
+            F.col("l_shipdate"), T.ceil_to_nearest("l_shipdate", 1, "week"), "hour"
+        ).alias("hours_to_week_ceil"),
+        T.with_tz("l_shipdate", "Europe/Berlin").alias("ship_berlin"),
+        T.parse_temporal(T.date_string("l_shipdate")).alias("reparsed"),
+    )
+
+
+SQL_TIMEOPS_MISC = """
+WITH b AS (
+  SELECT l_orderkey, l_linenumber,
+         epoch_ms(CAST(l_shipdate AS TIMESTAMP)) AS ship_ms,
+         l_shipdate
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       make_timestamp((ship_ms + (604800000 - ship_ms % 604800000) % 604800000) * 1000)
+         AS ship_ceil_week,
+       make_timestamp(((ship_ms + 21600000) - (ship_ms + 21600000) % 43200000) * 1000)
+         AS ship_round_12h,
+       CAST(((ship_ms + (604800000 - ship_ms % 604800000) % 604800000) - ship_ms)
+            // 3600000 AS BIGINT) AS hours_to_week_ceil,
+       timezone('Europe/Berlin', timezone('UTC', CAST(l_shipdate AS TIMESTAMP))) AS ship_berlin,
+       CAST(strftime(l_shipdate, '%Y-%m-%d') AS TIMESTAMP) AS reparsed
+FROM b
+"""
+
+
+def q_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot->wider (host-library recipe): daily event counts, one column
+    per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(T.date_string("ts").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+SQL_PIVOT_DAILY_TYPES = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'error') AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -700,6 +845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_1h": q_rolling_1h,
         "temporal_arithmetic": q_temporal_arithmetic,
         "datetime_stats": q_datetime_stats,
+        "gapfill_ffill": q_gapfill_ffill,
+        "acf_hourly": q_acf_hourly,
+        "timeops_misc": q_timeops_misc,
+        "pivot_daily_types": q_pivot_daily_types,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
@@ -728,6 +877,10 @@ def oracle_sql() -> dict[str, str]:
         "rolling_1h": SQL_ROLLING_1H,
         "temporal_arithmetic": SQL_TEMPORAL_ARITHMETIC,
         "datetime_stats": SQL_DATETIME_STATS,
+        "gapfill_ffill": SQL_GAPFILL_FFILL,
+        "acf_hourly": SQL_ACF_HOURLY,
+        "timeops_misc": SQL_TIMEOPS_MISC,
+        "pivot_daily_types": SQL_PIVOT_DAILY_TYPES,
         "text_stats": SQL_TEXT_STATS,
         "lang_id": SQL_LANG_ID,
         "exact_dedup": SQL_EXACT_DEDUP,

@@ -101,12 +101,16 @@ def resample_to_regular_grid(
         )
         return joined.withColumn(value_col, filled)
 
-    # linear / nearest: Arrow-vectorized per-series interpolation
+    # linear / nearest: Arrow-vectorized per-series interpolation, batched
+    # through grouped_apply_stream (per-batch Python crossings, not
+    # per-series — millions of small series would otherwise pay a full
+    # applyInPandas round-trip each)
+    from tablecloth_time_spark.operators._grouped import grouped_apply_stream
+
     out_schema = joined.schema
     is_nearest = method == "nearest"
 
     def _interp(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket", kind="stable")
         x = pdf["bucket"].values.astype("datetime64[ms]").astype("int64")
         y = pdf[value_col].values.astype("float64")
         mask = ~np.isnan(y)
@@ -131,4 +135,4 @@ def resample_to_regular_grid(
             pdf[value_col] = interp
         return pdf
 
-    return joined.groupBy(*keys).applyInPandas(_interp, schema=out_schema)
+    return grouped_apply_stream(joined, keys, ["bucket"], _interp, out_schema)
