@@ -830,6 +830,50 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (rolling-hash sketch, MOSS
+    style). xxhash-seeded -> rows-only driver check; semantics pinned
+    against a python oracle in tests."""
+    from tablecloth_time_spark.functions.text import jaccard, winnow_fingerprint_sets
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 400")
+    fps = winnow_fingerprint_sets(docs, "text", "doc_id", 5, 4)
+    g = docs.select("source", "doc_id").join(
+        fps.withColumnRenamed("__id", "doc_id"), "doc_id"
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jaccard(F.col("a.fp"), F.col("b.fp")), 6).alias("fp_sim"),
+        )
+        .filter(F.col("fp_sim") >= 0.35)
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (coarse quantizer + nprobe cells + re-rank);
+    approximate by design -> rows-only check, recall floor in tests."""
+    from tablecloth_time_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries_df, dim=64, k=10, n_centroids=8, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "slice_events": q_slice_events,
@@ -859,6 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "lsh_ann_topk": q_lsh_ann_topk,
         "media_features": q_media_features,
+        "winnow_dedup": q_winnow_dedup,
+        "ivf_topk": q_ivf_topk,
     }
 
 

@@ -219,3 +219,66 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def winnow_fingerprint_sets(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+):
+    """Winnowing document fingerprints (rolling-hash selection), df-level.
+
+    Schleimer/Wilkerson/Aiken winnowing: hash every character k-gram of the
+    normalized text, slide a window of ``w`` consecutive k-gram hashes, keep
+    the MINIMUM hash of each window, distinct the kept set. Guarantees any
+    shared substring of length >= k+w-1 contributes a shared fingerprint —
+    the standard near-copy detection sketch (MOSS). Selectivity ~2/(w+1).
+
+    Returns ``(__id, fp: sorted array<bigint>)``; empty docs get ``fp=[]``.
+
+    Shape note: the sliding minima are a SQL window function over
+    posexploded k-gram hashes (one shuffle + in-partition sort), NOT a
+    ``transform(sequence, i -> array_min(slice(hashes, i, w)))`` expression
+    — a free subexpression inside a higher-order-function lambda is
+    re-evaluated per element, which made the expression form O(len^2)
+    per document (same Catalyst hazard as minhash_signatures).
+    """
+    from pyspark.sql.window import Window
+
+    grams = char_ngrams(normalize_text(text_col), n=k, distinct=False)
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(grams).alias("__pos", "__g"),
+    )
+    win = (
+        Window.partitionBy("__id")
+        .orderBy("__pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    total = Window.partitionBy("__id")
+    h = exploded.select(
+        "__id",
+        "__pos",
+        F.when(F.col("__g").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.xxhash64("__g"))
+        .alias("__h"),
+    ).select(
+        "__id",
+        "__pos",
+        F.min("__h").over(win).alias("__wmin"),
+        F.count("__h").over(total).alias("__n"),
+    )
+    kept = h.filter(
+        (F.col("__pos") <= F.greatest(F.col("__n") - (w - 1), F.lit(1)) - 1)
+        & F.col("__wmin").isNotNull()
+    )
+    fps = kept.groupBy("__id").agg(
+        F.array_sort(F.collect_set("__wmin")).alias("fp")
+    )
+    ids = df.select(F.col(id_col).alias("__id"))
+    return ids.join(fps, "__id", "left").select(
+        "__id",
+        F.coalesce("fp", F.array().cast("array<bigint>")).alias("fp"),
+    )

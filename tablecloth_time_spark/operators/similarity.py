@@ -158,6 +158,125 @@ def lsh_ann_topk(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    sample_fraction: float = 0.1,
+    max_sample: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse-quantizer centroids for IVF: k-means on a driver-side sample.
+
+    Sampling + driver k-means is the standard IVF recipe (FAISS trains on a
+    sample too): the sample is O(max_sample * dim) regardless of corpus
+    size, and only the (n_centroids, dim) float array ships back to
+    executors as a broadcast literal. Deterministic in ``seed``.
+    """
+    sample = (
+        df.select(vec_col)
+        .sample(fraction=sample_fraction, seed=seed)
+        .limit(max_sample)
+        .toPandas()
+    )
+    X = np.array(sample[vec_col].tolist(), dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ cent.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(cent)):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[j] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def _centroid_sims(vec_col: str | Column, centroids: np.ndarray) -> list[Column]:
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return [
+        dot(v, F.array(*[F.lit(float(x)) for x in c])) / l2_norm(v)
+        for c in centroids
+    ]
+
+
+def ivf_assign(
+    vec_col: str | Column, centroids: np.ndarray, nprobe: int = 1
+) -> Column:
+    """Array of the nprobe nearest centroid ids (cosine) — pure exprs.
+
+    nprobe=1 gives the storage-side cell assignment; queries use nprobe>1
+    to probe neighboring cells (the IVF recall knob).
+    """
+    sims = _centroid_sims(vec_col, centroids)
+    pairs = F.array(
+        *[
+            F.struct(s.alias("sim"), F.lit(i).alias("cell"))
+            for i, s in enumerate(sims)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
+    return F.transform(top, lambda p: p.getField("cell"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize, probe nprobe cells, re-rank.
+
+    Corpus rows get ONE cell each (inverted list); each query probes its
+    ``nprobe`` nearest cells, so the scored candidate set is ~nprobe/n_cells
+    of the corpus. Equi-join on the cell id — shuffles a 4-byte key, with
+    the (tiny) query side broadcast. Exact cosine re-rank inside the
+    probed cells; ties break by (cosine desc, id asc).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, dim, n_centroids=n_centroids, seed=seed, vec_col=vec_col
+        )
+    c = corpus.select(
+        id_col, vec_col,
+        ivf_assign(vec_col, centroids, nprobe=1)[0].alias("cell"),
+    )
+    q = queries.select(
+        query_id_col, query_vec_col,
+        F.explode(
+            ivf_assign(query_vec_col, centroids, nprobe=nprobe)
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(query_vec_col), F.col(vec_col)).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     dim: int,
