@@ -71,6 +71,7 @@ def main(argv=None) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    preexisting = SparkSession.getActiveSession() is not None
     builder = SparkSession.builder.appName("tts-pipeline").config(
         "spark.sql.session.timeZone", "UTC"
     )
@@ -169,7 +170,8 @@ def main(argv=None) -> None:
         report["expired"] = ca.expire(args.as_of)
 
     print(json.dumps(report))
-    spark.stop()
+    if not preexisting:  # don't tear down a host session (in-process tests)
+        spark.stop()
 
 
 if __name__ == "__main__":

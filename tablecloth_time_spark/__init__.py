@@ -17,16 +17,15 @@ transcripts, built Spark-first:
   is Arrow-vectorized pandas UDFs — never per-row Python.
 
 Package layout:
-  functions/   pure Catalyst column-expression library (timeops, textops,
-               vectorops)
+  functions/   pure Catalyst column-expression library (timeops, text,
+               units, zones)
   operators/   dataset-level operators (slice, shifts, add_time_columns,
-               rollup tiers, gap-fill, rolling, ACF, dedup, similarity,
-               multimodal plumbing)
-  sources/     synthetic transcripts generator + snapshot-log table format
-               (Iceberg-like incremental reads without the Iceberg jar)
-  compression/ Gorilla XOR float codec + delta-of-delta timestamp codec
-  plans/       checkpoint manifest, continuous-aggregate maintenance,
-               retention expiry
+               rollup tiers, gap-fill, rolling, ACF, Gorilla/delta-of-delta
+               compression, dedup, similarity, multimodal plumbing)
+  sources/     synthetic transcripts generator
+  plans/       snapshot-log table format (Iceberg-like incremental reads
+               without the Iceberg jar), continuous-aggregate maintenance,
+               checkpoint manifest, retention expiry
   oracle/      single-node pandas/numpy reference implementation used for
                bit-for-bit differential testing
   streaming/   Structured Streaming rollup (watermark + windowed agg)
@@ -35,3 +34,12 @@ Package layout:
 __version__ = "0.1.0"
 
 from tablecloth_time_spark.session import get_session  # noqa: F401
+from tablecloth_time_spark.operators.slice import slice_time  # noqa: F401
+from tablecloth_time_spark.operators.rollup import (  # noqa: F401
+    rollup,
+    rollup_cascade,
+)
+from tablecloth_time_spark.operators.gapfill import (  # noqa: F401
+    resample_to_regular_grid,
+)
+from tablecloth_time_spark.operators.rolling import rolling  # noqa: F401

@@ -3,10 +3,11 @@ need" (reference notebooks/chapter_02_time_series_graphics.clj:483-505).
 
 r_k = sum_{t>k} (y_t - ybar)(y_{t-k} - ybar) / sum_t (y_t - ybar)^2
 
-One Arrow-vectorized ``applyInPandas`` per series: the series must be
-materialized in order to correlate against itself at every lag, so this is
-inherently the slow path — but each group is one numpy vector op, and groups
-run in parallel across executors.
+Per-series Arrow kernel: the series must be materialized in order to
+correlate against itself at every lag, so this is inherently the slow path
+— but each group is one numpy vector op, batched through
+``grouped_apply_stream`` so Python crossings are per Arrow batch, not per
+series.
 """
 
 from __future__ import annotations
@@ -14,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from tablecloth_time_spark.operators._grouped import grouped_apply_stream
 
 
 def acf(
@@ -28,8 +31,7 @@ def acf(
         [f"`{k}` string" for k in keys] + ["lag int", "acf double"]
     )
 
-    def _acf(key_vals, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="stable")
+    def _acf(pdf: pd.DataFrame) -> pd.DataFrame:
         y = pdf[value_col].values.astype("float64")
         y = y[~np.isnan(y)]
         n = len(y)
@@ -45,9 +47,9 @@ def acf(
                     for k in lags
                 ]
             )
-        out = {k: [str(v)] * len(lags) for k, v in zip(keys, key_vals)}
+        out = {k: [str(pdf[k].iloc[0])] * len(lags) for k in keys}
         out["lag"] = lags.astype("int32")
         out["acf"] = vals
         return pd.DataFrame(out)
 
-    return df.groupBy(*keys).applyInPandas(_acf, schema=schema)
+    return grouped_apply_stream(df, keys, [order_col], _acf, schema)
