@@ -1,0 +1,98 @@
+"""Physical-plan regression guards (PLANS.md claims, kept true by CI).
+
+A plan that silently loses predicate pushdown, map-side combine, or the
+broadcast strategy still returns correct rows at sf0.01 — and falls over at
+100 TB. These tests pin the plan SHAPE, not the output.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.operators.rollup import rollup
+from tablecloth_time_spark.operators.similarity import brute_force_topk
+from tablecloth_time_spark.operators.slice import slice_time
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_slice_pushes_predicates_and_prunes_columns(events):
+    p = _plan(
+        slice_time(events, "ts", "2024-01-03", "2024-01-05").select("event_id", "ts")
+    )
+    assert "GreaterThanOrEqual(ts" in p and "LessThanOrEqual(ts" in p
+    assert "PushedFilters: [" in p
+    # projection pruned to the two selected columns at the scan
+    assert "ReadSchema: struct<event_id:bigint,ts" in p
+
+
+def test_rollup_is_partial_final_with_one_exchange(events):
+    p = _plan(
+        rollup(events, ["user_id"], "ts", 1, "hour", {"n": ("count", "event_id")})
+    )
+    assert p.count("HashAggregate") == 2  # map-side partial + final
+    assert p.count("Exchange") == 1
+
+
+def test_salted_rollup_is_two_phase(events):
+    p = _plan(
+        rollup(
+            events, ["user_id"], "ts", 1, "hour",
+            {"n": ("count", "event_id")},
+            order_cols=["ts", "event_id"], salt=8,
+        )
+    )
+    assert p.count("HashAggregate") == 4
+    assert p.count("Exchange") == 2
+
+
+def test_topk_broadcasts_queries_and_never_shuffles_corpus(spark, events):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    p = _plan(brute_force_topk(emb, q, k=5))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_tier_table_bucket_predicate_pushdown(spark, events, tmp_path):
+    tier = rollup(events, ["user_id"], "ts", 1, "hour", {"n": ("count", "event_id")})
+    path = str(tmp_path / "tier")
+    (
+        tier.repartitionByRange(4, "bucket")
+        .sortWithinPartitions("bucket", "user_id")
+        .write.parquet(path)
+    )
+    p = _plan(
+        spark.read.parquet(path).filter("bucket >= timestamp'2024-01-20 00:00:00'")
+    )
+    assert "PushedFilters: [IsNotNull(bucket), GreaterThanOrEqual(bucket" in p
+
+
+def test_no_per_row_python_in_package():
+    """Input-hint mandate: only vectorized pandas/Arrow UDFs — no per-row
+    Python UDFs, no RDD lambdas — anywhere in the package (SURVEY §7.2)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "tablecloth_time_spark"
+    offenders = []
+    for f in pkg.rglob("*.py"):
+        src = f.read_text()
+        for pat in (r"\bF\.udf\(", r"@udf\b", r"\.rdd\.map", r"\.rdd\.flatMap",
+                    r"\.foreach\(", r"\.rdd\.mapPartitions"):
+            if re.search(pat, src):
+                offenders.append((str(f), pat))
+    assert not offenders, offenders
