@@ -874,6 +874,16 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over n-gram near-dup pairs (iterative label
+    propagation -> not SQL-expressible; rows-only check, union-find oracle
+    in tests)."""
+    from tablecloth_time_spark.operators.dedup import pairs_to_clusters
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    return pairs_to_clusters(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "slice_events": q_slice_events,
@@ -905,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "winnow_dedup": q_winnow_dedup,
         "ivf_topk": q_ivf_topk,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 

@@ -313,6 +313,62 @@ def simhash_pairs(
     )
 
 
+def pairs_to_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair table -> (id, cluster_id).
+
+    Iterative min-label propagation (the Spark-native union-find): every id
+    starts as its own label; each round, a node adopts the minimum label in
+    its neighborhood; converges in O(diameter) rounds. Dedup chains are
+    shallow (a near-dup cluster's diameter is tiny), so 3-5 rounds settle
+    real data; ``max_iter`` bounds adversarial chains. Each round is two
+    shuffle joins on the id — no driver-side graph, scales with the pair
+    table. Rows not in any pair are absent (callers union singletons back
+    if needed: cluster_id = own id).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # convergence check: any label still shrinking?
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        # localCheckpoint: truncate the per-iteration plan so the lineage
+        # (and codegen) doesn't grow linearly with rounds
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     block_col: str,

@@ -250,6 +250,44 @@ def test_cosine_near_dup_pairs(spark, vectors):
     assert any(r["id_a"] == 0 and r["id_b"] == 9000 for r in out)
 
 
+def test_pairs_to_clusters(spark):
+    """Min-label propagation vs a python union-find on a random graph."""
+    rng = np.random.default_rng(5)
+    edges = set()
+    for _ in range(120):
+        a, b = sorted(rng.integers(0, 80, 2).tolist())
+        if a != b:
+            edges.add((a, b))
+    pairs = spark.createDataFrame(
+        pd.DataFrame(sorted(edges), columns=["id_a", "id_b"]),
+        schema="id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in DD.pairs_to_clusters(pairs).collect()
+    }
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in sorted(edges):
+        union(a, b)
+    # canonical representative = min id in component
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    expected = {n: min(members) for r, members in comp.items() for n in members}
+    assert got == expected
+
+
 def test_winnow_fingerprints(spark, docs_df):
     """Winnowing vs a direct python implementation, plus the shared-substring
     guarantee on the planted near-dup pair."""
