@@ -152,12 +152,29 @@ class ContinuousAggregate:
         m = self.manifest()
         last = m["last_snapshot"]
         current = self.source.current_snapshot_id()
+
+        # resume safety: an incomplete run pins its snapshot range. Some of
+        # its tiers may already hold the (last, its_to] increment, so a
+        # wider range (new snapshots arrived since the crash) would
+        # double-merge them. Finish the pinned range first; the caller's
+        # next refresh() picks up from there.
+        pinned = next(
+            (
+                r
+                for r in m["runs"]
+                if r["status"] not in ("completed",)
+                and r.get("from_snapshot") == last
+            ),
+            None,
+        )
+        if pinned is not None:
+            current = pinned["to_snapshot"]
+
         if current is None or current == last:
             return {"run_id": None, "status": "noop", "tiers": {}}
         run_id = f"{last}-{current}"
 
-        # resume: reuse the incomplete run record for this same range
-        run = next(
+        run = pinned if pinned is not None else next(
             (r for r in m["runs"] if r["run_id"] == run_id and r["status"] != "completed"),
             None,
         )

@@ -143,6 +143,33 @@ def test_crash_resume_is_exact(spark, tmp_path, batches):
         _assert_tier_equal(ca.read_tier(t.name), _expected_tier(full, t.interval, t.unit))
 
 
+def test_crash_then_new_snapshot_no_double_count(spark, tmp_path, batches):
+    """A crashed run's range stays pinned: a snapshot appended after the
+    crash must NOT widen the resume range (which would re-merge tiers the
+    partial run already committed)."""
+    df1, df2 = batches
+    half = df2.filter("conv_id < 'conv000045'")
+    rest = df2.filter("conv_id >= 'conv000045'")
+
+    src, ca = _make_ca(spark, str(tmp_path / "src"), str(tmp_path / "agg"))
+    src.append(df1)
+    ca.refresh()
+
+    src.append(half)  # snapshot 2
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ca.refresh(fail_after_tier="minute")
+    src.append(rest)  # snapshot 3 arrives while run 1-2 is incomplete
+
+    run = ca.refresh()  # must complete the pinned 1-2 range only
+    assert run["run_id"] == "1-2" and run["status"] == "completed"
+    run2 = ca.refresh()  # then 2-3
+    assert run2["run_id"] == "2-3" and run2["status"] == "completed"
+
+    full = df1.unionByName(half).unionByName(rest)
+    for t in TIERS:
+        _assert_tier_equal(ca.read_tier(t.name), _expected_tier(full, t.interval, t.unit))
+
+
 def test_retention_expiry(spark, tmp_path, batches):
     df1, _ = batches
     src, ca = _make_ca(spark, str(tmp_path / "src"), str(tmp_path / "agg"))
