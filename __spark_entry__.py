@@ -656,38 +656,26 @@ GROUP BY 1
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-3-gram Jaccard near-dup pairs, blocked by source, verified
-    exactly; threshold keeps ~top-1% of in-block pairs."""
-    from tablecloth_time_spark.functions import text as TX
+    """Char-3-gram Jaccard near-dup pairs through the SHIPPED operator
+    (operators/dedup.ngram_jaccard_pairs), blocked by source; the rounded
+    threshold filter is applied here so the boundary comparison matches the
+    oracle exactly."""
+    from tablecloth_time_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents").filter("doc_id < 250")
-    g = docs.select(
-        F.col("source").alias("blk"),
-        F.col("doc_id"),
-        TX.char_ngrams("text", 3).alias("grams"),
-    )
-    a, b = g.alias("a"), g.alias("b")
-    pairs = a.join(
-        b,
-        on=[
-            F.col("a.blk") == F.col("b.blk"),
-            F.col("a.doc_id") < F.col("b.doc_id"),
-        ],
-    ).select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        F.round(
-            TX.jaccard(F.col("a.grams"), F.col("b.grams")), 6
-        ).alias("jaccard_sim"),
-    )
-    return pairs.filter(F.col("jaccard_sim") >= 0.62)
+    pairs = ngram_jaccard_pairs(docs, "source", "text", "doc_id", n=3, threshold=0.0)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim")
+    ).filter(F.col("jaccard_sim") >= 0.62)
 
 
 SQL_NGRAM_JACCARD = """
 WITH d AS (
   SELECT doc_id, source,
-         list_distinct([substring(text, i, 3) for i in range(1, length(text)-1)]) AS g
-  FROM documents WHERE doc_id < 250
+         list_distinct([substring(norm, i, 3) for i in range(1, length(norm)-1)]) AS g
+  FROM (SELECT doc_id, source,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents WHERE doc_id < 250)
 ),
 p AS (
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

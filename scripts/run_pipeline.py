@@ -60,9 +60,25 @@ def parse_args(argv):
     p.add_argument("--order-cols", default="ts,turn_idx")
     p.add_argument("--salt", type=int, default=0)
     p.add_argument("--compress-tier", default=None)
+    p.add_argument(
+        "--retention",
+        default=None,
+        help="per-tier retention days, e.g. 'second=7,minute=90,hour=365' "
+        "(tiers not listed are kept forever)",
+    )
     p.add_argument("--as-of", default=None, help="expire horizon date")
     p.add_argument("--master", default=None, help="override (tests only)")
     return p.parse_args(argv)
+
+
+def _parse_retention(spec: str | None) -> dict[str, int]:
+    if not spec:
+        return {}
+    out = {}
+    for part in spec.split(","):
+        tier, _, days = part.strip().partition("=")
+        out[tier] = int(days)
+    return out
 
 
 def main(argv=None) -> None:
@@ -137,11 +153,22 @@ def main(argv=None) -> None:
         )
         from tablecloth_time_spark.plans.snapshots import SnapshotTable
 
+        retention = _parse_retention(args.retention)
+
+        def derive_text_len(df):
+            if "text_len" not in df.columns and "text" in df.columns:
+                return df.withColumn("text_len", F.length("text").cast("long"))
+            return df
+
         src = SnapshotTable(spark, args.source_table)
         ca = ContinuousAggregate(
             spark, src, args.output, [args.key], args.ts_col, DEFAULT_AGGS,
-            tiers=tuple(TierSpec(t, *TIER_UNITS[t]) for t in tiers),
+            tiers=tuple(
+                TierSpec(t, *TIER_UNITS[t], retention_days=retention.get(t))
+                for t in tiers
+            ),
             order_cols=order_cols,
+            prepare=derive_text_len,
         )
         run = ca.refresh()
         report["run"] = {
@@ -161,10 +188,19 @@ def main(argv=None) -> None:
 
         if not args.as_of:
             raise SystemExit("expire mode requires --as-of YYYY-MM-DD")
+        retention = _parse_retention(args.retention)
+        if not retention:
+            raise SystemExit(
+                "expire mode requires --retention (e.g. 'minute=90,hour=365')"
+                " — without it every tier is kept forever and expiry is a noop"
+            )
         src = SnapshotTable(spark, args.source_table or args.output)
         ca = ContinuousAggregate(
             spark, src, args.output, [args.key], args.ts_col, DEFAULT_AGGS,
-            tiers=tuple(TierSpec(t, *TIER_UNITS[t]) for t in tiers),
+            tiers=tuple(
+                TierSpec(t, *TIER_UNITS[t], retention_days=retention.get(t))
+                for t in tiers
+            ),
             order_cols=order_cols,
         )
         report["expired"] = ca.expire(args.as_of)

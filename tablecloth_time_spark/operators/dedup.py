@@ -160,6 +160,12 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         df, text_col, id_col, n_hashes, shingle_words, seed
     )
+    # docs with NO shingles (shorter than the shingle size) all share the
+    # sentinel signature: banding them would collapse every short doc into
+    # one bucket (O(n^2) candidates) and report unrelated short docs as
+    # jaccard-1.0 duplicates. They are non-comparable at this granularity —
+    # route them to exact_dedup instead.
+    sig = sig.filter(F.element_at("__sig", 1) != -1)
 
     # band join carries ONLY (id, band key): candidate volume is ids, never
     # shingle arrays (16 bands would otherwise ship every shingle set 16x)
@@ -243,7 +249,9 @@ def simhash_signatures(
         ).alias(f"__b{i}")
         for i in range(64)
     ]
-    agg = exploded.groupBy("__id").agg(*sums)
+    agg = exploded.groupBy("__id").agg(
+        *sums, F.count("__s").alias("__n_shingles")
+    )
     sim = F.lit(0).cast("long")
     for i in range(64):
         weight = (1 << i) if i < 63 else -(1 << 63)
@@ -253,7 +261,7 @@ def simhash_signatures(
                 F.lit(weight).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
         )
-    return agg.select("__id", sim.alias("__sim"))
+    return agg.select("__id", sim.alias("__sim"), "__n_shingles")
 
 
 def simhash_pairs(
@@ -270,7 +278,11 @@ def simhash_pairs(
     least one exact band (pigeonhole); larger max_hamming trades recall.
     """
     bits_per = 64 // bands
-    sigs = simhash_signatures(df, text_col, id_col, shingle_words)
+    # shingle-less docs share the degenerate all-ones signature; banding
+    # them would pair every short doc with every other (see minhash note)
+    sigs = simhash_signatures(df, text_col, id_col, shingle_words).filter(
+        F.col("__n_shingles") > 0
+    )
     banded = sigs.select(
         "__id",
         "__sim",
@@ -317,7 +329,7 @@ def pairs_to_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over a near-dup pair table -> (id, cluster_id).
 
@@ -338,6 +350,7 @@ def pairs_to_clusters(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -353,7 +366,10 @@ def pairs_to_clusters(
                 ).alias("label"),
             )
         )
-        # convergence check: any label still shrinking?
+        # localCheckpoint FIRST (truncates per-iteration lineage), then run
+        # the convergence check against the materialized frame — otherwise
+        # the round's joins execute twice
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -361,11 +377,16 @@ def pairs_to_clusters(
             .limit(1)
             .count()
         )
-        # localCheckpoint: truncate the per-iteration plan so the lineage
-        # (and codegen) doesn't grow linearly with rounds
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"pairs_to_clusters did not converge in {max_iter} rounds — a "
+            "component's diameter exceeds max_iter; raise max_iter (rounds "
+            "needed = longest chain of near-dup pairs)"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -387,7 +408,7 @@ def ngram_jaccard_pairs(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("__id"),
         char_ngrams(normalize_text(text_col), n).alias("__grams"),
-    )
+    ).filter(F.size("__grams") > 0)  # empty gram sets are non-comparable
     a, b = g.alias("a"), g.alias("b")
     return (
         a.join(

@@ -13,9 +13,13 @@ Design (scale-first):
 - **Dirty-partition rewrite, never full rewrite.** Tier state is
   partitioned by ``p_date = date(bucket)``. An increment touches only the
   (conv_id, bucket) groups it contains; only the p_date partitions holding
-  those buckets are read back, merged, and replaced via Spark's dynamic
-  partition overwrite. At 10^12 turns with a 30-day hot window, a daily
-  increment rewrites ~1/365th of each tier, not the tier.
+  those buckets are read back, merged, STAGED to a side directory, and
+  committed by per-partition renames (stage-and-swap). The staged output is
+  the absolute new partition content, so replaying the commit after a crash
+  is idempotent — an increment can never merge into live state twice. At
+  10^12 turns with a 30-day hot window, a daily increment rewrites ~1/365th
+  of each tier, not the tier. (On real Iceberg, stage-and-swap becomes the
+  table format's atomic metadata commit.)
 - **One scan for all tiers.** The increment is partially aggregated once at
   the finest tier; coarser tiers re-merge those partials (sums of sums) —
   the same cascade as operators/rollup.rollup_cascade.
@@ -94,6 +98,7 @@ class ContinuousAggregate:
         tiers: tuple[TierSpec, ...] = DEFAULT_TIERS,
         order_cols: list[str] | None = None,
         compress: CompressSpec | None = None,
+        prepare=None,
     ):
         self.spark = spark
         self.source = source
@@ -104,6 +109,9 @@ class ContinuousAggregate:
         self.tiers = tuple(sorted(tiers, key=lambda t: _width_ms(t)))
         self.order_cols = order_cols or [ts_col]
         self.compress = compress
+        # optional DataFrame -> DataFrame hook applied to every increment
+        # before aggregation (derive columns the aggs need, e.g. text_len)
+        self.prepare = prepare
         os.makedirs(root, exist_ok=True)
 
     # -- manifest -----------------------------------------------------------
@@ -196,6 +204,8 @@ class ContinuousAggregate:
             m["last_snapshot"] = current
             self._commit_manifest(m)
             return run
+        if self.prepare is not None:
+            inc = self.prepare(inc)
         finest = self.tiers[0]
         finest_partial = partial_rollup(
             inc, self.keys, self.ts_col, finest.interval, finest.unit,
@@ -204,11 +214,28 @@ class ContinuousAggregate:
         rows_in = inc.count()
 
         for tier in self.tiers:
-            if run["tiers"].get(tier.name, {}).get("status") == "completed":
+            info = run["tiers"].get(tier.name, {})
+            if info.get("status") == "completed":
                 continue  # resume: this tier's merge already landed
-            info = self._refresh_tier(tier, finest_partial)
-            info["status"] = "completed"
+            if info.get("status") == "staged":
+                # resume mid-commit: the staged output is the FULL new
+                # content of the dirty partitions (not a delta), so
+                # replaying the swap is idempotent — no double count
+                self._swap_tier(tier.name, info)
+                info["status"] = "completed"
+                self._commit_manifest(m)
+                continue
+            info = self._stage_tier(tier, finest_partial, run_id)
+            info["status"] = "staged"
             run["tiers"][tier.name] = info
+            self._commit_manifest(m)
+            if fail_after_tier == f"stage:{tier.name}":
+                finest_partial.unpersist()
+                raise RuntimeError(
+                    f"injected failure after staging tier {tier.name}"
+                )
+            self._swap_tier(tier.name, info)
+            info["status"] = "completed"
             self._commit_manifest(m)
             if fail_after_tier == tier.name:
                 finest_partial.unpersist()
@@ -225,14 +252,20 @@ class ContinuousAggregate:
         self._commit_manifest(m)
         return run
 
-    def _refresh_tier(self, tier: TierSpec, finest_partial: DataFrame) -> dict:
+    def _stage_tier(
+        self, tier: TierSpec, finest_partial: DataFrame, run_id: str
+    ) -> dict:
+        """Write the FULL new content of every dirty partition to a staging
+        dir. Staging (expensive, recomputable) is separated from the commit
+        (_swap_tier: cheap, idempotent directory renames) so a crash at any
+        point either recomputes the stage or replays the swap — the
+        increment can never be merged into live state twice."""
         new_partial = merge_partials(
             finest_partial, self.keys, self.aggs,
             rebucket=(tier.interval, tier.unit),
         ).withColumn(P_DATE, F.date_format(BUCKET, "yyyy-MM-dd"))
 
         dirty = [r[0] for r in new_partial.select(P_DATE).distinct().collect()]
-        path = self._tier_path(tier.name)
         if self._tier_exists(tier.name):
             old = self._read_state(tier.name).filter(F.col(P_DATE).isin(dirty))
             merged = merge_partials(
@@ -240,29 +273,48 @@ class ContinuousAggregate:
                 self.keys,
                 self.aggs,
             ).withColumn(P_DATE, F.date_format(BUCKET, "yyyy-MM-dd"))
-            # the merge reads the same path it overwrites; localCheckpoint
-            # materializes the (dirty-partition-sized) result and truncates
-            # the file-source lineage so the dynamic overwrite is legal
-            merged = merged.localCheckpoint(eager=True)
         else:
             merged = new_partial
 
-        # per-partition lineage before the write (small: one row per day)
+        staged_path = self._tier_path(tier.name) + f".staging-{run_id}"
+        (
+            merged.write.mode("overwrite").partitionBy(P_DATE).parquet(staged_path)
+        )
+        # per-partition lineage from the staged files (one row per day)
         part_counts = {
             r[0]: r[1]
-            for r in merged.groupBy(P_DATE).count().collect()
+            for r in self.spark.read.parquet(staged_path)
+            .groupBy(F.col(P_DATE).cast("string").alias(P_DATE))
+            .count()
+            .collect()
         }
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(P_DATE)
-            .parquet(path)
-        )
         return {
+            "staged_path": staged_path,
             "dirty_partitions": sorted(dirty),
             "partition_rows": part_counts,
             "rows_out": int(sum(part_counts.values())),
         }
+
+    def _swap_tier(self, tier_name: str, info: dict) -> None:
+        """Commit staged partitions into live state: remove + rename per
+        dirty partition. Idempotent — a partition whose staged dir is gone
+        and whose live dir exists was already swapped."""
+        staged = info["staged_path"]
+        path = self._tier_path(tier_name)
+        os.makedirs(path, exist_ok=True)
+        for d in info["dirty_partitions"]:
+            src = os.path.join(staged, f"{P_DATE}={d}")
+            dst = os.path.join(path, f"{P_DATE}={d}")
+            if os.path.exists(src):
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                os.replace(src, dst)
+            elif not os.path.exists(dst):
+                raise RuntimeError(
+                    f"tier {tier_name} partition {d}: neither staged nor "
+                    f"live data present — staging dir was removed externally"
+                )
+        shutil.rmtree(staged, ignore_errors=True)
 
     def _refresh_blocks(self, run: dict) -> dict:
         """Recompress the compress-tier's dirty partitions into blocks."""

@@ -63,7 +63,10 @@ class SnapshotTable:
         snaps = self.snapshots()
         new_id = (snaps[-1]["id"] + 1) if snaps else 1
         out_dir = os.path.join(self.root, "data", f"snap-{new_id}")
-        df.write.mode("errorifexists").parquet(out_dir)
+        # overwrite, not errorifexists: a crash between a previous write and
+        # its log commit leaves an orphan snap-<id> dir the log never
+        # references; clobbering it is safe and un-wedges append forever
+        df.write.mode("overwrite").parquet(out_dir)
         files = sorted(
             os.path.join(out_dir, f)
             for f in os.listdir(out_dir)

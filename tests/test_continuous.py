@@ -143,6 +143,37 @@ def test_crash_resume_is_exact(spark, tmp_path, batches):
         _assert_tier_equal(ca.read_tier(t.name), _expected_tier(full, t.interval, t.unit))
 
 
+def test_crash_between_stage_and_swap_is_exact(spark, tmp_path, batches):
+    """The worst crash window: a tier's staged output is written but not
+    committed. Resume must replay the swap (staged content is absolute,
+    not a delta) — never re-merge the increment."""
+    df1, df2 = batches
+    src, ca = _make_ca(spark, str(tmp_path / "src"), str(tmp_path / "agg"))
+    src.append(df1)
+    ca.refresh()
+
+    src.append(df2)
+    with pytest.raises(RuntimeError, match="staging tier hour"):
+        ca.refresh(fail_after_tier="stage:hour")  # minute committed, hour staged
+
+    m = ca.manifest()
+    incomplete = [r for r in m["runs"] if r["status"] != "completed"][0]
+    assert incomplete["tiers"]["hour"]["status"] == "staged"
+
+    run = ca.refresh()
+    assert run["status"] == "completed"
+    full = df1.unionByName(df2)
+    for t in TIERS:
+        _assert_tier_equal(ca.read_tier(t.name), _expected_tier(full, t.interval, t.unit))
+    # staging dirs cleaned up
+    import os
+
+    assert not [
+        p for p in os.listdir(str(tmp_path / "agg" / "tiers"))
+        if ".staging-" in p
+    ]
+
+
 def test_crash_then_new_snapshot_no_double_count(spark, tmp_path, batches):
     """A crashed run's range stays pinned: a snapshot appended after the
     crash must NOT widen the resume range (which would re-merge tiers the

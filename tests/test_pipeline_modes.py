@@ -18,7 +18,9 @@ from tablecloth_time_spark.plans.snapshots import SnapshotTable
 @pytest.fixture()
 def snap_source(spark, transcripts_df, tmp_path):
     src = SnapshotTable(spark, str(tmp_path / "src"))
-    src.append(transcripts_df.withColumn("text_len", F.length("text").cast("long")))
+    # RAW input_hint schema (no text_len): the pipeline's prepare hook must
+    # derive it, same as full mode does
+    src.append(transcripts_df)
     return src, str(tmp_path)
 
 
@@ -61,16 +63,35 @@ def test_expire_mode(spark, snap_source, transcripts_df, capsys):
     )
     capsys.readouterr()
     max_date = transcripts_df.agg(F.max(F.to_date("ts"))).collect()[0][0]
-    # default TIER_UNITS have no retention in run_pipeline's DEFAULT setup;
-    # expire still runs and reports (possibly empty) per-tier drops
     pipeline_main(
         [
             "expire",
             "--source-table", src.root,
             "--output", f"{base}/agg",
             "--tiers", "minute,hour",
+            "--retention", "minute=5",
             "--as-of", str(max_date),
         ]
     )
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert "expired" in report
+    # transcripts span ~30+ days; a 5-day minute retention drops partitions
+    assert report["expired"]["minute"]
+    assert "hour" not in report["expired"]  # no retention -> kept forever
+    import datetime as dt
+
+    horizon = max_date - dt.timedelta(days=5)
+    remaining = spark.read.parquet(f"{base}/agg/tiers/minute")
+    assert remaining.filter(F.to_date("bucket") < str(horizon)).count() == 0
+    assert remaining.count() > 0
+
+    # expire without --retention is refused, not a silent noop
+    with pytest.raises(SystemExit, match="retention"):
+        pipeline_main(
+            [
+                "expire",
+                "--source-table", src.root,
+                "--output", f"{base}/agg",
+                "--tiers", "minute,hour",
+                "--as-of", str(max_date),
+            ]
+        )
