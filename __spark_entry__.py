@@ -517,6 +517,87 @@ FROM b
 """
 
 
+def q_convert_time_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert-time's 4-way dispatch in one projection: temporal->epoch
+    (multiple units), epoch->epoch numeric rescaling (reference
+    column/api.clj:64-70, golden days->hours *24), explicit-zone
+    temporal->epoch (api_test.clj:21-28 Berlin), epoch->temporal back."""
+    ev = _t(spark, sf_dir, "events")
+    ed = T.convert_time("ts", "epoch-days")
+    eh = T.convert_time("ts", "epoch-hours")
+    return ev.select(
+        "event_id",
+        ed.alias("ed"),
+        T.convert_time(ed, "epoch-hours", source_unit="epoch-days").alias("ed_hours"),
+        eh.alias("eh"),
+        T.convert_time(eh, "epoch-days", source_unit="epoch-hours").alias("eh_days"),
+        T.convert_time(eh, "epoch-milliseconds", source_unit="epoch-hours").alias(
+            "eh_ms"
+        ),
+        T.convert_time("ts", "epoch-milliseconds", zone="Europe/Berlin").alias(
+            "berlin_ms"
+        ),
+        F.date_format(
+            T.convert_time(ed, "date", source_unit="epoch-days"), "yyyy-MM-dd"
+        ).alias("day_back"),
+        T.convert_time(
+            T.convert_time("ts", "epoch-milliseconds"),
+            "timestamp",
+            source_unit="epoch-millis",
+        ).alias("ts_back"),
+    )
+
+
+SQL_CONVERT_TIME_UNITS = """
+WITH b AS (
+  SELECT event_id,
+         CAST(ts AS TIMESTAMP) AS tss,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+  FROM events
+)
+SELECT event_id,
+       CAST(datediff('day', DATE '1970-01-01', CAST(tss AS DATE)) AS BIGINT) AS ed,
+       CAST(datediff('day', DATE '1970-01-01', CAST(tss AS DATE)) * 24 AS BIGINT)
+         AS ed_hours,
+       CAST(ms // 3600000 AS BIGINT) AS eh,
+       CAST(ms // 3600000 // 24 AS BIGINT) AS eh_days,
+       CAST((ms // 3600000) * 3600000 AS BIGINT) AS eh_ms,
+       epoch_ms(timezone('Europe/Berlin', tss)) AS berlin_ms,
+       strftime(CAST(tss AS DATE), '%Y-%m-%d') AS day_back,
+       make_timestamp(ms * 1000) AS ts_back
+FROM b
+"""
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, source,
+         list_distinct([substring(norm, i, 3) for i in range(1, length(norm)-1)]) AS g
+  FROM (SELECT doc_id, source,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents WHERE doc_id < 250)
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE ROUND(len(list_intersect(a.g, b.g)) * 1.0
+              / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.62
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+walk(node, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.reach FROM edges e JOIN walk w ON w.node = e.dst
+)
+SELECT node AS id, MIN(reach) AS cluster_id FROM walk GROUP BY node
+"""
+
+
 def q_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pivot->wider (host-library recipe): daily event counts, one column
     per event type."""
@@ -863,9 +944,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over n-gram near-dup pairs (iterative label
-    propagation -> not SQL-expressible; rows-only check, union-find oracle
-    in tests)."""
+    """Connected components over n-gram near-dup pairs (iterative min-label
+    propagation). Input pairs are deterministic (the oracle-checked
+    ngram_jaccard_pairs), and min-label CC is a recursive reachability CTE
+    in DuckDB -> full oracle check."""
     from tablecloth_time_spark.operators.dedup import pairs_to_clusters
 
     pairs = q_ngram_jaccard_pairs(spark, sf_dir)
@@ -890,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_ffill": q_gapfill_ffill,
         "acf_hourly": q_acf_hourly,
         "timeops_misc": q_timeops_misc,
+        "convert_time_units": q_convert_time_units,
         "pivot_daily_types": q_pivot_daily_types,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -925,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_ffill": SQL_GAPFILL_FFILL,
         "acf_hourly": SQL_ACF_HOURLY,
         "timeops_misc": SQL_TIMEOPS_MISC,
+        "convert_time_units": SQL_CONVERT_TIME_UNITS,
         "pivot_daily_types": SQL_PIVOT_DAILY_TYPES,
         "text_stats": SQL_TEXT_STATS,
         "lang_id": SQL_LANG_ID,
@@ -932,6 +1016,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "embedding_topk": SQL_EMBEDDING_TOPK,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         # minhash_dedup / simhash_dedup / lsh_ann_topk / media_features:
         # hash-seeded or approximate by design -> rows-only driver check;
         # exact semantics pinned in tests/test_training_ops.py

@@ -67,29 +67,204 @@ def to_epoch_days(col: Column | str) -> Column:
     return F.datediff(_c(col).cast("date"), F.lit(EPOCH_DATE).cast("date")).cast("long")
 
 
-def convert_time(col: Column | str, target: str) -> Column:
+# nanoseconds per epoch unit (nanos base keeps every factor an int64 and
+# every realistic date in-range, same ~year-2262 ceiling as pandas)
+_EPOCH_NANOS: dict[str, int] = {
+    "nanosecond": 1,
+    "microsecond": 1_000,
+    "millisecond": 1_000_000,
+    "second": 10**9,
+    "minute": 60 * 10**9,
+    "hour": 3_600 * 10**9,
+    "day": 86_400 * 10**9,
+    "week": 7 * 86_400 * 10**9,
+}
+
+_EPOCH_UNIT_ALIASES: dict[str, str] = {}
+for _u in _EPOCH_NANOS:
+    for _alias in (_u, _u + "s", f"epoch-{_u}", f"epoch-{_u}s"):
+        _EPOCH_UNIT_ALIASES[_alias] = _u
+_EPOCH_UNIT_ALIASES.update(
+    {
+        "epoch-ns": "nanosecond",
+        "epoch-us": "microsecond",
+        "epoch-micros": "microsecond",
+        "epoch-ms": "millisecond",
+        "epoch-millis": "millisecond",
+        "epoch-s": "second",
+        "epoch-sec": "second",
+        "epoch-min": "minute",
+        "epoch-h": "hour",
+        "epoch-hr": "hour",
+        "epoch-d": "day",
+        "epoch-w": "week",
+    }
+)
+
+
+def normalize_epoch_unit(unit: str) -> str:
+    key = unit.strip().lower().replace("_", "-")
+    if key not in _EPOCH_UNIT_ALIASES:
+        raise ValueError(f"unsupported epoch unit: {unit!r}")
+    return _EPOCH_UNIT_ALIASES[key]
+
+
+def epoch_rescale(col: Column | str, from_unit: str, to_unit: str) -> Column:
+    """Rescale an integer epoch column between epoch units (pure int math).
+
+    Mirrors the reference's [:epoch :epoch] branch of convert-time
+    (src/tablecloth/time/column/api.clj:64-70: multiply by the ratio of the
+    units' microsecond factors; golden: epoch-days -> epoch-hours is *24,
+    test/tablecloth/time/column/api_test.clj:46-57). Coarsening divisions
+    (e.g. hours -> days) truncate toward zero, consistent with the engine's
+    other epoch integers (epoch_week).
+    """
+    f = _EPOCH_NANOS[normalize_epoch_unit(from_unit)]
+    t = _EPOCH_NANOS[normalize_epoch_unit(to_unit)]
+    c = _c(col).cast("long")
+    if f == t:
+        return c
+    if f % t == 0:  # coarser -> finer: exact multiply
+        return c * F.lit(f // t)
+    if t % f == 0:  # finer -> coarser: truncating divide (no overflow)
+        return (c / F.lit(t // f)).cast("long")
+    return (c * F.lit(f) / F.lit(t)).cast("long")
+
+
+_EPOCH_TARGETS = {
+    "epoch-nanoseconds": "nanosecond",
+    "epoch-nanos": "nanosecond",
+    "epoch-ns": "nanosecond",
+    "epoch-microseconds": "microsecond",
+    "epoch-micros": "microsecond",
+    "epoch-us": "microsecond",
+    "epoch-milliseconds": "millisecond",
+    "epoch-millis": "millisecond",
+    "epoch-ms": "millisecond",
+    "epoch-seconds": "second",
+    "epoch-s": "second",
+    "epoch-minutes": "minute",
+    "epoch-hours": "hour",
+    "epoch-hour": "hour",
+    "epoch-days": "day",
+    "epoch-day": "day",
+    "epoch-weeks": "week",
+    "epoch-week": "week",
+}
+
+_TEMPORAL_TS_TARGETS = (
+    "timestamp",
+    "instant",
+    "zoned-date-time",
+    "local-date-time",
+    "zdt",
+    "ldt",
+)
+_TEMPORAL_DATE_TARGETS = ("date", "local-date")
+
+
+def _epoch_to_timestamp(c: Column, unit: str) -> Column:
+    """Integer epoch values in `unit` -> timestamp (sub-micro truncates)."""
+    nanos = _EPOCH_NANOS[unit]
+    if nanos >= 1_000:
+        return F.timestamp_micros((c.cast("long") * F.lit(nanos // 1_000)))
+    return F.timestamp_micros((c.cast("long") / F.lit(1_000)).cast("long"))
+
+
+def convert_time(
+    col: Column | str,
+    target: str,
+    source_unit: str | None = None,
+    zone: str | None = None,
+) -> Column:
     """Convert among temporal and epoch representations.
 
-    Targets: 'timestamp', 'date', 'epoch-milliseconds', 'epoch-microseconds',
-    'epoch-seconds', 'epoch-days'. Mirrors the reference's 4-way category
-    dispatch (temporal<->epoch), UTC-pinned via the session timezone.
+    Targets: 'timestamp', 'date', 'epoch-{nanoseconds,microseconds,
+    milliseconds,seconds,minutes,hours,days,weeks}'. Mirrors the reference's
+    4-way category dispatch (src/tablecloth/time/column/api.clj:30-84):
+
+    - temporal -> temporal / temporal -> epoch: pass ``source_unit=None``;
+    - epoch -> anything: the source unit is NOT inferable from an integer
+      column, so pass ``source_unit=`` ('epoch-days', 'epoch-millis', ...).
+      epoch -> epoch is pure integer rescaling (``epoch_rescale``); feeding
+      a raw epoch long without ``source_unit`` through the temporal path
+      would silently mis-cast (Spark casts long -> timestamp as SECONDS) —
+      use :func:`convert_time_column` for the dtype-checked form that raises.
+    - ``zone`` applies when a *calendar-local* value meets an instant-like
+      one (reference api.clj:49-59): temporal-source + epoch target
+      interprets the local wall time in ``zone`` (golden: LocalDate
+      1970-01-01 @ Europe/Berlin -> -3,600,000 ms,
+      test/tablecloth/time/column/api_test.clj:21-28); epoch-source +
+      date target renders the instant's wall date in ``zone``.
+
     Durations/intervals are intentionally unsupported, as in the reference.
     """
     t = target.strip().lower().replace("_", "-")
     c = _c(col)
-    if t in ("timestamp", "instant", "zoned-date-time", "local-date-time", "zdt", "ldt"):
-        return c.cast("timestamp")
-    if t in ("date", "local-date"):
+
+    if source_unit is not None:
+        src = normalize_epoch_unit(source_unit)
+        if t in _EPOCH_TARGETS:
+            return epoch_rescale(c, src, _EPOCH_TARGETS[t])
+        ts = _epoch_to_timestamp(c, src)
+        if zone is not None:
+            ts = F.from_utc_timestamp(ts, zone)
+        if t in _TEMPORAL_TS_TARGETS:
+            return ts
+        if t in _TEMPORAL_DATE_TARGETS:
+            return ts.cast("date")
+        raise ValueError(f"unsupported time conversion target: {target!r}")
+
+    if t in _TEMPORAL_TS_TARGETS:
+        ts = c.cast("timestamp")
+        return F.to_utc_timestamp(ts, zone) if zone is not None else ts
+    if t in _TEMPORAL_DATE_TARGETS:
         return c.cast("date")
-    if t in ("epoch-milliseconds", "epoch-millis", "epoch-ms"):
-        return to_epoch_millis(c)
-    if t in ("epoch-microseconds", "epoch-micros", "epoch-us"):
-        return to_epoch_micros(c)
-    if t in ("epoch-seconds", "epoch-s"):
-        return to_epoch_seconds(c)
-    if t in ("epoch-days", "epoch-day"):
-        return to_epoch_days(c)
+    if t in _EPOCH_TARGETS:
+        ts = c.cast("timestamp")
+        if zone is not None:
+            ts = F.to_utc_timestamp(ts, zone)
+        unit = _EPOCH_TARGETS[t]
+        if unit == "microsecond":
+            return F.unix_micros(ts)
+        if unit == "nanosecond":
+            return F.unix_micros(ts) * F.lit(1_000)
+        return epoch_rescale(F.unix_micros(ts), "microsecond", unit)
     raise ValueError(f"unsupported time conversion target: {target!r}")
+
+
+def convert_time_column(
+    df,
+    col_name: str,
+    target: str,
+    source_unit: str | None = None,
+    zone: str | None = None,
+) -> Column:
+    """Dtype-checked ``convert_time`` over a named DataFrame column.
+
+    This is where the reference's source-dtype introspection
+    (``classify-datatype``, src/tablecloth/time/column/api.clj:43-46) lands
+    in Spark: with the schema in hand, a numeric column WITHOUT a
+    ``source_unit`` raises instead of silently mis-casting (long ->
+    timestamp would be read as seconds), and a ``source_unit`` on a
+    temporal column is rejected as contradictory.
+    """
+    from pyspark.sql.types import DateType, NumericType, TimestampNTZType, TimestampType
+
+    dtype = df.schema[col_name].dataType
+    numeric = isinstance(dtype, NumericType)
+    temporal = isinstance(dtype, (DateType, TimestampType, TimestampNTZType))
+    if numeric and source_unit is None:
+        raise ValueError(
+            f"column {col_name!r} is numeric ({dtype.simpleString()}): epoch unit is "
+            "ambiguous — pass source_unit= ('epoch-millis', 'epoch-days', ...)"
+        )
+    if temporal and source_unit is not None:
+        raise ValueError(
+            f"column {col_name!r} is temporal ({dtype.simpleString()}); "
+            "source_unit applies only to integer epoch columns"
+        )
+    return convert_time(F.col(col_name), target, source_unit=source_unit, zone=zone)
 
 
 # ---------------------------------------------------------------------------

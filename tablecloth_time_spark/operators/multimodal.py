@@ -202,4 +202,7 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 "duration_ms": int(rng.integers(1000, 8000)) if kind != "image" else None,
             }
         )
-    return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    # Plain row dicts, NOT a pandas frame: pandas coerces the partially-None
+    # width/height columns to float64, which the non-Arrow createDataFrame
+    # verifier path rejects against IntegerType ("can not accept 346.0").
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

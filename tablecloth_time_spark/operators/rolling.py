@@ -39,13 +39,26 @@ def rolling(
     unit: str,
     aggs: dict[str, tuple[str, str]],
     closed_left: bool = True,
+    validate: bool = False,
 ) -> DataFrame:
     """Add trailing time-window aggregates, one value per input row.
 
     ``aggs``: {output_name: (agg_kind, source_col)}. The frame covers
     [ts - width, ts] inclusive (``closed_left=True``) or (ts - width, ts]
     (exclusive left edge).
+
+    ``validate=True`` runs the reference's ensure-time-column pre-flight
+    (operators/validate.py): raises if ``ts_col`` is missing or contains
+    nulls (null ordering keys would silently land in one frame edge). The
+    window itself sorts, so out-of-order input is fine — the check here is
+    the null/existence half of the contract.
     """
+    if validate:
+        from tablecloth_time_spark.operators.validate import ensure_time_column
+
+        ensure_time_column(df, ts_col, sort=False)
+        if df.filter(F.col(ts_col).isNull()).limit(1).count() > 0:
+            raise ValueError(f"rolling: time column {ts_col!r} contains nulls")
     u = normalize_unit(unit)
     width_ms = width * milliseconds_in(u)
     lo = -width_ms if closed_left else -(width_ms - 1)

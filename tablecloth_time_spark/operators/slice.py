@@ -62,6 +62,7 @@ def slice_time(
     time_col: str | Column,
     from_key,
     to_key,
+    validate: bool = False,
 ) -> DataFrame:
     """Inclusive [from, to] selection on a time column.
 
@@ -70,10 +71,29 @@ def slice_time(
     LessThanOrEqual(ts,..)]), pruning parquet files and row groups by
     min/max stats — the distributed analogue of the reference's binary
     search on a sorted column.
+
+    ``validate=True`` runs the reference's is-sorted? pre-flight
+    (reference src/tablecloth/time/api/slice.clj:67-72 ->
+    utils/binary_search.clj:8-25) and raises if the physical layout is not
+    time-sorted. Filter CORRECTNESS never depends on sort order, but
+    row-group min/max skipping does — an unsorted tier table silently
+    degrades to a full scan, which is exactly what the reference's safety
+    contract exists to catch.
     """
     name = time_col if isinstance(time_col, str) else None
     if name is not None and name not in df.columns:
         raise ValueError(f"time column {name!r} not found; columns: {df.columns}")
+    if validate:
+        if name is None:
+            raise ValueError("validate=True requires time_col as a column NAME")
+        from tablecloth_time_spark.operators.validate import is_sorted
+
+        if not is_sorted(df, name):
+            raise ValueError(
+                f"slice_time: {name!r} is not sorted in the physical layout "
+                "(nulls or out-of-order values); sort/write the tier table "
+                "time-ordered, or pass validate=False to slice anyway"
+            )
     c = F.col(name) if name is not None else time_col
 
     lo = parse_key(from_key)

@@ -251,3 +251,77 @@ def test_convert_time_roundtrip(spark):
     assert row["ed"] == (TS("2024-05-17") - TS("1970-01-01")).days
     with pytest.raises(ValueError, match="unsupported time conversion"):
         T.convert_time("ts", "duration")
+
+
+def test_convert_time_epoch_to_epoch_scaling(spark):
+    """Reference golden: epoch-days -> epoch-hours is exact *24 numeric
+    rescaling (test/tablecloth/time/column/api_test.clj:46-57)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"d": pd.to_datetime(["1970-01-01", "1970-01-03", "1969-12-30"])})
+    )
+    rows = df.select(
+        T.convert_time("d", "epoch-days").alias("ed"),
+        T.convert_time(
+            T.convert_time("d", "epoch-days"), "epoch-hours", source_unit="epoch-days"
+        ).alias("eh"),
+    ).collect()
+    for r in rows:
+        assert r["eh"] == r["ed"] * 24
+    assert sorted(r["ed"] for r in rows) == [-2, 0, 2]
+    # finer -> coarser truncates toward zero like epoch_week
+    row = spark.range(1).select(
+        T.epoch_rescale(F.lit(49), "epoch-hours", "epoch-days").alias("a"),
+        T.epoch_rescale(F.lit(-49), "epoch-hours", "epoch-days").alias("b"),
+        T.epoch_rescale(F.lit(3), "epoch-days", "epoch-millis").alias("c"),
+    ).collect()[0]
+    assert (row["a"], row["b"], row["c"]) == (2, -2, 3 * 86_400_000)
+
+
+def test_convert_time_explicit_zone_berlin(spark):
+    """Reference golden: LocalDate 1970-01-01 in Europe/Berlin ->
+    -3,600,000 epoch-millis (test/tablecloth/time/column/api_test.clj:21-28);
+    UTC default stays 0 (api_test.clj:12-19)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"d": pd.to_datetime(["1970-01-01", "1970-01-02"]).date})
+    )
+    rows = (
+        df.select(
+            T.convert_time("d", "epoch-milliseconds").alias("utc_ms"),
+            T.convert_time("d", "epoch-milliseconds", zone="Europe/Berlin").alias(
+                "berlin_ms"
+            ),
+        )
+        .orderBy("utc_ms")
+        .collect()
+    )
+    assert [r["utc_ms"] for r in rows] == [0, 86_400_000]
+    assert [r["berlin_ms"] for r in rows] == [-3_600_000, 86_400_000 - 3_600_000]
+    # epoch -> calendar-local date round-trips through the same zone
+    back = spark.range(1).select(
+        T.convert_time(
+            F.lit(-3_600_000), "date", source_unit="epoch-millis", zone="Europe/Berlin"
+        ).alias("d")
+    ).collect()[0]["d"]
+    assert str(back) == "1970-01-01"
+
+
+def test_convert_time_column_dtype_checked(spark):
+    """Numeric source without source_unit must raise (the old silent
+    long-as-seconds mis-cast); temporal + source_unit is contradictory."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"ms": [86_400_000], "ts": pd.to_datetime(["1970-01-02"])})
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        T.convert_time_column(df, "ms", "timestamp")
+    with pytest.raises(ValueError, match="temporal"):
+        T.convert_time_column(df, "ts", "epoch-days", source_unit="epoch-millis")
+    row = df.select(
+        T.convert_time_column(df, "ms", "timestamp", source_unit="epoch-millis").alias(
+            "ts2"
+        ),
+        T.convert_time_column(df, "ms", "epoch-days", source_unit="epoch-millis").alias(
+            "ed"
+        ),
+    ).collect()[0]
+    assert TS(row["ts2"]) == TS("1970-01-02")
+    assert row["ed"] == 1

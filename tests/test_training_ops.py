@@ -364,6 +364,29 @@ def test_extract_features_deterministic(spark):
         assert r["payload_bytes"] == len(src[mid])
 
 
+def test_synthetic_media_non_arrow_create(spark):
+    """The driver's session may run createDataFrame WITHOUT Arrow; the old
+    pandas-frame construction coerced partially-None width/height to float64
+    and the non-Arrow verifier rejected 346.0 against IntegerType. Pin the
+    plain-row-dict path under both Arrow settings."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        media = MM.synthetic_media(spark, n=12)
+        rows = media.orderBy("media_id").collect()
+        assert len(rows) == 12
+        for r in rows:
+            if r["kind"] == "image":
+                assert isinstance(r["width"], int) and isinstance(r["height"], int)
+                assert r["duration_ms"] is None
+            else:
+                assert r["width"] is None and r["height"] is None
+                assert isinstance(r["duration_ms"], int)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_real_codec_is_gated(spark):
     media = MM.synthetic_media(spark, n=3)
     out = MM.extract_features(media, codec=MM.real_image_decode)

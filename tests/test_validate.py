@@ -1,0 +1,190 @@
+"""is_sorted / ensure_time_column contract, ported from the reference
+(test/tablecloth/time/utils/binary_search_test.clj:6-80)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.operators.validate import ensure_time_column, is_sorted
+
+
+def _df(spark, vals, n_parts=1):
+    pdf = pd.DataFrame({"ts": vals})
+    return spark.createDataFrame(pdf).coalesce(1) if n_parts == 1 else (
+        spark.createDataFrame(pdf).repartitionByRange(n_parts, "ts")
+    )
+
+
+def _seq_df(spark, vals):
+    """Single-partition frame preserving list order (as-stored semantics)."""
+    pdf = pd.DataFrame({"ts": vals})
+    return spark.createDataFrame(pdf).coalesce(1)
+
+
+# --- is-sorted? (binary_search_test.clj:6-30) -------------------------------
+
+
+def test_is_sorted_empty_and_single(spark):
+    empty = spark.createDataFrame([], "ts long")
+    assert is_sorted(empty, "ts") is True
+    assert is_sorted(_seq_df(spark, [1]), "ts") is True
+
+
+def test_is_sorted_sorted_sequences(spark):
+    assert is_sorted(_seq_df(spark, [1, 2, 3, 4, 5]), "ts") is True
+    assert is_sorted(_seq_df(spark, [1, 2]), "ts") is True
+    assert is_sorted(_seq_df(spark, [-5, -2, 0, 1, 3]), "ts") is True
+
+
+def test_is_sorted_duplicates_ok(spark):
+    assert is_sorted(_seq_df(spark, [1, 2, 2, 3]), "ts") is True
+    assert is_sorted(_seq_df(spark, [1, 1, 1, 1]), "ts") is True
+    assert is_sorted(_seq_df(spark, [1, 2, 2, 2, 3, 3, 4]), "ts") is True
+
+
+def test_is_sorted_unsorted(spark):
+    assert is_sorted(_seq_df(spark, [1, 3, 2, 4]), "ts") is False
+    assert is_sorted(_seq_df(spark, [2, 1]), "ts") is False
+    assert is_sorted(_seq_df(spark, [1, 2, 3, 5, 4]), "ts") is False
+    assert is_sorted(_seq_df(spark, [5, 4, 3, 2, 1]), "ts") is False
+    assert is_sorted(_seq_df(spark, [5, 4, 3, 2, 1]), "ts", direction="descending") is True
+
+
+def test_is_sorted_long_sequences_multipartition(spark):
+    df = spark.range(1000).select(F.col("id").alias("ts")).repartitionByRange(8, "ts")
+    df = df.sortWithinPartitions("ts")
+    assert is_sorted(df, "ts") is True
+    rev = spark.range(1000).select((999 - F.col("id")).alias("ts"))
+    rev = rev.repartitionByRange(8, "ts").sortWithinPartitions(F.col("ts").desc())
+    assert is_sorted(rev, "ts") is False
+    allsame = spark.range(100).select(F.lit(5).alias("ts")).repartition(4)
+    assert is_sorted(allsame, "ts") is True
+
+
+def test_is_sorted_cross_partition_boundary_violation(spark):
+    # each partition internally sorted, but ranges interleave -> not sorted
+    a = _seq_df(spark, [10, 20, 30])
+    b = _seq_df(spark, [15, 25, 35])
+    assert is_sorted(a.union(b), "ts") is False
+
+
+def test_is_sorted_nulls_false(spark):
+    pdf = pd.DataFrame({"ts": pd.array([1, None, 3], dtype="Int64")})
+    assert is_sorted(spark.createDataFrame(pdf).coalesce(1), "ts") is False
+
+
+def test_is_sorted_timestamps(spark):
+    ts = pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"])
+    assert is_sorted(_seq_df(spark, ts), "ts") is True
+    assert is_sorted(_seq_df(spark, ts[::-1]), "ts") is False
+
+
+def test_is_sorted_per_key(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a", "b", "b"],
+            "turn_idx": [0, 1, 2, 0, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-05", "2024-01-04"]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    assert is_sorted(df, "ts", partition_by="conv_id", order_by="turn_idx") is False
+    good = df.filter("conv_id = 'a'")
+    assert is_sorted(good, "ts", partition_by="conv_id", order_by="turn_idx") is True
+    with pytest.raises(ValueError, match="order_by"):
+        is_sorted(df, "ts", partition_by="conv_id")
+
+
+# --- ensure-time-column (binary_search_test.clj:32-80) ----------------------
+
+
+def test_ensure_missing_column_raises(spark):
+    df = _seq_df(spark, [1, 2, 3]).withColumnRenamed("ts", "a")
+    with pytest.raises(ValueError, match="Time column not found"):
+        ensure_time_column(df, "ts")
+
+
+def test_ensure_already_sorted_passthrough(spark):
+    df = _seq_df(spark, [1, 2, 3])
+    res = ensure_time_column(df, "ts")
+    assert res.sorted is True
+    assert res.df is df
+    assert res.time_col == "ts"
+
+
+def test_ensure_auto_sorts_whole_rows(spark):
+    pdf = pd.DataFrame({"ts": [3, 1, 2], "x": [30, 10, 20]})
+    df = spark.createDataFrame(pdf).coalesce(1)
+    res = ensure_time_column(df, "ts")
+    assert res.sorted is True
+    rows = [
+        (r["ts"], r["x"])
+        for r in res.df.select("ts", "x").toLocalIterator()
+    ]
+    assert rows == [(1, 10), (2, 20), (3, 30)]
+    assert is_sorted(res.df, "ts") is True
+
+
+def test_ensure_sort_false_leaves_unsorted(spark):
+    df = _seq_df(spark, [3, 1, 2])
+    res = ensure_time_column(df, "ts", sort=False)
+    assert res.sorted is False
+    assert res.df is df
+
+
+def test_ensure_sorted_hint_trusted(spark):
+    df = _seq_df(spark, [3, 2, 1])
+    res = ensure_time_column(df, "ts", sorted=True)
+    assert res.sorted is True
+    assert res.df is df  # no resort, caller trusted
+
+
+def test_slice_validate_preflight(spark):
+    from tablecloth_time_spark.operators.slice import slice_time
+
+    ts = pd.to_datetime(["2024-01-01", "2024-01-03", "2024-01-02"])
+    bad = _seq_df(spark, ts)
+    with pytest.raises(ValueError, match="not sorted"):
+        slice_time(bad, "ts", "2024-01-01", "2024-01-02", validate=True)
+    good = _seq_df(spark, ts.sort_values())
+    out = slice_time(good, "ts", "2024-01-01", "2024-01-02", validate=True)
+    assert out.count() == 2
+
+
+def test_rolling_validate_preflight(spark):
+    from tablecloth_time_spark.operators.rolling import rolling
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a"],
+            "ts": pd.to_datetime(["2024-01-01", pd.NaT]),
+            "v": [1.0, 2.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="nulls"):
+        rolling(df, ["k"], "ts", 1, "hour", {"s": ("sum", "v")}, validate=True)
+    with pytest.raises(ValueError, match="Time column not found"):
+        rolling(df, ["k"], "nope", 1, "hour", {"s": ("sum", "v")}, validate=True)
+
+
+def test_ensure_per_key_layout(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["b", "a", "a", "b"],
+            "turn_idx": [1, 1, 0, 0],
+            "ts": pd.to_datetime(
+                ["2024-01-04", "2024-01-02", "2024-01-01", "2024-01-03"]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    res = ensure_time_column(df, "ts", partition_by="conv_id", order_by="turn_idx")
+    assert res.sorted is True
+    assert (
+        is_sorted(res.df, "ts", partition_by="conv_id", order_by="turn_idx") is True
+    )
