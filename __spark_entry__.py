@@ -635,14 +635,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tablecloth_time_spark.functions import text as TX
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # df-level single-tokenize form: one regexp_replace + one split in the
+    # optimized plan (vs once per metric with the raw expression helpers)
+    m = TX.add_text_metrics(docs, "text")
+    return m.select(
         "doc_id",
-        TX.token_count_ws("text").alias("ws_tokens"),
-        TX.token_count_bpe("text").alias("bpe_tokens"),
-        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        F.round(TX.mean_word_len("text"), 6).alias("mean_word_len"),
-        F.round(TX.quality_score("text"), 6).alias("quality"),
+        "ws_tokens",
+        "bpe_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("quality_score", 6).alias("quality"),
     )
 
 

@@ -160,11 +160,10 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed(
         "text_stats_documents",
-        lambda: docs.select(
-            TX.token_count_bpe("text").alias("bpe"),
-            TX.quality_score("text").alias("q"),
-            TX.lang_id("text").alias("lang"),
-        ).agg(F.sum("bpe"), F.avg("q")).collect(),
+        lambda: TX.add_text_metrics(docs, "text")
+        .withColumn("lang", TX.lang_id("text"))
+        .agg(F.sum("bpe_tokens"), F.avg("quality_score"), F.count("lang"))
+        .collect(),
     )
     timed(
         "minhash_dedup_documents",

@@ -136,6 +136,62 @@ def quality_score(c: str | Column) -> Column:
     ).alias("quality_score")
 
 
+def add_text_metrics(df, text_col: str = "text", drop_intermediate: bool = True):
+    """Append the text-quality metric columns with ONE tokenize pass.
+
+    The pure-expression helpers above (stopword_ratio, mean_word_len,
+    quality_score) each rebuild normalize+tokenize when composed in a
+    single projection — Catalyst sees distinct expression trees, so the
+    regex pipeline runs once PER METRIC (~5-11x measured in the optimized
+    plan). This df-level form layers explicit ``__norm`` / ``__toks``
+    projections; CollapseProject refuses to merge a non-cheap alias that
+    the consumer references more than once, so the normalize regex and the
+    split each appear exactly once in the optimized plan (verified by
+    tests/test_plan_shapes.py). At full-corpus scale that 5x on every
+    document scan is the difference between one regex pass and five.
+
+    Appends: ws_tokens, bpe_tokens, punct_ratio, digit_ratio,
+    stopword_ratio, mean_word_len, quality_score — values bit-identical to
+    the expression helpers (the DuckDB oracle for text_stats pins this).
+    """
+    s = _col(text_col)
+    step = df.withColumn("__norm", normalize_text(s))
+    # __norm is trimmed with runs collapsed to single spaces, so a literal
+    # single-space split reproduces tokens_ws(normalize_text(s))
+    step = step.withColumn(
+        "__toks",
+        F.when(F.col("__norm") == "", F.array().cast("array<string>")).otherwise(
+            F.split(F.col("__norm"), " ")
+        ),
+    )
+    toks = F.col("__toks")
+    ntoks = F.greatest(F.size(toks), F.lit(1))
+    step = step.withColumns(
+        {
+            "ws_tokens": F.size(toks).cast("long"),
+            "bpe_tokens": token_count_bpe(s),
+            "punct_ratio": punct_ratio(s),
+            "digit_ratio": digit_ratio(s),
+            "stopword_ratio": F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+            / ntoks,
+            "mean_word_len": F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            )
+            / ntoks,
+        }
+    )
+    length_ok = F.least(F.length(s) / F.lit(200.0), F.lit(1.0))
+    sw_ok = F.least(F.col("stopword_ratio") / F.lit(0.3), F.lit(1.0))
+    mwl = F.col("mean_word_len")
+    mwl_ok = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.3))
+    noise = F.col("punct_ratio") + F.col("digit_ratio")
+    noise_ok = F.greatest(F.lit(1.0) - noise * 2, F.lit(0.0))
+    step = step.withColumn(
+        "quality_score", 0.25 * length_ok + 0.25 * sw_ok + 0.2 * mwl_ok + 0.3 * noise_ok
+    )
+    return step.drop("__norm", "__toks") if drop_intermediate else step
+
+
 def lang_marker_hits(c: str | Column, lang: str) -> Column:
     """Count of language marker-word occurrences (word-boundary regex)."""
     pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"

@@ -197,11 +197,13 @@ def train_ivf_centroids(
 
 
 def _centroid_sims(vec_col: str | Column, centroids: np.ndarray) -> list[Column]:
+    # Raw dot products, NOT cosine: centroids are unit-normalized by
+    # train_ivf_centroids and dividing every product by l2_norm(v) is a
+    # per-row constant that cannot change the argmax/top-nprobe ordering —
+    # Catalyst would re-inline the l2_norm aggregate once per centroid
+    # (n_centroids extra array traversals per row for nothing).
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return [
-        dot(v, F.array(*[F.lit(float(x)) for x in c])) / l2_norm(v)
-        for c in centroids
-    ]
+    return [dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
 
 
 def ivf_assign(

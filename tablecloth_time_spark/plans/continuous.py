@@ -43,7 +43,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 from dataclasses import dataclass, field
 
@@ -57,8 +56,12 @@ from tablecloth_time_spark.operators.rollup import (
     partial_rollup,
 )
 from tablecloth_time_spark.plans.snapshots import SnapshotTable
+from tablecloth_time_spark.plans.tier_store import (
+    P_DATE,
+    ParquetTierStore,
+    TierStore,
+)
 
-P_DATE = "p_date"
 BUCKET = "bucket"
 
 
@@ -99,6 +102,7 @@ class ContinuousAggregate:
         order_cols: list[str] | None = None,
         compress: CompressSpec | None = None,
         prepare=None,
+        store: TierStore | None = None,
     ):
         self.spark = spark
         self.source = source
@@ -112,6 +116,10 @@ class ContinuousAggregate:
         # optional DataFrame -> DataFrame hook applied to every increment
         # before aggregation (derive columns the aggs need, e.g. text_len)
         self.prepare = prepare
+        # ALL tier-state storage goes through the store (the Iceberg seam,
+        # plans/tier_store.py); the engine itself never touches paths —
+        # `root` is only the home of the checkpoint manifest.
+        self.store: TierStore = store or ParquetTierStore(spark, root)
         os.makedirs(root, exist_ok=True)
 
     # -- manifest -----------------------------------------------------------
@@ -131,23 +139,6 @@ class ContinuousAggregate:
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path())
-
-    # -- state paths --------------------------------------------------------
-
-    def _tier_path(self, tier: str) -> str:
-        return os.path.join(self.root, "tiers", tier)
-
-    def _blocks_path(self, tier: str) -> str:
-        return os.path.join(self.root, "blocks", tier)
-
-    def _tier_exists(self, tier: str) -> bool:
-        p = self._tier_path(tier)
-        return os.path.exists(p) and any(
-            e.startswith(f"{P_DATE}=") for e in os.listdir(p)
-        )
-
-    def _read_state(self, tier: str) -> DataFrame:
-        return self.spark.read.parquet(self._tier_path(tier))
 
     # -- refresh ------------------------------------------------------------
 
@@ -221,7 +212,7 @@ class ContinuousAggregate:
                 # resume mid-commit: the staged output is the FULL new
                 # content of the dirty partitions (not a delta), so
                 # replaying the swap is idempotent — no double count
-                self._swap_tier(tier.name, info)
+                self.store.commit(tier.name, info)
                 info["status"] = "completed"
                 self._commit_manifest(m)
                 continue
@@ -234,7 +225,7 @@ class ContinuousAggregate:
                 raise RuntimeError(
                     f"injected failure after staging tier {tier.name}"
                 )
-            self._swap_tier(tier.name, info)
+            self.store.commit(tier.name, info)
             info["status"] = "completed"
             self._commit_manifest(m)
             if fail_after_tier == tier.name:
@@ -255,19 +246,22 @@ class ContinuousAggregate:
     def _stage_tier(
         self, tier: TierSpec, finest_partial: DataFrame, run_id: str
     ) -> dict:
-        """Write the FULL new content of every dirty partition to a staging
-        dir. Staging (expensive, recomputable) is separated from the commit
-        (_swap_tier: cheap, idempotent directory renames) so a crash at any
-        point either recomputes the stage or replays the swap — the
-        increment can never be merged into live state twice."""
+        """Compute the FULL new content of every dirty partition and hand
+        it to the store's stage. Staging (expensive, recomputable) is
+        separated from the commit (store.commit: cheap, idempotent atomic
+        swap) so a crash at any point either recomputes the stage or
+        replays the swap — the increment can never be merged into live
+        state twice."""
         new_partial = merge_partials(
             finest_partial, self.keys, self.aggs,
             rebucket=(tier.interval, tier.unit),
         ).withColumn(P_DATE, F.date_format(BUCKET, "yyyy-MM-dd"))
 
         dirty = [r[0] for r in new_partial.select(P_DATE).distinct().collect()]
-        if self._tier_exists(tier.name):
-            old = self._read_state(tier.name).filter(F.col(P_DATE).isin(dirty))
+        if self.store.tier_exists(tier.name):
+            old = self.store.read_state(tier.name).filter(
+                F.col(P_DATE).isin(dirty)
+            )
             merged = merge_partials(
                 old.drop(P_DATE).unionByName(new_partial.drop(P_DATE)),
                 self.keys,
@@ -275,53 +269,14 @@ class ContinuousAggregate:
             ).withColumn(P_DATE, F.date_format(BUCKET, "yyyy-MM-dd"))
         else:
             merged = new_partial
-
-        staged_path = self._tier_path(tier.name) + f".staging-{run_id}"
-        (
-            merged.write.mode("overwrite").partitionBy(P_DATE).parquet(staged_path)
-        )
-        # per-partition lineage from the staged files (one row per day)
-        part_counts = {
-            r[0]: r[1]
-            for r in self.spark.read.parquet(staged_path)
-            .groupBy(F.col(P_DATE).cast("string").alias(P_DATE))
-            .count()
-            .collect()
-        }
-        return {
-            "staged_path": staged_path,
-            "dirty_partitions": sorted(dirty),
-            "partition_rows": part_counts,
-            "rows_out": int(sum(part_counts.values())),
-        }
-
-    def _swap_tier(self, tier_name: str, info: dict) -> None:
-        """Commit staged partitions into live state: remove + rename per
-        dirty partition. Idempotent — a partition whose staged dir is gone
-        and whose live dir exists was already swapped."""
-        staged = info["staged_path"]
-        path = self._tier_path(tier_name)
-        os.makedirs(path, exist_ok=True)
-        for d in info["dirty_partitions"]:
-            src = os.path.join(staged, f"{P_DATE}={d}")
-            dst = os.path.join(path, f"{P_DATE}={d}")
-            if os.path.exists(src):
-                if os.path.exists(dst):
-                    shutil.rmtree(dst)
-                os.replace(src, dst)
-            elif not os.path.exists(dst):
-                raise RuntimeError(
-                    f"tier {tier_name} partition {d}: neither staged nor "
-                    f"live data present — staging dir was removed externally"
-                )
-        shutil.rmtree(staged, ignore_errors=True)
+        return self.store.stage(tier.name, merged, dirty, run_id)
 
     def _refresh_blocks(self, run: dict) -> dict:
         """Recompress the compress-tier's dirty partitions into blocks."""
         spec = self.compress
         tier_info = run["tiers"][spec.tier]
         dirty = tier_info["dirty_partitions"]
-        state = self._read_state(spec.tier).filter(F.col(P_DATE).isin(dirty))
+        state = self.store.read_state(spec.tier).filter(F.col(P_DATE).isin(dirty))
         final = finalize_partials(state, self.keys, self.aggs)
         blocks = compress_series(
             final,
@@ -335,12 +290,7 @@ class ContinuousAggregate:
             F.sum("enc_bytes").alias("enc"),
             F.count(F.lit(1)).alias("n_blocks"),
         ).collect()[0]
-        (
-            blocks.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(P_DATE)
-            .parquet(self._blocks_path(spec.tier))
-        )
+        self.store.write_blocks(spec.tier, blocks)
         raw, enc = int(stats["raw"] or 0), int(stats["enc"] or 0)
         return {
             "tier": spec.tier,
@@ -354,10 +304,12 @@ class ContinuousAggregate:
     # -- reads --------------------------------------------------------------
 
     def read_tier(self, tier: str) -> DataFrame:
-        return finalize_partials(self._read_state(tier), self.keys, self.aggs)
+        return finalize_partials(
+            self.store.read_state(tier), self.keys, self.aggs
+        )
 
     def read_blocks(self, tier: str) -> DataFrame:
-        return self.spark.read.parquet(self._blocks_path(tier))
+        return self.store.read_blocks(tier)
 
     # -- retention ----------------------------------------------------------
 
@@ -365,27 +317,23 @@ class ContinuousAggregate:
         """Drop tier partitions older than each tier's retention horizon.
 
         ``as_of`` is an ISO date; a tier with retention_days=R keeps
-        p_date >= as_of - R days. Partition-directory removal is the
-        parquet analogue of Iceberg's metadata-only partition drop —
-        no data rewrite, O(expired partitions) filesystem ops.
+        p_date >= as_of - R days. The store's drop_partitions is
+        metadata-only work (Iceberg: ALTER TABLE ... DROP PARTITION) —
+        no data rewrite, O(expired partitions) ops.
         """
         import datetime as dt
 
         as_of_d = dt.date.fromisoformat(as_of)
         expired: dict[str, list[str]] = {}
         for tier in self.tiers:
-            if tier.retention_days is None or not self._tier_exists(tier.name):
+            if tier.retention_days is None or not self.store.tier_exists(tier.name):
                 continue
             horizon = (as_of_d - dt.timedelta(days=tier.retention_days)).isoformat()
-            path = self._tier_path(tier.name)
-            dropped = []
-            for entry in sorted(os.listdir(path)):
-                if not entry.startswith(f"{P_DATE}="):
-                    continue
-                if entry.split("=", 1)[1] < horizon:
-                    shutil.rmtree(os.path.join(path, entry))
-                    dropped.append(entry.split("=", 1)[1])
+            dropped = [
+                d for d in self.store.list_partitions(tier.name) if d < horizon
+            ]
             if dropped:
+                self.store.drop_partitions(tier.name, dropped)
                 expired[tier.name] = dropped
         m = self.manifest()
         m["runs"].append(

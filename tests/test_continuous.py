@@ -245,3 +245,74 @@ def test_compression_stage_in_refresh(spark, tmp_path, batches):
     pd.testing.assert_frame_equal(
         a[sorted(a.columns)], e[sorted(e.columns)], check_dtype=False
     )
+
+
+def test_memory_store_full_lifecycle_no_paths(spark, tmp_path, batches):
+    """The Iceberg seam: the SAME engine logic runs against a store with no
+    filesystem at all (plans/tier_store.MemoryTierStore) — incremental
+    refresh, compression, retention. Proves no consumer touches paths, so
+    a real Iceberg binding only has to implement the TierStore protocol."""
+    from tablecloth_time_spark.plans.tier_store import MemoryTierStore
+
+    df1, df2 = batches
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    ca = ContinuousAggregate(
+        spark, src, str(tmp_path / "agg"),
+        keys=["conv_id"], ts_col="ts", aggs=AGGS, tiers=TIERS,
+        order_cols=["ts", "turn_idx"],
+        compress=CompressSpec(tier="minute", value_cols={"n_turns": "int"}),
+        store=MemoryTierStore(spark),
+    )
+    src.append(df1)
+    run1 = ca.refresh()
+    assert run1["status"] == "completed"
+    src.append(df2)
+    run2 = ca.refresh()
+    assert run2["status"] == "completed"
+    full = df1.unionByName(df2)
+    for t in TIERS:
+        _assert_tier_equal(ca.read_tier(t.name), _expected_tier(full, t.interval, t.unit))
+    assert run2["compression"]["n_blocks"] > 0
+
+    # the only thing under agg/ is the checkpoint manifest — no tier data
+    import os
+
+    assert sorted(os.listdir(str(tmp_path / "agg"))) == ["manifest.json"]
+
+    # retention drops partitions through the store
+    max_date = full.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    expired = ca.expire(str(max_date))
+    if "minute" in expired:
+        import datetime as dt
+
+        horizon = max_date - dt.timedelta(days=30)
+        assert (
+            ca.read_tier("minute")
+            .filter(F.to_date("bucket") < str(horizon))
+            .count()
+            == 0
+        )
+
+
+def test_memory_store_commit_replay_idempotent(spark):
+    """TierStore.commit contract: replaying a commit whose staged token is
+    gone but whose partitions are live must be a no-op, not an error."""
+    import pandas as pd
+
+    from tablecloth_time_spark.plans.tier_store import MemoryTierStore
+
+    store = MemoryTierStore(spark)
+    pdf = pd.DataFrame(
+        {"conv_id": ["a", "b"], "v": [1, 2], "p_date": ["2024-01-01", "2024-01-02"]}
+    )
+    info = store.stage("minute", spark.createDataFrame(pdf), 
+                       ["2024-01-01", "2024-01-02"], "run1")
+    assert info["rows_out"] == 2
+    store.commit("minute", info)
+    store.commit("minute", info)  # replay — must not raise or change state
+    assert store.list_partitions("minute") == ["2024-01-01", "2024-01-02"]
+    with pytest.raises(RuntimeError, match="neither staged nor live"):
+        store.commit(
+            "minute",
+            {"staging_token": "gone", "dirty_partitions": ["2024-03-01"]},
+        )

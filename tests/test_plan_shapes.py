@@ -81,6 +81,54 @@ def test_tier_table_bucket_predicate_pushdown(spark, events, tmp_path):
     assert "PushedFilters: [IsNotNull(bucket), GreaterThanOrEqual(bucket" in p
 
 
+def test_text_metrics_single_tokenize_pass(spark):
+    """add_text_metrics must keep ONE normalize regex + ONE split in the
+    optimized plan (the expression-helper form re-inlines them per metric:
+    20 regexp_replace / 11 split measured before the restructure)."""
+    from tablecloth_time_spark.functions.text import add_text_metrics
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = add_text_metrics(docs, "text").select(
+        "doc_id", "ws_tokens", "stopword_ratio", "mean_word_len", "quality_score"
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") == 1, plan
+    assert plan.count("split(") == 1, plan
+
+
+def test_text_metrics_match_expression_helpers(spark):
+    """Restructured metrics must be value-identical to the pure-expression
+    helpers (which the DuckDB oracle pins)."""
+    from tablecloth_time_spark.functions import text as TX
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    new = {
+        r["doc_id"]: r
+        for r in TX.add_text_metrics(docs, "text").collect()
+    }
+    old = docs.select(
+        "doc_id",
+        TX.token_count_ws("text").alias("ws_tokens"),
+        TX.token_count_bpe("text").alias("bpe_tokens"),
+        TX.punct_ratio("text").alias("punct_ratio"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+        TX.mean_word_len("text").alias("mean_word_len"),
+        TX.quality_score("text").alias("quality_score"),
+    ).collect()
+    assert len(old) == len(new) > 0
+    for r in old:
+        n = new[r["doc_id"]]
+        for c in (
+            "ws_tokens",
+            "bpe_tokens",
+            "punct_ratio",
+            "stopword_ratio",
+            "mean_word_len",
+            "quality_score",
+        ):
+            assert n[c] == pytest.approx(r[c], abs=1e-12), (r["doc_id"], c)
+
+
 def test_no_per_row_python_in_package():
     """Input-hint mandate: only vectorized pandas/Arrow UDFs — no per-row
     Python UDFs, no RDD lambdas — anywhere in the package (SURVEY §7.2)."""
