@@ -598,6 +598,95 @@ SELECT node AS id, MIN(reach) AS cluster_id FROM walk GROUP BY node
 """
 
 
+def q_asof_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest predecessor per key): each event matched to the
+    most recent COMPLETED hourly per-user rollup (bucket end <= event ts).
+    Union+window plan — one shuffle, no range-join explosion; oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from tablecloth_time_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "user_id",
+            (T.down_to_nearest("ts", 1, "hour") + F.expr("INTERVAL 1 HOUR")).alias(
+                "rts"
+            ),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("hour_sum"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        hourly,
+        on="user_id",
+        left_ts="ts",
+        right_ts="rts",
+    )
+    return out.select("event_id", "user_id", "ts", "matched_ts", "hour_sum")
+
+
+SQL_ASOF_JOIN_RATES = """
+WITH r AS (
+  SELECT user_id,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS rts,
+         ROUND(SUM(value), 6) AS hour_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       r.rts AS matched_ts, r.hour_sum
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND CAST(e.ts AS TIMESTAMP) >= r.rts
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): per-session stats via
+    the lag/flag/running-sum window construction (one shuffle on the key)."""
+    from tablecloth_time_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_stats(
+        ev, "user_id", "ts", 30, "minute",
+        aggs={"sum_value": ("sum", "value")},
+        order_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "session_idx",
+        "session_start",
+        "session_end",
+        "duration_ms",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+         lag(epoch_ms(CAST(ts AS TIMESTAMP)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT *,
+         SUM(CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       MAX(ms) - MIN(ms) AS duration_ms,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s
+GROUP BY 1, 2
+"""
+
+
 def q_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pivot->wider (host-library recipe): daily event counts, one column
     per event type."""
@@ -976,6 +1065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_hourly": q_acf_hourly,
         "timeops_misc": q_timeops_misc,
         "convert_time_units": q_convert_time_units,
+        "asof_join_rates": q_asof_join_rates,
+        "sessionize_events": q_sessionize_events,
         "pivot_daily_types": q_pivot_daily_types,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1012,6 +1103,8 @@ def oracle_sql() -> dict[str, str]:
         "acf_hourly": SQL_ACF_HOURLY,
         "timeops_misc": SQL_TIMEOPS_MISC,
         "convert_time_units": SQL_CONVERT_TIME_UNITS,
+        "asof_join_rates": SQL_ASOF_JOIN_RATES,
+        "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "pivot_daily_types": SQL_PIVOT_DAILY_TYPES,
         "text_stats": SQL_TEXT_STATS,
         "lang_id": SQL_LANG_ID,

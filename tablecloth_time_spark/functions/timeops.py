@@ -612,18 +612,110 @@ def force_tz(col: Column | str, tz: str) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def parse_temporal(col: Column | str, fmt: str | None = None) -> Column:
+def _date_pattern_regex(fmt: str) -> tuple[str, list[str]]:
+    """Compile a y/M/d java-time date pattern to an anchored regex.
+
+    Returns (regex, field order). Only year/month/day tokens plus literal
+    separators are supported — resolver styles are about DATE-field
+    resolution (java.time ResolverStyle), so patterns with time/zone tokens
+    keep the strict path.
+    """
+    import re as _re
+
+    order: list[str] = []
+    parts: list[str] = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch in "yuMd":
+            j = i
+            while j < len(fmt) and fmt[j] == ch:
+                j += 1
+            n = j - i
+            kind = "y" if ch in "yu" else ("m" if ch == "M" else "d")
+            if kind in order:
+                raise ValueError(f"repeated {ch!r} field in pattern {fmt!r}")
+            order.append(kind)
+            if kind == "y":
+                parts.append(r"(\d{4})" if n >= 4 else r"(\d{1,4})")
+            else:
+                parts.append(r"(\d{1,2})" if n == 1 else r"(\d{2})")
+            i = j
+        elif ch.isalpha():
+            raise ValueError(
+                f"resolver_style smart/lenient supports date-only patterns "
+                f"(y/M/d + separators); got token {ch!r} in {fmt!r}"
+            )
+        else:
+            parts.append(_re.escape(ch))
+            i += 1
+    if set(order) != {"y", "m", "d"}:
+        raise ValueError(f"pattern {fmt!r} must contain year, month and day fields")
+    return "^" + "".join(parts) + "$", order
+
+
+def parse_temporal(
+    col: Column | str, fmt: str | None = None, resolver_style: str = "strict"
+) -> Column:
     """string -> timestamp, mirroring the reference's parser cascade.
 
-    With ``fmt``: strict pattern parse (Java pattern), null on mismatch.
+    With ``fmt``: pattern parse (java-time pattern), null on mismatch.
     Without: ISO cascade — full timestamp first, then bare date (midnight),
     the vectorized analogue of the reference's Instant->...->LocalDate
-    formatter chain.
+    formatter chain (reference src/tablecloth/time/parse.clj:35-47; ISO
+    built-ins are strict, parse.clj:49-57).
+
+    ``resolver_style`` mirrors the reference's ``:resolver-style`` option
+    (parse.clj:10-32 -> java.time ResolverStyle), used only with ``fmt``:
+
+    - ``'strict'`` (default): invalid dates -> null (Spark's corrected
+      parser already resolves strictly);
+    - ``'smart'``: day-of-month clamps to the month's length
+      ('2019-02-31' -> 2019-02-28); month must be 1-12, day 1-31;
+    - ``'lenient'``: out-of-range fields carry over arithmetically
+      ('2019-02-31' -> 2019-03-03, month 13 -> next January).
+
+    smart/lenient are pure expressions (regex field extraction + calendar
+    arithmetic) and support date-only patterns (y/M/d + separators) —
+    exactly the fields ResolverStyle affects.
     """
     c = _c(col)
-    if fmt is not None:
+    style = resolver_style.strip().lower()
+    if style not in ("strict", "smart", "lenient"):
+        raise ValueError(f"resolver_style must be strict|smart|lenient, got {resolver_style!r}")
+    if fmt is None:
+        if style != "strict":
+            raise ValueError(
+                "resolver_style applies only with an explicit fmt "
+                "(the reference's ISO built-ins are strict, parse.clj:49-57)"
+            )
+        return F.coalesce(
+            F.try_to_timestamp(c),
+            F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+        )
+    if style == "strict":
         return F.try_to_timestamp(c, F.lit(fmt))
-    return F.coalesce(
-        F.try_to_timestamp(c),
-        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
-    )
+
+    regex, order = _date_pattern_regex(fmt)
+    # digits-only groups; non-matching extract yields '' -> nullif keeps
+    # the cast ANSI-safe
+    def _field(kind: str) -> Column:
+        gi = order.index(kind) + 1
+        return F.nullif(F.regexp_extract(c, regex, gi), F.lit("")).cast("int")
+
+    y, m, d = _field("y"), _field("m"), _field("d")
+    if style == "smart":
+        # month strictly 1-12, day 1-31 then clamped to the month length
+        first = F.make_date(y, m, F.lit(1))
+        clamped = F.least(d, F.dayofmonth(F.last_day(first)))
+        return (
+            F.when(
+                m.between(1, 12) & d.between(1, 31),
+                F.date_add(first, clamped - F.lit(1)),
+            )
+            .otherwise(F.lit(None).cast("date"))
+            .cast("timestamp")
+        )
+    # lenient: pure carry-over arithmetic — never an invalid intermediate
+    jan1 = F.make_date(y, F.lit(1), F.lit(1))
+    return F.date_add(F.add_months(jan1, m - F.lit(1)), d - F.lit(1)).cast("timestamp")

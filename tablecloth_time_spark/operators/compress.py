@@ -461,24 +461,23 @@ def decompress_blocks(
     schema = StructType(fields)
 
     def expand(batches):
+        # per-BLOCK Python loop (each block decodes separately by design);
+        # column-wise zip instead of iterrows, one concat per Arrow batch
         for pdf in batches:
-            frames = []
-            for _, r in pdf.iterrows():
-                ts = decode_ints_dod(bytes(r["ts_block"]))
-                d = {
-                    "conv_id": np.repeat(r["conv_id"], len(ts)),
-                    "ts": pd.to_datetime(ts, unit="ms"),
-                }
-                for c, codec in value_cols.items():
-                    blk = bytes(r[f"{c}_block"])
-                    d[c] = (
-                        decode_floats_xor(blk)
-                        if codec == "float"
-                        else decode_ints_dod(blk)
-                    )
-                frames.append(pd.DataFrame(d))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            ts_parts = [decode_ints_dod(bytes(b)) for b in pdf["ts_block"]]
+            lens = [len(t) for t in ts_parts]
+            out = {
+                "conv_id": np.repeat(pdf["conv_id"].to_numpy(), lens),
+                "ts": pd.to_datetime(np.concatenate(ts_parts), unit="ms"),
+            }
+            for c, codec in value_cols.items():
+                dec = decode_floats_xor if codec == "float" else decode_ints_dod
+                out[c] = np.concatenate(
+                    [dec(bytes(b)) for b in pdf[f"{c}_block"]]
+                )
+            yield pd.DataFrame(out)
 
     cols = ["conv_id", "ts_block"] + [f"{c}_block" for c in value_cols]
     return blocks.select(*cols).mapInPandas(expand, schema)

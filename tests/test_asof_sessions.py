@@ -1,0 +1,209 @@
+"""asof_join vs pandas.merge_asof; sessionize vs a python gap-fold."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.operators.asof import asof_join
+from tablecloth_time_spark.operators.sessions import session_stats, sessionize
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 150
+    base = pd.Timestamp("2024-03-01")
+    left = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b", "c"], n_l),
+            "ts": base + pd.to_timedelta(rng.integers(0, 7 * 86400, n_l), unit="s"),
+            "lval": rng.normal(size=n_l).round(3),
+        }
+    ).sort_values(["key", "ts"], kind="stable").reset_index(drop=True)
+    right = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b", "c", "d"], n_r),
+            "ts": base + pd.to_timedelta(rng.integers(0, 7 * 86400, n_r), unit="s"),
+            "rate": rng.uniform(1, 2, n_r).round(4),
+        }
+    )
+    # unique (key, ts) on the right — asof semantics with dup right keys
+    # are order-dependent in every engine
+    right = right.drop_duplicates(["key", "ts"]).reset_index(drop=True)
+    return left, right
+
+
+def _spark_asof(spark, left, right, **kw):
+    lf = spark.createDataFrame(left)
+    rf = spark.createDataFrame(right)
+    out = asof_join(lf, rf, on="key", left_ts="ts", right_ts="ts", **kw)
+    return (
+        out.toPandas()
+        .sort_values(["key", "ts", "lval"], kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+def _pandas_asof(left, right, direction="backward", tolerance=None):
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable").rename(
+            columns={"ts": "matched_ts"}
+        ),
+        left_on="ts",
+        right_on="matched_ts",
+        by="key",
+        direction=direction,
+        tolerance=tolerance,
+        allow_exact_matches=True,
+    )
+    return (
+        exp.sort_values(["key", "ts", "lval"], kind="stable").reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas(spark, frames, direction):
+    left, right = frames
+    got = _spark_asof(spark, left, right, direction=direction)
+    exp = _pandas_asof(left, right, direction=direction)
+    assert len(got) == len(left)
+    pd.testing.assert_series_equal(
+        got["matched_ts"], exp["matched_ts"], check_names=False
+    )
+    pd.testing.assert_series_equal(
+        got["rate"].astype(float), exp["rate"].astype(float), check_names=False
+    )
+
+
+def test_asof_tolerance(spark, frames):
+    left, right = frames
+    got = _spark_asof(spark, left, right, tolerance=60, unit="minute")
+    exp = _pandas_asof(left, right, tolerance=pd.Timedelta("60min"))
+    pd.testing.assert_series_equal(
+        got["matched_ts"], exp["matched_ts"], check_names=False
+    )
+    # tolerance nulls payload together with the timestamp
+    assert got.loc[got["matched_ts"].isna(), "rate"].isna().all()
+    assert got["matched_ts"].notna().sum() < len(left)  # tolerance bites
+
+
+def test_asof_no_match_key(spark, frames):
+    left, right = frames
+    only_left = left.assign(key="zzz")
+    got = _spark_asof(spark, only_left, right)
+    assert got["matched_ts"].isna().all() and got["rate"].isna().all()
+
+
+def test_asof_collision_guard(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right.rename(columns={"rate": "lval"})),
+            on="key",
+        )
+    # prefix resolves it
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right.rename(columns={"rate": "lval"})),
+        on="key",
+        right_prefix="r_",
+    )
+    assert "r_lval" in out.columns and "r_matched_ts" in out.columns
+
+
+def _python_sessions(pdf, gap_ms):
+    out = []
+    for key, g in pdf.groupby("key"):
+        g = g.sort_values(["ts", "v"], kind="stable")
+        idx = -1
+        prev = None
+        for ts in g["ts"]:
+            ms = ts.value // 1_000_000
+            if prev is None or ms - prev > gap_ms:
+                idx += 1
+            out.append((key, ts, idx))
+            prev = ms
+    return pd.DataFrame(out, columns=["key", "ts", "session_idx"])
+
+
+def test_sessionize_matches_python(spark):
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-03-01")
+    pdf = pd.DataFrame(
+        {
+            "key": rng.choice(["u1", "u2"], 300),
+            "ts": base + pd.to_timedelta(rng.integers(0, 3 * 86400, 300), unit="s"),
+            "v": np.arange(300),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        sessionize(df, "key", "ts", 30, "minute", order_cols=["v"])
+        .select("key", "ts", "session_idx")
+        .toPandas()
+        .sort_values(["key", "ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    exp = (
+        _python_sessions(pdf, 30 * 60_000)
+        .sort_values(["key", "ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_session_boundary_inclusive(spark):
+    # gap EXACTLY at the threshold stays in-session (session_window parity)
+    pdf = pd.DataFrame(
+        {
+            "key": ["a"] * 3,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:30:00", "2024-01-01 01:00:01"]
+            ),
+        }
+    )
+    got = (
+        sessionize(spark.createDataFrame(pdf), "key", "ts", 30, "minute")
+        .orderBy("ts")
+        .select("session_idx")
+        .toPandas()["session_idx"]
+        .tolist()
+    )
+    assert got == [0, 0, 1]
+
+
+def test_session_stats(spark):
+    pdf = pd.DataFrame(
+        {
+            "key": ["a"] * 4 + ["b"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:10:00",
+                    "2024-01-01 02:00:00",
+                    "2024-01-01 02:05:00",
+                    "2024-01-01 00:00:00",
+                ]
+            ),
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    got = (
+        session_stats(
+            spark.createDataFrame(pdf), "key", "ts", 30, "minute",
+            aggs={"sum_v": ("sum", "v")},
+        )
+        .orderBy("key", "session_idx")
+        .collect()
+    )
+    assert [(r["key"], r["session_idx"], r["n_events"], r["sum_v"]) for r in got] == [
+        ("a", 0, 2, 3.0),
+        ("a", 1, 2, 7.0),
+        ("b", 0, 1, 5.0),
+    ]
+    assert got[0]["duration_ms"] == 600_000

@@ -81,6 +81,34 @@ def test_tier_table_bucket_predicate_pushdown(spark, events, tmp_path):
     assert "PushedFilters: [IsNotNull(bucket), GreaterThanOrEqual(bucket" in p
 
 
+def test_asof_join_is_union_window_not_range_join(spark, events):
+    """asof_join must compile to union + ONE window exchange — never a
+    join operator (a range join explodes to O(|l| x matching |r|) before
+    the per-row argmax)."""
+    from tablecloth_time_spark.operators.asof import asof_join
+
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("rts")
+    ).agg(F.sum("value").alias("hour_sum"))
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"), hourly,
+        on="user_id", left_ts="ts", right_ts="rts",
+    )
+    p = _plan(out)
+    assert "Join" not in p, p
+    assert "Window" in p
+    # one exchange for the rollup, one hashpartitioning for the window key
+    assert p.count("Exchange") <= 2
+
+
+def test_sessionize_single_shuffle(spark, events):
+    from tablecloth_time_spark.operators.sessions import sessionize
+
+    p = _plan(sessionize(events, "user_id", "ts", 30, "minute"))
+    assert p.count("Exchange") == 1
+    assert "Join" not in p
+
+
 def test_text_metrics_single_tokenize_pass(spark):
     """add_text_metrics must keep ONE normalize regex + ONE split in the
     optimized plan (the expression-helper form re-inlines them per metric:

@@ -253,6 +253,42 @@ def test_convert_time_roundtrip(spark):
         T.convert_time("ts", "duration")
 
 
+def test_parse_resolver_styles(spark):
+    """java.time ResolverStyle semantics (reference parse.clj:10-32):
+    strict rejects invalid dates, smart clamps day-of-month, lenient
+    carries fields over arithmetically."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"s": ["2019-02-31", "2019-04-31", "2019-13-05", "2019-02-28", "junk"]}
+        )
+    )
+    rows = df.select(
+        "s",
+        T.parse_temporal("s", "yyyy-MM-dd").alias("strict"),
+        T.parse_temporal("s", "yyyy-MM-dd", resolver_style="smart").alias("smart"),
+        T.parse_temporal("s", "yyyy-MM-dd", resolver_style="lenient").alias("lenient"),
+    ).collect()
+    got = {r["s"]: r for r in rows}
+
+    def d(x):
+        return None if x is None else str(x)[:10]
+
+    assert d(got["2019-02-31"]["strict"]) is None
+    assert d(got["2019-02-31"]["smart"]) == "2019-02-28"
+    assert d(got["2019-02-31"]["lenient"]) == "2019-03-03"
+    assert d(got["2019-04-31"]["smart"]) == "2019-04-30"
+    assert d(got["2019-04-31"]["lenient"]) == "2019-05-01"
+    assert d(got["2019-13-05"]["smart"]) is None
+    assert d(got["2019-13-05"]["lenient"]) == "2020-01-05"
+    for style in ("strict", "smart", "lenient"):
+        assert d(got["2019-02-28"][style]) == "2019-02-28"
+        assert got["junk"][style] is None
+    with pytest.raises(ValueError, match="strict|fmt"):
+        T.parse_temporal("s", resolver_style="smart")
+    with pytest.raises(ValueError, match="date-only"):
+        T.parse_temporal("s", "yyyy-MM-dd HH:mm", resolver_style="smart")
+
+
 def test_convert_time_epoch_to_epoch_scaling(spark):
     """Reference golden: epoch-days -> epoch-hours is exact *24 numeric
     rescaling (test/tablecloth/time/column/api_test.clj:46-57)."""
