@@ -598,6 +598,43 @@ SELECT node AS id, MIN(reach) AS cluster_id FROM walk GROUP BY node
 """
 
 
+def q_rollup_tiers_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four retention tiers in ONE grouping-sets pass (Expand + one
+    shuffle) as a long-format frame — the engine's all-tiers-in-one-action
+    shape (operators/rollup.py:rollup_tiers_long)."""
+    from tablecloth_time_spark.operators.rollup import rollup_tiers_long
+
+    ev = _t(spark, sf_dir, "events")
+    out = rollup_tiers_long(
+        ev, ["user_id"], "ts",
+        {"n": ("count", "event_id"), "s": ("sum", "value")},
+        order_cols=["ts", "event_id"],
+    )
+    return out.select(
+        "tier", "user_id", "bucket", "n", F.round("s", 6).alias("s")
+    )
+
+
+SQL_ROLLUP_TIERS_LONG = """
+SELECT 'second' AS tier, user_id,
+       date_trunc('second', CAST(ts AS TIMESTAMP)) AS bucket,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS s
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'minute', user_id, date_trunc('minute', CAST(ts AS TIMESTAMP)),
+       COUNT(*), ROUND(SUM(value), 6)
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'hour', user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)),
+       COUNT(*), ROUND(SUM(value), 6)
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', user_id, date_trunc('day', CAST(ts AS TIMESTAMP)),
+       COUNT(*), ROUND(SUM(value), 6)
+FROM events GROUP BY 2, 3
+"""
+
+
 def q_asof_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (nearest predecessor per key): each event matched to the
     most recent COMPLETED hourly per-user rollup (bucket end <= event ts).
@@ -1065,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_hourly": q_acf_hourly,
         "timeops_misc": q_timeops_misc,
         "convert_time_units": q_convert_time_units,
+        "rollup_tiers_long": q_rollup_tiers_long,
         "asof_join_rates": q_asof_join_rates,
         "sessionize_events": q_sessionize_events,
         "pivot_daily_types": q_pivot_daily_types,
@@ -1103,6 +1141,7 @@ def oracle_sql() -> dict[str, str]:
         "acf_hourly": SQL_ACF_HOURLY,
         "timeops_misc": SQL_TIMEOPS_MISC,
         "convert_time_units": SQL_CONVERT_TIME_UNITS,
+        "rollup_tiers_long": SQL_ROLLUP_TIERS_LONG,
         "asof_join_rates": SQL_ASOF_JOIN_RATES,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "pivot_daily_types": SQL_PIVOT_DAILY_TYPES,

@@ -63,23 +63,44 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # headline: full retention-tier cascade on transcripts — all tier counts
-    # in ONE action (union of per-tier counts) so fixed job overhead isn't
-    # counted 4x
     from functools import reduce
 
+    from tablecloth_time_spark.operators.rollup import rollup_tiers_long
+
+    def all_tier_points(tiers_dict):
+        counts = reduce(
+            lambda a, b: a.unionAll(b),
+            [df.groupBy().count() for df in tiers_dict.values()],
+        )
+        return counts.agg(F.sum("count")).collect()[0][0]
+
+    # HEADLINE: every retention tier in ONE grouping-sets pass (Expand +
+    # one shuffle — see PLANS.md). This is the engine's fastest shape for
+    # "all tiers in one action"; every output row is one tier point.
+    # One untimed warmup run amortizes whole-stage-codegen/JIT compilation
+    # — at production scale those are a fixed cost on a minutes-long job,
+    # and the steady-state rate is what projects to 100 TB.
+    def headline():
+        return rollup_tiers_long(
+            transcripts, ["conv_id"], "ts", TRANSCRIPT_AGGS,
+            order_cols=["ts", "turn_idx"],
+        ).count()
+
+    headline()
+    t0 = time.perf_counter()
+    total_points = headline()
+    cascade_sec = time.perf_counter() - t0
+    timings["rollup_tiers_grouping_sets"] = round(cascade_sec, 3)
+
+    # r01-comparable: the cached-partial cascade (tiers materialized
+    # independently; the continuous-aggregate maintenance shape)
     t0 = time.perf_counter()
     tiers = rollup_cascade(
         transcripts, ["conv_id"], "ts", TRANSCRIPT_AGGS,
         order_cols=["ts", "turn_idx"], salt=0,
     )
-    counts = reduce(
-        lambda a, b: a.unionAll(b),
-        [df.groupBy().count() for df in tiers.values()],
-    )
-    total_points = counts.agg(F.sum("count")).collect()[0][0]
-    cascade_sec = time.perf_counter() - t0
-    timings["rollup_tiers_transcripts"] = round(cascade_sec, 3)
+    assert all_tier_points(tiers) == total_points
+    timings["rollup_tiers_transcripts"] = round(time.perf_counter() - t0, 3)
 
     def timed(name, fn):
         t = time.perf_counter()
@@ -126,6 +147,26 @@ def main() -> None:
         lambda: add_lags(
             events, "value", [1, 2, 3],
             order_by=["ts", "event_id"], partition_by=["user_id"],
+        ).count(),
+    )
+    from tablecloth_time_spark.operators.asof import asof_join
+    from tablecloth_time_spark.operators.sessions import session_stats
+
+    hourly_rates = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("rts")
+    ).agg(F.sum("value").alias("hour_sum"))
+    timed(
+        "asof_join_events",
+        lambda: asof_join(
+            events.select("event_id", "user_id", "ts"), hourly_rates,
+            on="user_id", left_ts="ts", right_ts="rts",
+        ).count(),
+    )
+    timed(
+        "sessionize_events",
+        lambda: session_stats(
+            events, "user_id", "ts", 30, "minute",
+            aggs={"sv": ("sum", "value")}, order_cols=["event_id"],
         ).count(),
     )
     timed(

@@ -58,7 +58,11 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys and c != right_ts]
-    collide = [right_prefix + c for c in payload if right_prefix + c in left.columns]
+    collide = [
+        right_prefix + c
+        for c in payload + ["matched_ts"]
+        if right_prefix + c in left.columns
+    ]
     if collide:
         raise ValueError(
             f"right columns {collide} collide with left; pass right_prefix="

@@ -193,18 +193,129 @@ def rollup_cascade(
         partial = df.groupBy(*keys, fbucket).agg(*partial_exprs)
     partial = partial.cache()
 
+    # every coarser tier re-merges the CACHED finest partial directly
+    # (sums of sums are associative, so finest -> day equals
+    # finest -> hour -> day). Chaining tier -> tier instead would make an
+    # all-tiers action recompute each intermediate merge once per coarser
+    # branch — Spark has no cross-branch common-subplan reuse beyond the
+    # explicit cache.
     out: dict[str, DataFrame] = {}
-    prev = partial
     for idx, (tier_name, (interval, unit)) in enumerate(items):
-        if idx > 0:
+        if idx == 0:
+            tier_partial = partial
+        else:
             rebucket = down_to_nearest(bucket_col, interval, unit).alias(bucket_col)
-            prev = prev.groupBy(*keys, rebucket).agg(
+            tier_partial = partial.groupBy(*keys, rebucket).agg(
                 *[e for s in specs for e in s.merge_exprs()]
             )
-        out[tier_name] = prev.select(
+        out[tier_name] = tier_partial.select(
             *keys, bucket_col, *[s.final_expr() for s in specs]
         )
     return out
+
+
+def rollup_tiers_long(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    aggs: dict[str, tuple[str, str]],
+    tiers: dict[str, tuple[int, str]] | None = None,
+    order_cols: list[str] | None = None,
+    bucket_col: str = BUCKET_COL,
+    tier_col: str = "tier",
+) -> DataFrame:
+    """ALL tiers in one Expand + ONE shuffle via GROUPING SETS, returned as
+    a single long-format frame (tier, keys..., bucket, aggs...).
+
+    Each input row expands once per tier (with that tier's bucket column),
+    then a single partial/final hash aggregate computes every tier
+    simultaneously — no cache, no per-tier jobs, ~7x faster than the
+    cached cascade for the all-tiers-in-one-action case at sf0.1 (caching
+    the struct-heavy finest partial alone cost more than this entire plan;
+    see PLANS.md). Input columns are pruned to what the aggregation needs
+    BEFORE the Expand — every retained column is duplicated once per tier,
+    so an unused wide payload column (the raw text) would 4x expand cost.
+
+    Map-side partial aggregation applies after the Expand, so shuffle
+    volume ~= sum of the tiers' partial sizes — the bytes the cascade
+    spreads across four Exchanges, in one.
+
+    Use THIS when consuming all tiers in one action (bench, batch export,
+    write-partitioned-by-tier); ``rollup_multi`` wraps it as a per-tier
+    dict (each dict entry is a filter BRANCH — materializing all of them
+    separately recomputes the pass per tier, so materialize the long frame
+    once instead); ``rollup_cascade`` when tiers are materialized
+    independently; ``partial_rollup``/``merge_partials`` for incremental
+    maintenance. Mega-key skew: Expand preserves the key distribution;
+    pair with AQE or pre-salt if one (key, finest-bucket) group is
+    degenerate.
+    """
+    tiers = tiers or DEFAULT_TIERS
+    specs = _parse_aggs(aggs)
+    order_cols = order_cols or [ts_col]
+    items = sorted(tiers.items(), key=lambda kv: _bucket_width_ms(*kv[1]))
+
+    bnames = [f"__b_{name}" for name, _ in items]
+    needed: list[str] = []
+    for c in [*keys, *order_cols, *[s.src for s in specs]]:
+        if c not in needed and c in df.columns:
+            needed.append(c)
+    withb = df.select(
+        *needed,
+        *[
+            down_to_nearest(ts_col, i, u).alias(b)
+            for b, (_, (i, u)) in zip(bnames, items)
+        ],
+    )
+    gcols = [*keys, *bnames]
+    sets = [[*keys, b] for b in bnames]
+    agged = withb.groupingSets(sets, *gcols).agg(
+        F.grouping_id().alias("__gid"),
+        *[e for s in specs for e in s.partial_exprs(order_cols)],
+    )
+
+    # grouping_id bit j (from the left of gcols) set <=> column aggregated
+    n = len(gcols)
+    tier_expr = F.lit(None).cast("string")
+    for (tier_name, _), b in zip(items, bnames):
+        included = set(keys) | {b}
+        gid = sum(1 << (n - 1 - j) for j, c in enumerate(gcols) if c not in included)
+        tier_expr = F.when(F.col("__gid") == gid, F.lit(tier_name)).otherwise(
+            tier_expr
+        )
+    return agged.select(
+        tier_expr.alias(tier_col),
+        *keys,
+        # exactly one tier bucket is non-null per output row
+        F.coalesce(*bnames).alias(bucket_col),
+        *[s.final_expr() for s in specs],
+    )
+
+
+def rollup_multi(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    aggs: dict[str, tuple[str, str]],
+    tiers: dict[str, tuple[int, str]] | None = None,
+    order_cols: list[str] | None = None,
+    bucket_col: str = BUCKET_COL,
+) -> dict[str, DataFrame]:
+    """Per-tier dict view over :func:`rollup_tiers_long`.
+
+    Each entry filters the one-pass long frame by tier. NOTE: the entries
+    share LINEAGE, not computation — materializing every tier separately
+    re-runs the pass per tier. For all-tiers-in-one-action, materialize
+    ``rollup_tiers_long`` once (or cache it) and filter the result.
+    """
+    tiers = tiers or DEFAULT_TIERS
+    long_df = rollup_tiers_long(
+        df, keys, ts_col, aggs, tiers, order_cols, bucket_col, tier_col="__tier"
+    )
+    return {
+        name: long_df.filter(F.col("__tier") == name).drop("__tier")
+        for name in tiers
+    }
 
 
 # ---------------------------------------------------------------------------

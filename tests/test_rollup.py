@@ -92,6 +92,48 @@ def test_cascade_equals_direct(spark, transcripts_df):
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
 
 
+def test_rollup_multi_matches_per_tier(spark, transcripts_df, transcripts_pdf):
+    """grouping-sets multi-tier must equal the per-tier rollup (and hence
+    the pandas oracle) for every tier and every agg kind incl first/last."""
+    from tablecloth_time_spark.operators.rollup import rollup_multi
+
+    tiers = {
+        "second": (1, "second"),
+        "minute": (1, "minute"),
+        "hour": (1, "hour"),
+        "day": (1, "day"),
+    }
+    eng_tiers = rollup_multi(
+        _with_chars_spark(transcripts_df),
+        ["conv_id"], "ts", AGGS, tiers=tiers, order_cols=ORDER,
+    )
+    pdf = _with_chars_pandas(transcripts_pdf)
+    for tier, (iv, unit) in tiers.items():
+        ora = O.rollup(pdf, ["conv_id"], "ts", iv, unit, AGGS, order_cols=ORDER)
+        _compare(eng_tiers[tier], ora, ["conv_id", "bucket"])
+
+
+def test_rollup_multi_single_exchange(spark, transcripts_df):
+    """All-tier union must stay ONE Expand + one shuffle stage pair."""
+    from functools import reduce
+
+    from tablecloth_time_spark.operators.rollup import rollup_multi
+
+    tiers = rollup_multi(
+        _with_chars_spark(transcripts_df), ["conv_id"], "ts", AGGS, order_cols=ORDER
+    )
+    counts = reduce(
+        lambda a, b: a.unionAll(b), [df.groupBy().count() for df in tiers.values()]
+    )
+    total = counts.agg(F.sum("count"))
+    p = total._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in p
+    # one tier df alone: expand -> partial agg -> exchange -> final agg
+    one = tiers["day"]
+    p1 = one._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("Exchange") == 1 and "Expand" in p1
+
+
 def test_first_last_stable_under_duplicate_ts(spark):
     """Duplicate ts rows: first/last must use turn_idx as tiebreaker."""
     pdf = pd.DataFrame(
