@@ -90,6 +90,55 @@ def word_shingles(c: str | Column, n: int = 3, distinct: bool = True) -> Column:
     return F.array_distinct(sh) if distinct else sh
 
 
+def with_word_shingles(
+    df,
+    text_col: str | Column,
+    out_col: str = "__shingles",
+    n: int = 3,
+    distinct: bool = True,
+):
+    """Append a word-shingle array with the tokenize pipeline run ONCE.
+
+    The expression form (``word_shingles``) leaves ``toks`` as a free
+    subexpression inside the ``transform`` lambda, and Catalyst re-evaluates
+    a lambda's free subexpressions PER ELEMENT — the whole
+    normalize+split pipeline ran once per shingle (measured 11x slower on
+    the sf0.1 documents table: 8.9s -> 0.8s for the exploded scan). Here
+    tokens are materialized as an attribute in their own projection, so
+    the lambda's free variable is a cheap attribute reference.
+    """
+    step = df.withColumn("__wst", tokens_ws(normalize_text(text_col)))
+    toks = F.col("__wst")
+    sh = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    if distinct:
+        sh = F.array_distinct(sh)
+    return step.withColumn(out_col, sh).drop("__wst")
+
+
+def with_char_ngrams(
+    df,
+    text_col: str | Column,
+    out_col: str = "__grams",
+    n: int = 3,
+    distinct: bool = True,
+):
+    """Append a char-n-gram array of the NORMALIZED text, normalize run once.
+
+    Same per-element free-subexpression hazard as ``with_word_shingles``:
+    ``char_ngrams(normalize_text(c))`` re-runs the normalize regex once per
+    gram. The normalized string is materialized as an attribute first;
+    ``substring`` over an attribute is O(n) per element.
+    """
+    step = df.withColumn("__cgn", normalize_text(text_col))
+    out = step.withColumn(out_col, char_ngrams(F.col("__cgn"), n=n, distinct=distinct))
+    return out.drop("__cgn")
+
+
 def punct_ratio(c: str | Column) -> Column:
     s = _col(c)
     return F.regexp_count(s, F.lit(r"[^\w\s]")) / F.greatest(
@@ -303,11 +352,10 @@ def winnow_fingerprint_sets(
     """
     from pyspark.sql.window import Window
 
-    grams = char_ngrams(normalize_text(text_col), n=k, distinct=False)
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode_outer(grams).alias("__pos", "__g"),
-    )
+    exploded = with_char_ngrams(
+        df.select(F.col(id_col).alias("__id"), text_col),
+        text_col, "__cg", n=k, distinct=False,
+    ).select("__id", F.posexplode_outer("__cg").alias("__pos", "__g"))
     win = (
         Window.partitionBy("__id")
         .orderBy("__pos")

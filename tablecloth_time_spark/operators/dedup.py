@@ -29,11 +29,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tablecloth_time_spark.functions.text import (
-    char_ngrams,
     fingerprint_md5,
     jaccard,
-    normalize_text,
-    word_shingles,
+    with_char_ngrams,
+    with_word_shingles,
 )
 
 # Mersenne prime 2^31-1 for affine minhash rehashing: keeps a*h + b within
@@ -105,10 +104,11 @@ def minhash_signatures(
     of re-deriving it.
     """
     coeffs = _minhash_coeffs(n_hashes, seed)
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode_outer(word_shingles(text_col, n=shingle_words)).alias("__s"),
+    sh_df = with_word_shingles(
+        df.select(F.col(id_col).alias("__id"), text_col),
+        text_col, "__wsh", n=shingle_words,
     )
+    exploded = sh_df.select("__id", F.explode_outer("__wsh").alias("__s"))
     base = exploded.select(
         "__id",
         F.when(
@@ -202,10 +202,10 @@ def minhash_lsh_pairs(
 
     # exact-Jaccard verify: re-attach shingle sets per side (shuffle joins
     # on the id, proportional to candidates + corpus, not candidates x bands)
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        word_shingles(text_col, n=shingle_words).alias("__shingles"),
-    )
+    sh = with_word_shingles(
+        df.select(F.col(id_col).alias("__id"), text_col),
+        text_col, "__shingles", n=shingle_words,
+    ).select("__id", "__shingles")
     verified = (
         cand.join(sh.withColumnRenamed("__id", "id_a"), "id_a")
         .withColumnRenamed("__shingles", "sh_a")
@@ -236,10 +236,10 @@ def simhash_signatures(
     hash-aggregation pass — the df-level shape that avoids Catalyst
     re-inlining the shingle pipeline into every bit position (see
     minhash_signatures)."""
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode_outer(word_shingles(text_col, n=shingle_words)).alias("__s"),
-    )
+    exploded = with_word_shingles(
+        df.select(F.col(id_col).alias("__id"), text_col),
+        text_col, "__wsh", n=shingle_words,
+    ).select("__id", F.explode_outer("__wsh").alias("__s"))
     h = F.xxhash64("__s")
     sums = [
         F.sum(
@@ -404,11 +404,18 @@ def ngram_jaccard_pairs(
     partitioning (domain, length band, LSH bucket) already bounds block
     size; cost is sum of block_size^2, never global n^2.
     """
-    g = df.select(
-        F.col(block_col).alias("__blk"),
-        F.col(id_col).alias("__id"),
-        char_ngrams(normalize_text(text_col), n).alias("__grams"),
-    ).filter(F.size("__grams") > 0)  # empty gram sets are non-comparable
+    g = (
+        with_char_ngrams(
+            df.select(
+                F.col(block_col).alias("__blk"),
+                F.col(id_col).alias("__id"),
+                text_col,
+            ),
+            text_col, "__grams", n=n,
+        )
+        .select("__blk", "__id", "__grams")
+        .filter(F.size("__grams") > 0)  # empty gram sets are non-comparable
+    )
     a, b = g.alias("a"), g.alias("b")
     return (
         a.join(
