@@ -109,6 +109,20 @@ def normalize_epoch_unit(unit: str) -> str:
     return _EPOCH_UNIT_ALIASES[key]
 
 
+def _trunc_div(c: Column, d: int) -> Column:
+    """Exact int64 truncation-toward-zero division.
+
+    ``(c / lit).cast('long')`` routes through float64, whose ulp exceeds 1
+    above 2^53 — a nanosecond-epoch value like 1754999999999999999 would
+    round UP across the second boundary before truncation. ``c - c % d``
+    is exactly divisible by d, and decimal division of an exact multiple
+    is exact, so the quotient never touches a double. Spark's ``%`` takes
+    the dividend's sign, so the result truncates toward zero.
+    """
+    r = c % F.lit(d)
+    return ((c - r).cast("decimal(38,0)") / F.lit(d)).cast("long")
+
+
 def epoch_rescale(col: Column | str, from_unit: str, to_unit: str) -> Column:
     """Rescale an integer epoch column between epoch units (pure int math).
 
@@ -117,7 +131,10 @@ def epoch_rescale(col: Column | str, from_unit: str, to_unit: str) -> Column:
     units' microsecond factors; golden: epoch-days -> epoch-hours is *24,
     test/tablecloth/time/column/api_test.clj:46-57). Coarsening divisions
     (e.g. hours -> days) truncate toward zero, consistent with the engine's
-    other epoch integers (epoch_week).
+    other epoch integers (epoch_week). NOTE: temporal->epoch conversion in
+    :func:`convert_time` FLOORS (calendar-consistent, matches
+    to_epoch_days/unix_seconds); integer rescaling truncates — document
+    of record for the pre-1970 divergence.
     """
     f = _EPOCH_NANOS[normalize_epoch_unit(from_unit)]
     t = _EPOCH_NANOS[normalize_epoch_unit(to_unit)]
@@ -126,9 +143,11 @@ def epoch_rescale(col: Column | str, from_unit: str, to_unit: str) -> Column:
         return c
     if f % t == 0:  # coarser -> finer: exact multiply
         return c * F.lit(f // t)
-    if t % f == 0:  # finer -> coarser: truncating divide (no overflow)
-        return (c / F.lit(t // f)).cast("long")
-    return (c * F.lit(f) / F.lit(t)).cast("long")
+    # _EPOCH_NANOS factors form a divisibility chain (1 | 1e3 | 1e6 | 1e9 |
+    # 60e9 | 3600e9 | 86400e9 | 604800e9), so the only other case is
+    # finer -> coarser
+    assert t % f == 0, (from_unit, to_unit)
+    return _trunc_div(c, t // f)
 
 
 _EPOCH_TARGETS = {
@@ -168,7 +187,7 @@ def _epoch_to_timestamp(c: Column, unit: str) -> Column:
     nanos = _EPOCH_NANOS[unit]
     if nanos >= 1_000:
         return F.timestamp_micros((c.cast("long") * F.lit(nanos // 1_000)))
-    return F.timestamp_micros((c.cast("long") / F.lit(1_000)).cast("long"))
+    return F.timestamp_micros(_trunc_div(c.cast("long"), 1_000))
 
 
 def convert_time(
@@ -225,11 +244,28 @@ def convert_time(
         if zone is not None:
             ts = F.to_utc_timestamp(ts, zone)
         unit = _EPOCH_TARGETS[t]
+        # temporal -> epoch FLOORS (java.time floorDiv / calendar
+        # semantics): 1969-12-31 12:00 -> epoch-day -1, not 0 — matching
+        # to_epoch_days/unix_seconds and the pre-round-2 behavior. (Integer
+        # epoch_rescale is the one place that truncates toward zero.)
         if unit == "microsecond":
             return F.unix_micros(ts)
         if unit == "nanosecond":
             return F.unix_micros(ts) * F.lit(1_000)
-        return epoch_rescale(F.unix_micros(ts), "microsecond", unit)
+        if unit == "millisecond":
+            return F.unix_millis(ts)
+        if unit == "second":
+            return F.unix_seconds(ts)
+        if unit == "day":
+            return to_epoch_days(ts)
+        # week defers to the epoch_week extractor (reference-pinned
+        # truncation: week 0 contains 1970-01-01)
+        if unit == "week":
+            return epoch_week(ts)
+        # minute/hour: floor-divide epoch seconds (|sec| < 2^53 -> the
+        # double division is exact)
+        secs = _EPOCH_NANOS[unit] // 10**9
+        return F.floor(F.unix_seconds(ts) / F.lit(secs)).cast("long")
     raise ValueError(f"unsupported time conversion target: {target!r}")
 
 
@@ -624,6 +660,8 @@ def _date_pattern_regex(fmt: str) -> tuple[str, list[str]]:
 
     order: list[str] = []
     parts: list[str] = []
+    prev_variable_group = False  # variable-width group directly before?
+    prev_was_group = False
     i = 0
     while i < len(fmt):
         ch = fmt[i]
@@ -637,9 +675,29 @@ def _date_pattern_regex(fmt: str) -> tuple[str, list[str]]:
                 raise ValueError(f"repeated {ch!r} field in pattern {fmt!r}")
             order.append(kind)
             if kind == "y":
-                parts.append(r"(\d{4})" if n >= 4 else r"(\d{1,4})")
+                if n < 4:
+                    # java 'yy' pivots 2-digit years around 2000; the regex
+                    # path would read them literally (year 25 != 2025) —
+                    # silently diverging from strict. Refuse instead.
+                    raise ValueError(
+                        f"resolver_style smart/lenient needs a 4-digit year "
+                        f"token (yyyy/uuuu); {'y' * n!r} in {fmt!r} would "
+                        "read 2-digit years literally"
+                    )
+                group, variable = r"(\d{4})", False
+            elif n == 1:
+                group, variable = r"(\d{1,2})", True
             else:
-                parts.append(r"(\d{1,2})" if n == 1 else r"(\d{2})")
+                group, variable = r"(\d{2})", False
+            if prev_was_group and prev_variable_group:
+                raise ValueError(
+                    f"ambiguous pattern {fmt!r}: a variable-width field "
+                    "(single-letter M/d) directly followed by another field "
+                    "has no unique digit split — use 2-letter tokens or a "
+                    "separator"
+                )
+            parts.append(group)
+            prev_was_group, prev_variable_group = True, variable
             i = j
         elif ch.isalpha():
             raise ValueError(
@@ -648,6 +706,7 @@ def _date_pattern_regex(fmt: str) -> tuple[str, list[str]]:
             )
         else:
             parts.append(_re.escape(ch))
+            prev_was_group = False
             i += 1
     if set(order) != {"y", "m", "d"}:
         raise ValueError(f"pattern {fmt!r} must contain year, month and day fields")

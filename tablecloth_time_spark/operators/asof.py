@@ -76,7 +76,11 @@ def asof_join(
     lt = left.select(
         *left.columns, ordval(left_ts), F.lit(1).alias(_SIDE)
     )
-    rt = right.select(
+    # a null right timestamp can never be an as-of match, but it would sort
+    # FIRST (asc nulls-first) and last(payload, ignorenulls) would leak its
+    # payload into left rows that have no real predecessor (while the
+    # carried matched_ts, being null, is skipped) — drop such rows up front
+    rt = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         ordval(right_ts),
         F.lit(0).alias(_SIDE),

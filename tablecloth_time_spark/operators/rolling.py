@@ -54,9 +54,12 @@ def rolling(
     the null/existence half of the contract.
     """
     if validate:
-        from tablecloth_time_spark.operators.validate import ensure_time_column
-
-        ensure_time_column(df, ts_col, sort=False)
+        # existence is a schema check; nulls need ONE limit-1 job. The full
+        # is_sorted scan would be pure waste here — the window sorts anyway.
+        if ts_col not in df.columns:
+            raise ValueError(
+                f"Time column not found: {ts_col!r}; columns: {df.columns}"
+            )
         if df.filter(F.col(ts_col).isNull()).limit(1).count() > 0:
             raise ValueError(f"rolling: time column {ts_col!r} contains nulls")
     u = normalize_unit(unit)

@@ -37,14 +37,25 @@ def sessionize(
     unit: str = "minute",
     order_cols: list[str] | None = None,
     session_col: str = "session_idx",
+    validate: bool = False,
 ) -> DataFrame:
     """Append a dense per-key session ordinal (0-based, time order).
 
     ``order_cols`` breaks timestamp ties deterministically (e.g. event_id);
     a gap STRICTLY greater than ``gap`` units starts a new session
     (gap == threshold stays in-session, matching session_window).
+
+    Null timestamps have no place on a session timeline: a null-ts row
+    sorts first, opens a session of its own, AND forces the next real row
+    to open another (its lag is null) — silently fragmenting the key's
+    sessions. ``validate=True`` spends one limit-1 job to raise instead.
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
+    if validate and df.filter(F.col(ts_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"sessionize: time column {ts_col!r} contains nulls — drop or "
+            "impute them first (null rows fragment the session sequence)"
+        )
     gap_ms = gap * milliseconds_in(normalize_unit(unit))
     order = [to_epoch_millis(ts_col)] + [F.col(c) for c in (order_cols or [])]
     w = Window.partitionBy(*ks).orderBy(*order)
@@ -68,13 +79,14 @@ def session_stats(
     unit: str = "minute",
     aggs: dict[str, tuple[str, str]] | None = None,
     order_cols: list[str] | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """One row per (key, session): start/end/duration_ms/n_events plus
     caller aggregates ({out_name: (kind, src_col)}, kinds as in rollup)."""
     from tablecloth_time_spark.operators.rolling import ROLLING_AGGS
 
     ks = [keys] if isinstance(keys, str) else list(keys)
-    s = sessionize(df, ks, ts_col, gap, unit, order_cols)
+    s = sessionize(df, ks, ts_col, gap, unit, order_cols, validate=validate)
     exprs = [
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),

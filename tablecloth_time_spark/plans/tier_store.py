@@ -181,7 +181,7 @@ class MemoryTierStore:
         self.spark = spark
         self._tiers: dict[str, dict[str, pd.DataFrame]] = {}
         self._staged: dict[str, dict[str, pd.DataFrame]] = {}
-        self._blocks: dict[str, pd.DataFrame] = {}
+        self._blocks: dict[str, dict[str, pd.DataFrame]] = {}
 
     def tier_exists(self, tier: str) -> bool:
         return bool(self._tiers.get(tier))
@@ -230,7 +230,16 @@ class MemoryTierStore:
             live.pop(d, None)
 
     def write_blocks(self, tier: str, blocks: DataFrame) -> None:
-        self._blocks[tier] = blocks.toPandas()
+        # dynamic-partition semantics like the parquet store: a refresh
+        # writes only the DIRTY partitions' blocks, so untouched p_date
+        # partitions must survive (a whole-table replace would drop them)
+        pdf = blocks.toPandas()
+        store = self._blocks.setdefault(tier, {})
+        for d, g in pdf.groupby(P_DATE):
+            store[d] = g.reset_index(drop=True)
 
     def read_blocks(self, tier: str) -> DataFrame:
-        return self.spark.createDataFrame(self._blocks[tier])
+        parts = self._blocks[tier]
+        return self.spark.createDataFrame(
+            pd.concat(list(parts.values()), ignore_index=True)
+        )

@@ -116,6 +116,35 @@ def test_asof_collision_guard(spark, frames):
     assert "r_lval" in out.columns and "r_matched_ts" in out.columns
 
 
+def test_asof_null_right_ts_no_payload_leak(spark):
+    """A right row with a null timestamp sorts first (nulls-first) — its
+    payload must NOT be carried into left rows that have no real
+    predecessor (regression: matched_ts was null but rate leaked)."""
+    left = pd.DataFrame(
+        {"key": ["a", "a"], "ts": pd.to_datetime(["2024-01-01", "2024-01-03"]),
+         "lval": [1.0, 2.0]}
+    )
+    right = pd.DataFrame(
+        {"key": ["a", "a"],
+         "ts": pd.to_datetime([pd.NaT, "2024-01-02"]),
+         "rate": [99.0, 5.0]}
+    )
+    got = _spark_asof(spark, left, right)
+    first = got[got["ts"] == pd.Timestamp("2024-01-01")].iloc[0]
+    assert pd.isna(first["matched_ts"]) and pd.isna(first["rate"])
+    second = got[got["ts"] == pd.Timestamp("2024-01-03")].iloc[0]
+    assert second["rate"] == 5.0
+
+
+def test_sessionize_validate_rejects_null_ts(spark):
+    pdf = pd.DataFrame(
+        {"key": ["a", "a"], "ts": pd.to_datetime(["2024-01-01", pd.NaT])}
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="nulls"):
+        sessionize(df, "key", "ts", 30, "minute", validate=True)
+
+
 def _python_sessions(pdf, gap_ms):
     out = []
     for key, g in pdf.groupby("key"):

@@ -266,6 +266,9 @@ def test_memory_store_full_lifecycle_no_paths(spark, tmp_path, batches):
     src.append(df1)
     run1 = ca.refresh()
     assert run1["status"] == "completed"
+    blocks_after_1 = {
+        r["p_date"] for r in ca.read_blocks("minute").select("p_date").collect()
+    }
     src.append(df2)
     run2 = ca.refresh()
     assert run2["status"] == "completed"
@@ -273,6 +276,12 @@ def test_memory_store_full_lifecycle_no_paths(spark, tmp_path, batches):
     for t in TIERS:
         _assert_tier_equal(ca.read_tier(t.name), _expected_tier(full, t.interval, t.unit))
     assert run2["compression"]["n_blocks"] > 0
+    # dynamic-partition semantics: partitions untouched by run 2 survive
+    # (regression: whole-table replace dropped run-1 block partitions)
+    blocks_after_2 = {
+        r["p_date"] for r in ca.read_blocks("minute").select("p_date").collect()
+    }
+    assert blocks_after_1 <= blocks_after_2
 
     # the only thing under agg/ is the checkpoint manifest — no tier data
     import os
@@ -316,3 +325,30 @@ def test_memory_store_commit_replay_idempotent(spark):
             "minute",
             {"staging_token": "gone", "dirty_partitions": ["2024-03-01"]},
         )
+
+
+def test_memory_store_blocks_dynamic_overwrite(spark):
+    """write_blocks must only replace the partitions present in the new
+    frame (regression: whole-table replace dropped earlier partitions)."""
+    import pandas as pd
+
+    from tablecloth_time_spark.plans.tier_store import MemoryTierStore
+
+    store = MemoryTierStore(spark)
+    b1 = pd.DataFrame({"conv_id": ["a"], "v": [1], "p_date": ["2024-01-01"]})
+    b2 = pd.DataFrame({"conv_id": ["b"], "v": [9], "p_date": ["2024-01-02"]})
+    store.write_blocks("minute", spark.createDataFrame(b1))
+    store.write_blocks("minute", spark.createDataFrame(b2))
+    got = {
+        (r["p_date"], r["v"])
+        for r in store.read_blocks("minute").collect()
+    }
+    assert got == {("2024-01-01", 1), ("2024-01-02", 9)}
+    # rewriting a partition replaces just that partition
+    b1b = pd.DataFrame({"conv_id": ["a"], "v": [7], "p_date": ["2024-01-01"]})
+    store.write_blocks("minute", spark.createDataFrame(b1b))
+    got = {
+        (r["p_date"], r["v"])
+        for r in store.read_blocks("minute").collect()
+    }
+    assert got == {("2024-01-01", 7), ("2024-01-02", 9)}

@@ -341,6 +341,68 @@ def test_convert_time_explicit_zone_berlin(spark):
     assert str(back) == "1970-01-01"
 
 
+def test_epoch_rescale_exact_at_int64_scale(spark):
+    """Division must not route through float64: at nano-epoch magnitude the
+    double ulp is 256ns, which rounded 1754999999999999999 UP across the
+    second boundary before truncation (regression)."""
+    row = spark.range(1).select(
+        T.epoch_rescale(
+            F.lit(1754999999999999999), "epoch-ns", "epoch-s"
+        ).alias("s"),
+        T.epoch_rescale(
+            F.lit(-1754999999999999999), "epoch-ns", "epoch-s"
+        ).alias("sn"),
+        T.convert_time(
+            F.lit(1754999999999999999), "timestamp", source_unit="epoch-ns"
+        ).cast("string").alias("ts"),
+    ).collect()[0]
+    assert row["s"] == 1754999999
+    assert row["sn"] == -1754999999  # truncation toward zero
+    assert row["ts"].startswith("2025-08-12 11:59:59.999999")
+
+
+def test_convert_time_pre1970_floors(spark):
+    """temporal->epoch floors (calendar semantics), matching to_epoch_days /
+    unix_seconds: 1969-12-31 12:00 is epoch-day -1, not 0 (regression —
+    the first rescale-based implementation truncated toward zero)."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    ["1969-12-31 12:00:00.000", "1969-12-31 23:59:59.500"]
+                )
+            }
+        )
+    )
+    rows = (
+        df.select(
+            "ts",
+            T.convert_time("ts", "epoch-days").alias("ed"),
+            T.convert_time("ts", "epoch-seconds").alias("es"),
+            T.convert_time("ts", "epoch-hours").alias("eh"),
+            T.to_epoch_days("ts").alias("ed_ref"),
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    noon, almost = rows
+    assert noon["ed"] == -1 and noon["ed"] == noon["ed_ref"]
+    assert noon["es"] == -43_200 and noon["eh"] == -12
+    assert almost["ed"] == -1 and almost["es"] == -1 and almost["eh"] == -1
+
+
+def test_parse_resolver_rejects_two_digit_year(spark):
+    with pytest.raises(ValueError, match="4-digit year"):
+        T.parse_temporal("s", "yy-MM-dd", resolver_style="smart")
+    with pytest.raises(ValueError, match="ambiguous"):
+        T.parse_temporal("s", "yyyy-Md", resolver_style="smart")
+    # separator-free fixed-width stays supported
+    got = spark.createDataFrame(pd.DataFrame({"s": ["20190231"]})).select(
+        T.parse_temporal("s", "yyyyMMdd", resolver_style="smart").alias("d")
+    ).collect()[0]["d"]
+    assert str(got)[:10] == "2019-02-28"
+
+
 def test_convert_time_column_dtype_checked(spark):
     """Numeric source without source_unit must raise (the old silent
     long-as-seconds mis-cast); temporal + source_unit is contradictory."""
