@@ -38,6 +38,16 @@ from tablecloth_time_spark.operators.slice import slice_time  # noqa: F401
 from tablecloth_time_spark.operators.rollup import (  # noqa: F401
     rollup,
     rollup_cascade,
+    rollup_tiers_long,
+)
+from tablecloth_time_spark.operators.asof import asof_join  # noqa: F401
+from tablecloth_time_spark.operators.sessions import (  # noqa: F401
+    session_stats,
+    sessionize,
+)
+from tablecloth_time_spark.operators.validate import (  # noqa: F401
+    ensure_time_column,
+    is_sorted,
 )
 from tablecloth_time_spark.operators.gapfill import (  # noqa: F401
     resample_to_regular_grid,

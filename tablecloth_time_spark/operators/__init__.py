@@ -8,4 +8,19 @@ from tablecloth_time_spark.operators.shift import (  # noqa: F401
     add_leads,
 )
 from tablecloth_time_spark.operators.time_columns import add_time_columns  # noqa: F401
-from tablecloth_time_spark.operators.rollup import rollup, AGG_BUILDERS  # noqa: F401
+from tablecloth_time_spark.operators.rollup import (  # noqa: F401
+    AGG_BUILDERS,
+    rollup,
+    rollup_cascade,
+    rollup_multi,
+    rollup_tiers_long,
+)
+from tablecloth_time_spark.operators.asof import asof_join  # noqa: F401
+from tablecloth_time_spark.operators.sessions import (  # noqa: F401
+    session_stats,
+    sessionize,
+)
+from tablecloth_time_spark.operators.validate import (  # noqa: F401
+    ensure_time_column,
+    is_sorted,
+)

@@ -43,7 +43,9 @@ def sessionize(
 
     ``order_cols`` breaks timestamp ties deterministically (e.g. event_id);
     a gap STRICTLY greater than ``gap`` units starts a new session
-    (gap == threshold stays in-session, matching session_window).
+    (gap == threshold stays in-session; NOTE Spark's ``session_window`` is
+    strict on that boundary — an event exactly ``gap`` later starts a new
+    session there, see streaming/rollup.streaming_sessionize).
 
     Null timestamps have no place on a session timeline: a null-ts row
     sorts first, opens a session of its own, AND forces the next real row

@@ -110,3 +110,52 @@ def streaming_rollup_to_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap: int,
+    unit: str = "minute",
+    aggs: dict[str, tuple[str, str]] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming per-session aggregates via native ``session_window``.
+
+    One output row per closed session (append once the watermark passes
+    the session's end), with the same stat columns as the batch
+    ``operators/sessions.session_stats``: session_start / session_end
+    (last event) / duration_ms / n_events + caller aggregates. State per
+    key is bounded by the watermark — sessions merge server-side as late
+    events arrive inside it.
+
+    Boundary semantics: ``session_window`` is STRICT — an event exactly
+    ``gap`` after the previous one starts a NEW session, while the batch
+    ``sessionize`` keeps it (its rule is ``gap_to_previous > gap``). The
+    two agree everywhere except gaps exactly equal to the threshold.
+    """
+    specs = _parse_aggs(aggs or {})
+    sw = F.session_window(F.col(ts_col), _interval_string(gap, unit))
+    partials = [e for s in specs for e in s.partial_exprs([ts_col])]
+    grouped = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys, sw.alias("__sw"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            *partials,
+        )
+    )
+    return grouped.select(
+        *keys,
+        "session_start",
+        "session_end",
+        (
+            F.unix_millis(F.col("session_end").cast("timestamp"))
+            - F.unix_millis(F.col("session_start").cast("timestamp"))
+        ).alias("duration_ms"),
+        "n_events",
+        *[s.final_expr() for s in specs],
+    )

@@ -103,3 +103,80 @@ def test_streaming_restart_is_exactly_once(spark, transcripts_df, tmp_path):
         batch, ["conv_id"], "ts", 1, "hour", AGGS, order_cols=["ts", "turn_idx"]
     ).count()
     assert n == expected
+
+
+def test_streaming_sessionize_matches_batch_session_window(
+    spark, transcripts_df, tmp_path
+):
+    """Streaming session_window output == the same session_window groupBy
+    run in batch over the identical closed input; also cross-checked
+    against the batch lag/run-sum sessionize away from exact-gap
+    boundaries (where the two rules legitimately differ)."""
+    from tablecloth_time_spark.streaming.rollup import streaming_sessionize
+
+    src_dir = str(tmp_path / "ssrc")
+    sink = str(tmp_path / "ssink")
+    ckpt = str(tmp_path / "sckpt")
+
+    batch = transcripts_df.withColumn("text_len", F.length("text").cast("long"))
+    sentinel = batch.limit(1).withColumn(
+        "ts", F.expr("timestamp'2030-01-01 00:00:00'")
+    ).withColumn("conv_id", F.lit("__flush__"))
+    batch.unionByName(sentinel).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    out = streaming_sessionize(
+        stream, ["conv_id"], "ts", 30, "minute",
+        aggs={"sum_chars": ("sum", "text_len")}, watermark="0 seconds",
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(sink)
+        .filter("conv_id <> '__flush__'")
+        .toPandas()
+        .sort_values(["conv_id", "session_start"], kind="stable")
+        .reset_index(drop=True)
+    )
+    expected = (
+        batch.groupBy(
+            "conv_id",
+            F.session_window("ts", "1800000 milliseconds").alias("__sw"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("text_len").alias("sum_chars"),
+        )
+        .withColumn(
+            "duration_ms",
+            F.unix_millis(F.col("session_end").cast("timestamp"))
+            - F.unix_millis(F.col("session_start").cast("timestamp")),
+        )
+        .drop("__sw")
+        .toPandas()
+        .sort_values(["conv_id", "session_start"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], expected[sorted(expected.columns)],
+        check_dtype=False,
+    )
+
+    # session COUNT parity with the batch lag/run-sum form (no exact-gap
+    # boundaries in the generated data -> the two rules agree)
+    from tablecloth_time_spark.operators.sessions import session_stats
+
+    batch_sessions = session_stats(
+        batch, "conv_id", "ts", 30, "minute", order_cols=["turn_idx"]
+    ).count()
+    assert batch_sessions == len(got)
