@@ -140,3 +140,43 @@ def test_spark_compress_roundtrip(spark, transcripts_df):
     pd.testing.assert_frame_equal(
         left[sorted(left.columns)], right[sorted(right.columns)], check_dtype=False
     )
+
+
+def test_batched_encoders_byte_identical():
+    """*_many must produce output byte-identical to the per-block encoders
+    for every block size including the 0/1/2-point header-only forms."""
+    import numpy as np
+
+    from tablecloth_time_spark.operators.compress import (
+        encode_floats_xor,
+        encode_floats_xor_many,
+        encode_ints_dod,
+        encode_ints_dod_many,
+    )
+
+    rng = np.random.default_rng(5)
+    sizes = [0, 1, 2, 3, 4, 7, 17, 100, 1000]
+    iv = np.concatenate(
+        [rng.integers(-(10**12), 10**12, s) for s in sizes]
+    ).astype(np.int64)
+    # add a near-regular series (the DoD sweet spot) and extreme values
+    iv2 = np.concatenate(
+        [iv, np.arange(500) * 60_000 + 17, np.array([2**62, -(2**62), 0, 1])]
+    )
+    sizes2 = sizes + [500, 4]
+    ends = np.cumsum(sizes2)
+    starts = ends - np.array(sizes2)
+    got = encode_ints_dod_many(iv2, starts, ends)
+    for b, (s, e) in enumerate(zip(starts, ends)):
+        assert got[b] == encode_ints_dod(iv2[s:e]), f"int block {b} (n={e-s})"
+
+    fv = np.concatenate(
+        [
+            rng.normal(size=sum(sizes)),
+            np.repeat(3.14159, 500),
+            np.array([0.0, -0.0, np.inf, 1e-300]),
+        ]
+    )
+    got_f = encode_floats_xor_many(fv, starts, ends)
+    for b, (s, e) in enumerate(zip(starts, ends)):
+        assert got_f[b] == encode_floats_xor(fv[s:e]), f"float block {b} (n={e-s})"
