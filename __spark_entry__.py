@@ -748,6 +748,290 @@ GROUP BY 1
 """
 
 
+def q_counter_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter delta + per-second rate per user (Prometheus
+    increase/rate semantics as pure lag-window exprs; operators/counters.py).
+    """
+    from tablecloth_time_spark.operators.counters import counter_rate
+
+    ev = _t(spark, sf_dir, "events")
+    out = counter_rate(
+        ev.select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", order_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("delta", 6).alias("delta"),
+        F.round("rate_per_s", 6).alias("rate_per_s"),
+    )
+
+
+SQL_COUNTER_RATE_EVENTS = """
+WITH o AS (
+  SELECT event_id, user_id, ts, value,
+         lag(value) OVER w AS prev_v,
+         epoch_ms(CAST(ts AS TIMESTAMP))
+           - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w AS dt_ms
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ts,
+       ROUND(CASE WHEN prev_v IS NULL THEN NULL
+                  WHEN value - prev_v < 0 THEN value
+                  ELSE value - prev_v END, 6) AS delta,
+       ROUND(CASE WHEN prev_v IS NULL OR dt_ms <= 0 THEN NULL
+                  WHEN value - prev_v < 0 THEN value / (dt_ms / 1000.0)
+                  ELSE (value - prev_v) / (dt_ms / 1000.0) END,
+             6) AS rate_per_s
+FROM o
+"""
+
+
+def q_twa_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (LOCF weighting over the observed span) per
+    (user, day) — the irregular-sampling correction to a plain avg
+    (operators/counters.py:time_weighted_avg)."""
+    from tablecloth_time_spark.operators.counters import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_weighted_avg(ev, "user_id", "ts", "value", 1, "day")
+    return out.select("user_id", "bucket", F.round("twa", 6).alias("twa"))
+
+
+SQL_TWA_DAILY = """
+WITH o AS (
+  SELECT user_id,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+         value,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+         CAST(lead(epoch_ms(CAST(ts AS TIMESTAMP)))
+           OVER (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                 ORDER BY ts)
+           - epoch_ms(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS w
+  FROM events
+),
+a AS (
+  SELECT user_id, bucket,
+         SUM(value * w) AS num, SUM(w) AS den,
+         arg_min(value, ms) AS first_v
+  FROM o GROUP BY 1, 2
+)
+SELECT user_id, bucket,
+       ROUND(CASE WHEN den > 0 THEN num / den ELSE first_v END, 6) AS twa
+FROM a
+"""
+
+
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular-time EWMA (adjusted form, halflife 1 h) per user — the one
+    sequential recurrence, run in the batched Arrow kernel; the oracle
+    re-derives it as a recursive CTE over the same decay recurrence
+    (operators/counters.py:ewma)."""
+    from tablecloth_time_spark.operators.counters import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma(ev, "user_id", "ts", "value", halflife=1, unit="hour")
+    return out.select(
+        "user_id", "ts_ms",
+        F.round("value", 6).alias("value"),
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+SQL_EWMA_VALUE = """
+WITH RECURSIVE base AS (
+  SELECT user_id, value,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         POWER(0.5, (epoch_ms(CAST(ts AS TIMESTAMP))
+                     - lag(epoch_ms(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id ORDER BY ts))
+                    / 3600000.0) AS decay
+  FROM events
+),
+rec AS (
+  SELECT user_id, rn, ts_ms, value,
+         value AS num, CAST(1.0 AS DOUBLE) AS den
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, b.ts_ms, b.value,
+         b.value + b.decay * r.num,
+         1.0 + b.decay * r.den
+  FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, ts_ms, ROUND(value, 6) AS value,
+       ROUND(num / den, 6) AS ewma
+FROM rec
+"""
+
+
+def q_detect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-gap detection per user (consecutive samples > 2 h apart) —
+    the pre-flight a backfill/gap-fill pipeline runs
+    (operators/counters.py:detect_gaps)."""
+    from tablecloth_time_spark.operators.counters import detect_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    return detect_gaps(ev, "user_id", "ts", 2, "hour", order_cols=["event_id"])
+
+
+SQL_DETECT_GAPS = """
+WITH o AS (
+  SELECT user_id,
+         lag(ts) OVER w AS gap_start,
+         ts AS gap_end,
+         epoch_ms(CAST(ts AS TIMESTAMP))
+           - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w AS gap_ms
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, gap_start, gap_end, gap_ms / 1000.0 AS gap_s
+FROM o WHERE gap_ms > 7200000
+"""
+
+
+def q_interval_join_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join: all events (any user) that happened inside
+    another user's >4h coverage gap — points x intervals without the
+    cartesian/range-join explosion (operators/intervals.py)."""
+    from tablecloth_time_spark.operators.counters import detect_gaps
+    from tablecloth_time_spark.operators.intervals import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    gaps = (
+        detect_gaps(ev, "user_id", "ts", 4, "hour", order_cols=["event_id"])
+        .filter(F.col("user_id") < 5)
+        .select(
+            F.col("user_id").alias("gap_user"),
+            "gap_start",
+            "gap_end",
+        )
+    )
+    out = interval_join(
+        ev.select("event_id", "user_id", "ts"),
+        gaps,
+        point_ts="ts",
+        start_col="gap_start",
+        end_col="gap_end",
+        bucket_width=4,
+        unit="hour",
+    )
+    return out.select("event_id", "user_id", "gap_user", "gap_start", "gap_end")
+
+
+SQL_INTERVAL_JOIN_GAPS = """
+WITH o AS (
+  SELECT user_id,
+         lag(ts) OVER w AS gap_start,
+         ts AS gap_end,
+         epoch_ms(CAST(ts AS TIMESTAMP))
+           - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w AS gap_ms
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id AS gap_user, gap_start, gap_end
+  FROM o WHERE gap_ms > 14400000 AND user_id < 5
+)
+SELECT e.event_id, e.user_id, g.gap_user, g.gap_start, g.gap_end
+FROM events e JOIN g
+  -- the engine compares in its int64 epoch-millis pivot; mirror that
+  ON epoch_ms(CAST(e.ts AS TIMESTAMP)) >= epoch_ms(CAST(g.gap_start AS TIMESTAMP))
+ AND epoch_ms(CAST(e.ts AS TIMESTAMP)) <  epoch_ms(CAST(g.gap_end AS TIMESTAMP))
+"""
+
+
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles per event type — first/last/min/max as mergeable
+    struct aggregates, so candles cascade across tiers like any rollup
+    (operators/rollup.py:ohlc)."""
+    from tablecloth_time_spark.operators.rollup import ohlc
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc(
+        ev, ["event_type"], "ts", "value", 1, "day",
+        order_cols=["ts", "event_id"],
+    )
+
+
+SQL_OHLC_DAILY = """
+WITH o AS (
+  SELECT event_type,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+         value,
+         row_number() OVER (PARTITION BY event_type,
+                              date_trunc('day', CAST(ts AS TIMESTAMP))
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY event_type,
+                              date_trunc('day', CAST(ts AS TIMESTAMP))
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM o
+GROUP BY 1, 2
+"""
+
+
+def q_percentile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of value per (event_type, day) — sort-based linear
+    interpolation, the definition DuckDB's quantile_cont shares; the 100 TB
+    path swaps exact=False for the mergeable KLL sketch
+    (operators/stats.py:percentile_rollup)."""
+    from tablecloth_time_spark.operators.stats import percentile_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = percentile_rollup(ev, ["event_type"], "ts", "value", 1, "day")
+    return out.select(
+        "event_type", "bucket",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
+SQL_PERCENTILE_DAILY = """
+SELECT event_type,
+       date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 heavy-hitter event types per day by count — hash-aggregate
+    counts (map-side combined) + rank window over the tiny distinct frame
+    (operators/stats.py:topk_per_bucket)."""
+    from tablecloth_time_spark.operators.stats import topk_per_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    return topk_per_bucket(ev, "event_type", "ts", 1, "day", k=3)
+
+
+SQL_TOPK_EVENT_TYPES = """
+WITH c AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, event_type, n,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY bucket
+                               ORDER BY n DESC, event_type ASC) AS rnk
+  FROM c
+)
+WHERE rnk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -1105,6 +1389,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_tiers_long": q_rollup_tiers_long,
         "asof_join_rates": q_asof_join_rates,
         "sessionize_events": q_sessionize_events,
+        "counter_rate_events": q_counter_rate_events,
+        "twa_daily": q_twa_daily,
+        "ewma_value": q_ewma_value,
+        "detect_gaps": q_detect_gaps,
+        "interval_join_gaps": q_interval_join_gaps,
+        "ohlc_daily": q_ohlc_daily,
+        "percentile_daily": q_percentile_daily,
+        "topk_event_types": q_topk_event_types,
         "pivot_daily_types": q_pivot_daily_types,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1144,6 +1436,14 @@ def oracle_sql() -> dict[str, str]:
         "rollup_tiers_long": SQL_ROLLUP_TIERS_LONG,
         "asof_join_rates": SQL_ASOF_JOIN_RATES,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
+        "counter_rate_events": SQL_COUNTER_RATE_EVENTS,
+        "twa_daily": SQL_TWA_DAILY,
+        "ewma_value": SQL_EWMA_VALUE,
+        "detect_gaps": SQL_DETECT_GAPS,
+        "interval_join_gaps": SQL_INTERVAL_JOIN_GAPS,
+        "ohlc_daily": SQL_OHLC_DAILY,
+        "percentile_daily": SQL_PERCENTILE_DAILY,
+        "topk_event_types": SQL_TOPK_EVENT_TYPES,
         "pivot_daily_types": SQL_PIVOT_DAILY_TYPES,
         "text_stats": SQL_TEXT_STATS,
         "lang_id": SQL_LANG_ID,

@@ -53,3 +53,15 @@ from tablecloth_time_spark.operators.gapfill import (  # noqa: F401
     resample_to_regular_grid,
 )
 from tablecloth_time_spark.operators.rolling import rolling  # noqa: F401
+from tablecloth_time_spark.operators.counters import (  # noqa: F401
+    counter_rate,
+    detect_gaps,
+    ewma,
+    time_weighted_avg,
+)
+from tablecloth_time_spark.operators.intervals import interval_join  # noqa: F401
+from tablecloth_time_spark.operators.rollup import ohlc  # noqa: F401
+from tablecloth_time_spark.operators.stats import (  # noqa: F401
+    percentile_rollup,
+    topk_per_bucket,
+)

@@ -10,10 +10,22 @@ from tablecloth_time_spark.operators.shift import (  # noqa: F401
 from tablecloth_time_spark.operators.time_columns import add_time_columns  # noqa: F401
 from tablecloth_time_spark.operators.rollup import (  # noqa: F401
     AGG_BUILDERS,
+    ohlc,
     rollup,
     rollup_cascade,
     rollup_multi,
     rollup_tiers_long,
+)
+from tablecloth_time_spark.operators.counters import (  # noqa: F401
+    counter_rate,
+    detect_gaps,
+    ewma,
+    time_weighted_avg,
+)
+from tablecloth_time_spark.operators.intervals import interval_join  # noqa: F401
+from tablecloth_time_spark.operators.stats import (  # noqa: F401
+    percentile_rollup,
+    topk_per_bucket,
 )
 from tablecloth_time_spark.operators.asof import asof_join  # noqa: F401
 from tablecloth_time_spark.operators.sessions import (  # noqa: F401

@@ -1,0 +1,223 @@
+"""Monitoring-style series math: counter rates, time-weighted means, EWMA,
+gap detection.
+
+These are the operators a metrics/observability user of the reference's
+resample recipe reaches for next (Prometheus ``rate``/``increase``,
+TimescaleDB ``time_weight``): the reference stops at plain group-by
+aggregates (README.md:20-36 recipe), so these extend SURVEY.md §2 with the
+irregular-sampling-aware forms, all as pure window/aggregate expressions —
+one Exchange on the key, whole-stage codegen, no Python.
+
+Scale notes (100 TB):
+
+- every operator here is ONE shuffle on the series key followed by an
+  in-partition sorted pass (the same plan class as ``sessionize`` /
+  ``asof_join``) or a partial/final hash aggregate — linear, AQE-friendly;
+- ``ewma`` is the one inherently sequential recurrence; it runs in the
+  batched Arrow kernel (``_grouped.grouped_apply_stream``: Python crossings
+  per Arrow batch, never per group or per row).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.window import Window
+
+from tablecloth_time_spark.functions.timeops import down_to_nearest, to_epoch_millis
+from tablecloth_time_spark.functions.units import milliseconds_in, normalize_unit
+from tablecloth_time_spark.operators._grouped import grouped_apply_stream
+
+
+def _keys(keys: str | list[str]) -> list[str]:
+    return [keys] if isinstance(keys, str) else list(keys)
+
+
+def counter_rate(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+    reset_aware: bool = True,
+    delta_col: str = "delta",
+    rate_col: str = "rate_per_s",
+) -> DataFrame:
+    """Per-sample increase and per-second rate of a (possibly resetting)
+    cumulative counter.
+
+    Prometheus ``increase``/``rate`` semantics on raw samples: the delta to
+    the previous sample of the same key; when the counter went DOWN the
+    counter is assumed to have reset to zero since the last sample, so the
+    increase is the current value itself (``reset_aware=True``). The first
+    sample of a key has no predecessor -> null delta/rate.
+
+    Pure ``lag`` window exprs: one Exchange on ``keys``, one ordered pass.
+    """
+    ks = _keys(keys)
+    order_cols = order_cols or []
+    w = Window.partitionBy(*ks).orderBy(ts_col, *order_cols)
+    v = F.col(value_col).cast("double")
+    prev_v = F.lag(v).over(w)
+    ms = to_epoch_millis(ts_col)
+    dt_s = (ms - F.lag(ms).over(w)).cast("double") / F.lit(1000.0)
+    raw = v - prev_v
+    delta = (
+        F.when(prev_v.isNull(), F.lit(None).cast("double"))
+        .when(raw < 0, v)  # counter reset: everything since the reset
+        .otherwise(raw)
+        if reset_aware
+        else raw
+    )
+    delta = delta.alias(delta_col)
+    rate = (
+        F.when(dt_s > 0, F.col(delta_col) / dt_s)
+        .otherwise(F.lit(None).cast("double"))
+        .alias(rate_col)
+    )
+    return df.withColumn(delta_col, delta).withColumn(rate_col, rate)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    interval: int,
+    unit: str = "hour",
+    order_cols: list[str] | None = None,
+    bucket_col: str = "bucket",
+    out_col: str = "twa",
+) -> DataFrame:
+    """Time-weighted average per (keys, bucket) under LOCF weighting.
+
+    Irregular samples make a plain ``avg`` lie (a value held for 50 minutes
+    counts the same as one held for 10 seconds). This is the
+    TimescaleDB-``time_weight('LOCF')``-style correction over the observed
+    span of each bucket: each sample's weight is the time until the NEXT
+    sample in the bucket, the last sample gets weight 0, and
+
+        twa = sum(v_i * (t_{i+1} - t_i)) / (t_last - t_first)
+
+    A single-sample bucket (no span) degenerates to its value.
+
+    Shape: one window pass for ``lead`` within (keys, bucket) + one
+    partial/final hash aggregate — the weights never leave the executors.
+    """
+    ks = _keys(keys)
+    order_cols = order_cols or []
+    bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
+    base = df.select(*ks, F.col(value_col).cast("double").alias("__v"), bucket,
+                     to_epoch_millis(ts_col).alias("__ms"), *order_cols)
+    w = Window.partitionBy(*ks, bucket_col).orderBy("__ms", *order_cols)
+    weighted = base.select(
+        *ks,
+        bucket_col,
+        "__v",
+        "__ms",
+        (F.lead("__ms").over(w) - F.col("__ms")).cast("double").alias("__w"),
+    )
+    agg = weighted.groupBy(*ks, bucket_col).agg(
+        F.sum(F.col("__v") * F.col("__w")).alias("__num"),
+        F.sum("__w").alias("__den"),
+        F.min(F.struct(F.col("__ms"), F.col("__v"))).alias("__first"),
+    )
+    return agg.select(
+        *ks,
+        bucket_col,
+        F.when(F.col("__den") > 0, F.col("__num") / F.col("__den"))
+        .otherwise(F.col("__first").getField("__v"))
+        .alias(out_col),
+    )
+
+
+def detect_gaps(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    threshold: int,
+    unit: str = "minute",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gaps in a series: pairs of consecutive samples of the same key more
+    than ``threshold`` units apart.
+
+    Output: one row per gap — (keys..., gap_start, gap_end, gap_s). This is
+    the query a retention/backfill pipeline runs to find missing spans
+    before gap-filling them (operators/gapfill.py); a pure ``lag`` window +
+    filter, so at 100 TB it costs one shuffle on the key and the filter
+    discards in-threshold rows executor-side.
+    """
+    ks = _keys(keys)
+    order_cols = order_cols or []
+    thresh_ms = threshold * milliseconds_in(normalize_unit(unit))
+    w = Window.partitionBy(*ks).orderBy(ts_col, *order_cols)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    with_prev = df.select(
+        *ks,
+        prev_ts.alias("gap_start"),
+        F.col(ts_col).alias("gap_end"),
+        (to_epoch_millis(ts_col) - to_epoch_millis(prev_ts)).alias("__gap_ms"),
+    )
+    return with_prev.filter(F.col("__gap_ms") > thresh_ms).select(
+        *ks,
+        "gap_start",
+        "gap_end",
+        (F.col("__gap_ms").cast("double") / 1000.0).alias("gap_s"),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    halflife: int,
+    unit: str = "minute",
+    order_cols: list[str] | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Time-decay exponentially weighted moving average per key (adjusted
+    form): for each sample,
+
+        ewma_i = sum_{j<=i} 0.5^((t_i - t_j)/halflife) * x_j
+                 / sum_{j<=i} 0.5^((t_i - t_j)/halflife)
+
+    The recurrence behind it is inherently sequential per series, so it
+    runs in the batched Arrow kernel (one shuffle + in-partition sort,
+    Python crossings per Arrow batch) with the scan itself delegated to
+    pandas' native (C-implemented, numerically segmented) time-decay
+    ``ewm`` — no Python row loop.
+
+    Output: input keys + ``ts_ms`` (epoch millis) + ``value`` + ``out_col``.
+    """
+    ks = _keys(keys)
+    order_cols = order_cols or []
+    base = df.select(
+        *ks,
+        to_epoch_millis(ts_col).alias("ts_ms"),
+        F.col(value_col).cast("double").alias("value"),
+        *order_cols,
+    )
+    halflife_ms = int(halflife * milliseconds_in(normalize_unit(unit)))
+    out_schema = StructType(
+        [f for f in base.schema.fields if f.name in (*ks, "ts_ms", "value")]
+        + [StructField(out_col, DoubleType())]
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        times = pd.to_datetime(g["ts_ms"], unit="ms")
+        y = (
+            g["value"]
+            .ewm(halflife=pd.Timedelta(milliseconds=halflife_ms), times=times)
+            .mean()
+        )
+        out = g[[*ks, "ts_ms", "value"]].copy()
+        out[out_col] = y.to_numpy()
+        return out
+
+    return grouped_apply_stream(
+        base, ks, ["ts_ms", *order_cols], kernel, out_schema
+    )

@@ -1,0 +1,104 @@
+"""Interval (range) join: points x [start, end) intervals, bucketized.
+
+Spark has no native band/interval join; the naive form
+
+    points JOIN intervals ON p.ts >= i.start AND p.ts < i.end
+
+plans as BroadcastNestedLoopJoin (small side) or a cartesian product —
+O(|points| x |intervals|) compared rows, unpayable when both sides are
+large. The standard distributed shape (used by Databricks' range-join hints
+and interval libraries like bioframe/Sedona) is BUCKETIZATION:
+
+1. pick a bucket width W ~ the typical interval length;
+2. explode each interval to the buckets it overlaps
+   (floor(start/W) .. floor((end-1)/W) — ``sequence`` + ``explode``,
+   executor-side, no Python);
+3. equi-join points on (keys..., bucket = floor(ts/W)) — a plain shuffled
+   hash join Catalyst/AQE can optimize;
+4. re-apply the exact predicate as a post-filter.
+
+Each point lands in exactly one bucket, so a point x interval pair can
+match in at most one bucket — no dedup pass needed. Cost: the interval
+side inflates by ceil(len/W)+1 rows per interval (bounded by choosing W),
+and the join compares only per-bucket pairs instead of all pairs.
+
+Skew note: a bucket holding a hot interval set still concentrates on one
+reducer; AQE skew-join handles the join-side skew, and extreme cases can
+pre-salt the bucket column. A degenerate interval (end <= start) matches
+nothing, mirroring the half-open predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.functions.timeops import to_epoch_millis
+from tablecloth_time_spark.functions.units import milliseconds_in, normalize_unit
+
+_BUCKET = "__iv_bucket"
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    on: str | list[str] | None = None,
+    bucket_width: int = 1,
+    unit: str = "hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point to every interval with ``start <= ts < end``
+    (half-open), optionally also equi-matching key columns ``on``.
+
+    ``how``: 'inner' keeps matched pairs; 'left' keeps unmatched points
+    with null interval columns. Output = point columns + interval columns
+    (minus join keys); colliding names must be resolved by the caller
+    before the join (raises otherwise).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on or [])
+    width_ms = bucket_width * milliseconds_in(normalize_unit(unit))
+    collide = [
+        c for c in intervals.columns if c not in keys and c in points.columns
+    ]
+    if collide:
+        raise ValueError(
+            f"interval columns {collide} collide with point columns; "
+            "rename before joining"
+        )
+
+    s_ms = to_epoch_millis(start_col)
+    e_ms = to_epoch_millis(end_col)
+    # floor-div of the half-open range: last covered bucket is (end-1)//W
+    iv = intervals.filter(e_ms > s_ms).withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(s_ms / width_ms), F.floor((e_ms - 1) / width_ms)
+            )
+        ),
+    )
+    pt = points.withColumn(_BUCKET, F.floor(to_epoch_millis(point_ts) / width_ms))
+
+    cond = [pt[_BUCKET] == iv[_BUCKET]]
+    for k in keys:
+        cond.append(pt[k] == iv[k])
+    p_ts = to_epoch_millis(pt[point_ts])
+    exact = (p_ts >= to_epoch_millis(iv[start_col])) & (
+        p_ts < to_epoch_millis(iv[end_col])
+    )
+
+    iv_payload = [c for c in intervals.columns if c not in keys]
+    if how == "inner":
+        joined = pt.join(iv, [*cond, exact], "inner")
+        return joined.select(
+            *[pt[c] for c in points.columns], *[iv[c] for c in iv_payload]
+        )
+    joined = pt.join(iv, [*cond, exact], "left")
+    return joined.select(
+        *[pt[c] for c in points.columns], *[iv[c] for c in iv_payload]
+    )

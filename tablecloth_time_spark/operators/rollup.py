@@ -144,6 +144,42 @@ def rollup(
     return merged.select(*keys, bucket_col, *[s.final_expr() for s in specs])
 
 
+def ohlc(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    interval: int,
+    unit: str = "day",
+    order_cols: list[str] | None = None,
+    bucket_col: str = BUCKET_COL,
+) -> DataFrame:
+    """Open/high/low/close candles per (keys, bucket) — the finance
+    resample, as a pure composition of :func:`rollup`'s mergeable
+    first/last/min/max aggregates (so OHLC candles cascade across tiers
+    like any other rollup: minute candles merge into hourly into daily
+    without re-reading raw data).
+
+    ``order_cols`` pins which sample is "open"/"close" under equal
+    timestamps (default: the timestamp alone).
+    """
+    return rollup(
+        df,
+        keys,
+        ts_col,
+        interval,
+        unit,
+        aggs={
+            "open": ("first", value_col),
+            "high": ("max", value_col),
+            "low": ("min", value_col),
+            "close": ("last", value_col),
+        },
+        order_cols=order_cols,
+        bucket_col=bucket_col,
+    )
+
+
 # tier name -> (interval, unit); coarser tiers must be exact multiples of
 # finer ones for the cascade to be lossless
 DEFAULT_TIERS: dict[str, tuple[int, str]] = {

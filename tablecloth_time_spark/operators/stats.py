@@ -1,0 +1,87 @@
+"""Distribution / ranking aggregates over time buckets.
+
+Extends the reference's resample recipe (bucket -> group-by -> aggregate,
+README.md:20-36) with the two aggregate families it lacks: order
+statistics (percentiles) and per-bucket ranking (top-k heavy hitters).
+Both are single hash-aggregate / window plans — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tablecloth_time_spark.functions.timeops import down_to_nearest
+
+
+def percentile_rollup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    interval: int,
+    unit: str = "hour",
+    percentiles: dict[str, float] | None = None,
+    bucket_col: str = "bucket",
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-(keys, bucket) percentiles of ``value_col``.
+
+    ``exact=True`` uses ``F.percentile`` (sort-based, linear interpolation
+    — the definition DuckDB's ``quantile_cont`` shares, so the driver
+    oracle can pin it). Exact percentiles buffer each group's values, so
+    the EXACT path is for verification and small groups; at 100 TB use
+    ``exact=False`` -> ``approx_percentile`` (KLL-sketch-style, mergeable,
+    map-side-combinable — the same plan shape as any sum/count rollup).
+
+    ``percentiles`` maps output column name -> fraction, default
+    p50/p95/p99.
+    """
+    pcts = percentiles or {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+    bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
+    v = F.col(value_col).cast("double")
+    if exact:
+        aggs = [F.percentile(v, F.lit(q)).alias(name) for name, q in pcts.items()]
+    else:
+        aggs = [
+            F.approx_percentile(v, F.lit(q), F.lit(accuracy)).alias(name)
+            for name, q in pcts.items()
+        ]
+    return df.groupBy(*keys, bucket).agg(*aggs)
+
+
+def topk_per_bucket(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    interval: int,
+    unit: str = "day",
+    k: int = 3,
+    bucket_col: str = "bucket",
+    count_col: str = "n",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Top-k heavy hitters of ``group_col`` per time bucket, by row count.
+
+    Two-stage: hash-aggregate counts per (bucket, group) — map-side
+    combined, so the shuffle carries one row per distinct pair — then a
+    rank window partitioned by bucket. Ties break deterministically on
+    ``group_col`` ascending (reproducible output, oracle-pinnable).
+
+    At 100 TB the count aggregate is the standard scalable shape; the rank
+    window partitions by bucket only, which is fine because its input is
+    already one row per distinct (bucket, group) — the heavy lifting
+    happened in the combine. For very high-cardinality group columns,
+    pre-filter with a frequency sketch before ranking.
+    """
+    bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
+    counts = df.groupBy(bucket, group_col).agg(F.count(F.lit(1)).alias(count_col))
+    w = Window.partitionBy(bucket_col).orderBy(
+        F.col(count_col).desc(), F.col(group_col).asc()
+    )
+    return (
+        counts.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

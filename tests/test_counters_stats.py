@@ -1,0 +1,376 @@
+"""Tests for counters (rate/TWA/EWMA/gaps), interval join, stats rollups,
+and OHLC — each pinned against an independent pandas/numpy oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.operators.counters import (
+    counter_rate,
+    detect_gaps,
+    ewma,
+    time_weighted_avg,
+)
+from tablecloth_time_spark.operators.intervals import interval_join
+from tablecloth_time_spark.operators.rollup import ohlc
+from tablecloth_time_spark.operators.stats import percentile_rollup, topk_per_bucket
+
+from tests.conftest import assert_frames_equal
+
+T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _series_pdf(seed=7, n=400, nkeys=5):
+    rng = np.random.default_rng(seed)
+    ts = [
+        T0 + dt.timedelta(seconds=int(s))
+        for s in np.cumsum(rng.integers(1, 7200, n))
+    ]
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, nkeys, n).astype("int64"),
+            "ts": ts,
+            "v": np.round(rng.uniform(0, 1000, n), 3),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    pdf = _series_pdf()
+    df = spark.createDataFrame(pdf)
+    df.cache().count()
+    return df, pdf
+
+
+# ---------------------------------------------------------------- counter_rate
+
+
+def test_counter_rate_matches_pandas(spark, series):
+    df, pdf = series
+    got = counter_rate(df, "k", "ts", "v").select("k", "ts", "delta", "rate_per_s")
+
+    def per_key(g):
+        g = g.sort_values("ts")
+        prev = g["v"].shift(1)
+        raw = g["v"] - prev
+        delta = raw.where(raw >= 0, g["v"])
+        delta[prev.isna()] = np.nan
+        dt_s = (g["ts"] - g["ts"].shift(1)).dt.total_seconds()
+        rate = delta / dt_s
+        return pd.DataFrame(
+            {"k": g["k"], "ts": g["ts"], "delta": delta, "rate_per_s": rate}
+        )
+
+    exp = (
+        pdf.groupby("k", group_keys=False)[["k", "ts", "v"]]
+        .apply(per_key)
+        .reset_index(drop=True)
+    )
+    assert_frames_equal(got, exp, ["k", "ts"])
+
+
+def test_counter_rate_reset(spark):
+    rows = [
+        (1, T0, 10.0),
+        (1, T0 + dt.timedelta(seconds=10), 25.0),
+        (1, T0 + dt.timedelta(seconds=20), 5.0),  # reset: counter dropped
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = {
+        r["ts"]: (r["delta"], r["rate_per_s"])
+        for r in counter_rate(df, "k", "ts", "v").collect()
+    }
+    assert out[T0] == (None, None)
+    assert out[T0 + dt.timedelta(seconds=10)] == (15.0, 1.5)
+    # after the reset the increase is the post-reset value itself
+    assert out[T0 + dt.timedelta(seconds=20)] == (5.0, 0.5)
+
+
+def test_counter_rate_not_reset_aware(spark):
+    rows = [(1, T0, 10.0), (1, T0 + dt.timedelta(seconds=10), 4.0)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = counter_rate(df, "k", "ts", "v", reset_aware=False).collect()
+    by_ts = {r["ts"]: r["delta"] for r in out}
+    assert by_ts[T0 + dt.timedelta(seconds=10)] == -6.0
+
+
+# ------------------------------------------------------------ time_weighted_avg
+
+
+def test_twa_matches_numpy(spark, series):
+    df, pdf = series
+    got = time_weighted_avg(df, "k", "ts", "v", 1, "day")
+
+    recs = []
+    pdf2 = pdf.copy()
+    pdf2["bucket"] = pdf2["ts"].dt.floor("D")
+    for (k, b), g in pdf2.groupby(["k", "bucket"]):
+        g = g.sort_values("ts")
+        t = g["ts"].astype("int64").to_numpy() // 10**6
+        v = g["v"].to_numpy()
+        if len(g) == 1:
+            twa = float(v[0])
+        else:
+            w = np.diff(t).astype(float)
+            twa = float(np.sum(v[:-1] * w) / np.sum(w))
+        recs.append({"k": k, "bucket": b, "twa": twa})
+    exp = pd.DataFrame(recs)
+    assert_frames_equal(got, exp, ["k", "bucket"])
+
+
+def test_twa_constant_value_is_exact(spark):
+    rows = [(1, T0 + dt.timedelta(minutes=m), 42.0) for m in (0, 7, 55)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    [r] = time_weighted_avg(df, "k", "ts", "v", 1, "hour").collect()
+    assert r["twa"] == 42.0
+
+
+def test_twa_weights_long_hold(spark):
+    # 10 held for 59 minutes, then 1000 at the last sample: plain avg says
+    # 505, LOCF-TWA must stay 10 (the last sample holds for 0 time)
+    rows = [(1, T0, 10.0), (1, T0 + dt.timedelta(minutes=59), 1000.0)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    [r] = time_weighted_avg(df, "k", "ts", "v", 1, "hour").collect()
+    assert r["twa"] == 10.0
+
+
+# ----------------------------------------------------------------------- ewma
+
+
+def test_ewma_matches_direct_formula(spark, series):
+    df, pdf = series
+    got = ewma(df, "k", "ts", "v", halflife=30, unit="minute").toPandas()
+
+    hl_ms = 30 * 60_000.0
+    recs = []
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values("ts")
+        t = (g["ts"].astype("int64").to_numpy() // 10**6).astype(np.float64)
+        x = g["v"].to_numpy()
+        for i in range(len(g)):
+            w = 0.5 ** ((t[i] - t[: i + 1]) / hl_ms)
+            recs.append(
+                {
+                    "k": k,
+                    "ts_ms": int(t[i]),
+                    "value": x[i],
+                    "ewma": float(np.sum(w * x[: i + 1]) / np.sum(w)),
+                }
+            )
+    exp = pd.DataFrame(recs)
+    got = got.sort_values(["k", "ts_ms"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "ts_ms"]).reset_index(drop=True)
+    np.testing.assert_allclose(got["ewma"], exp["ewma"], rtol=1e-9)
+    assert got["ts_ms"].tolist() == exp["ts_ms"].tolist()
+
+
+def test_ewma_first_sample_is_value(spark):
+    rows = [(1, T0, 123.0)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    [r] = ewma(df, "k", "ts", "v", halflife=10).collect()
+    assert r["ewma"] == 123.0
+
+
+# ---------------------------------------------------------------- detect_gaps
+
+
+def test_detect_gaps(spark):
+    rows = [
+        (1, T0),
+        (1, T0 + dt.timedelta(minutes=5)),
+        (1, T0 + dt.timedelta(minutes=75)),  # 70-minute gap
+        (2, T0),
+        (2, T0 + dt.timedelta(hours=3)),  # 3-hour gap
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp")
+    out = detect_gaps(df, "k", "ts", threshold=1, unit="hour").collect()
+    got = {(r["k"], r["gap_s"]) for r in out}
+    assert got == {(1, 4200.0), (2, 10800.0)}
+    by_k = {r["k"]: r for r in out}
+    assert by_k[1]["gap_start"] == T0 + dt.timedelta(minutes=5)
+    assert by_k[1]["gap_end"] == T0 + dt.timedelta(minutes=75)
+
+
+def test_detect_gaps_none_below_threshold(spark):
+    rows = [(1, T0), (1, T0 + dt.timedelta(minutes=59))]
+    df = spark.createDataFrame(rows, "k int, ts timestamp")
+    assert detect_gaps(df, "k", "ts", 1, "hour").count() == 0
+
+
+# -------------------------------------------------------------- interval_join
+
+
+def _interval_frames(spark, seed=11):
+    rng = np.random.default_rng(seed)
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(300, dtype="int64"),
+            "k": rng.integers(0, 3, 300).astype("int64"),
+            "ts": [
+                T0 + dt.timedelta(seconds=int(s))
+                for s in rng.integers(0, 86_400 * 3, 300)
+            ],
+        }
+    )
+    starts = rng.integers(0, 86_400 * 3, 40)
+    lengths = rng.integers(300, 4 * 3600, 40)
+    ivs = pd.DataFrame(
+        {
+            "iv_id": np.arange(40, dtype="int64"),
+            "k": rng.integers(0, 3, 40).astype("int64"),
+            "start": [T0 + dt.timedelta(seconds=int(s)) for s in starts],
+            "end": [
+                T0 + dt.timedelta(seconds=int(s + l))
+                for s, l in zip(starts, lengths)
+            ],
+        }
+    )
+    return spark.createDataFrame(pts), spark.createDataFrame(ivs), pts, ivs
+
+
+def _expected_pairs(pts, ivs, keyed=True):
+    out = set()
+    for p in pts.itertuples():
+        for i in ivs.itertuples():
+            if keyed and p.k != i.k:
+                continue
+            if i.start <= p.ts < i.end:
+                out.add((p.pid, i.iv_id))
+    return out
+
+
+@pytest.mark.parametrize("width,unit", [(1, "hour"), (30, "minute"), (1, "day")])
+def test_interval_join_matches_bruteforce(spark, width, unit):
+    pdf, idf, pts, ivs = _interval_frames(spark)
+    got = interval_join(
+        pdf, idf, "ts", "start", "end", on="k", bucket_width=width, unit=unit
+    )
+    pairs = {(r["pid"], r["iv_id"]) for r in got.select("pid", "iv_id").collect()}
+    assert pairs == _expected_pairs(pts, ivs, keyed=True)
+
+
+def test_interval_join_unkeyed_and_left(spark):
+    pdf, idf, pts, ivs = _interval_frames(spark)
+    got = interval_join(
+        pdf, idf.drop("k"), "ts", "start", "end", bucket_width=2, unit="hour"
+    )
+    pairs = {(r["pid"], r["iv_id"]) for r in got.select("pid", "iv_id").collect()}
+    assert pairs == _expected_pairs(pts, ivs, keyed=False)
+
+    left = interval_join(
+        pdf, idf, "ts", "start", "end", on="k", bucket_width=2, unit="hour",
+        how="left",
+    )
+    rows = left.select("pid", "iv_id").collect()
+    # every point appears; unmatched ones exactly once with a null interval
+    matched = _expected_pairs(pts, ivs, keyed=True)
+    matched_pids = {p for p, _ in matched}
+    got_pairs = {(r["pid"], r["iv_id"]) for r in rows if r["iv_id"] is not None}
+    null_pids = [r["pid"] for r in rows if r["iv_id"] is None]
+    assert got_pairs == matched
+    assert set(null_pids) == set(pts["pid"]) - matched_pids
+    assert len(null_pids) == len(set(null_pids))
+
+
+def test_interval_join_half_open_boundaries(spark):
+    pts = spark.createDataFrame(
+        [(1, T0), (2, T0 + dt.timedelta(hours=1))], "pid int, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(10, T0, T0 + dt.timedelta(hours=1))],
+        "iv_id int, start timestamp, end timestamp",
+    )
+    got = interval_join(pts, ivs, "ts", "start", "end", bucket_width=1, unit="hour")
+    assert [r["pid"] for r in got.collect()] == [1]  # start incl, end excl
+
+
+def test_interval_join_degenerate_and_collision(spark):
+    pts = spark.createDataFrame([(1, T0)], "pid int, ts timestamp")
+    empty = spark.createDataFrame(
+        [(10, T0, T0)], "iv_id int, start timestamp, end timestamp"
+    )
+    assert interval_join(pts, empty, "ts", "start", "end").count() == 0
+    bad = spark.createDataFrame(
+        [(1, T0, T0 + dt.timedelta(hours=1))],
+        "pid int, start timestamp, end timestamp",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(pts, bad, "ts", "start", "end")
+
+
+# ----------------------------------------------------------- percentiles/topk
+
+
+def test_percentile_rollup_matches_numpy(spark, series):
+    df, pdf = series
+    got = percentile_rollup(df, ["k"], "ts", "v", 1, "day")
+    pdf2 = pdf.copy()
+    pdf2["bucket"] = pdf2["ts"].dt.floor("D")
+    exp = (
+        pdf2.groupby(["k", "bucket"])["v"]
+        .agg(
+            p50=lambda s: np.percentile(s, 50),
+            p95=lambda s: np.percentile(s, 95),
+            p99=lambda s: np.percentile(s, 99),
+        )
+        .reset_index()
+    )
+    out = got.toPandas().sort_values(["k", "bucket"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "bucket"]).reset_index(drop=True)
+    np.testing.assert_allclose(out["p50"], exp["p50"], rtol=1e-12)
+    np.testing.assert_allclose(out["p95"], exp["p95"], rtol=1e-12)
+    np.testing.assert_allclose(out["p99"], exp["p99"], rtol=1e-12)
+
+
+def test_approx_percentile_close_to_exact(spark, series):
+    df, _ = series
+    # one wide bucket -> ~80 rows per (k, bucket); approx_percentile is
+    # nearest-rank (no interpolation), so tiny groups diverge by design
+    exact = percentile_rollup(df, ["k"], "ts", "v", 365, "day")
+    approx = percentile_rollup(df, ["k"], "ts", "v", 365, "day", exact=False)
+    j = exact.alias("e").join(
+        approx.alias("a"), ["k", "bucket"]
+    ).select(
+        (F.abs(F.col("e.p50") - F.col("a.p50"))).alias("d50"),
+    )
+    assert j.agg(F.max("d50")).first()[0] < 50  # sketch within coarse tolerance
+
+
+def test_topk_per_bucket(spark):
+    rows = []
+    for day, spec in [(0, {"a": 5, "b": 3, "c": 1}), (1, {"b": 4, "c": 4, "d": 1})]:
+        for name, n in spec.items():
+            for i in range(n):
+                rows.append((T0 + dt.timedelta(days=day, minutes=i), name))
+    df = spark.createDataFrame(rows, "ts timestamp, g string")
+    out = topk_per_bucket(df, "g", "ts", 1, "day", k=2).collect()
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append((r["rnk"], r["g"], r["n"]))
+    d0, d1 = sorted(by_bucket)
+    assert sorted(by_bucket[d0]) == [(1, "a", 5), (2, "b", 3)]
+    # tie at 4: deterministic break on group name ascending
+    assert sorted(by_bucket[d1]) == [(1, "b", 4), (2, "c", 4)]
+
+
+# ----------------------------------------------------------------------- ohlc
+
+
+def test_ohlc_matches_pandas(spark, series):
+    df, pdf = series
+    got = ohlc(df, ["k"], "ts", "v", 1, "day")
+    pdf2 = pdf.copy()
+    pdf2["bucket"] = pdf2["ts"].dt.floor("D")
+    exp = (
+        pdf2.sort_values("ts", kind="stable")
+        .groupby(["k", "bucket"])["v"]
+        .agg(open="first", high="max", low="min", close="last")
+        .reset_index()
+    )
+    assert_frames_equal(got, exp, ["k", "bucket"])

@@ -172,3 +172,61 @@ def test_no_per_row_python_in_package():
             if re.search(pat, src):
                 offenders.append((str(f), pat))
     assert not offenders, offenders
+
+
+def test_counter_ops_single_shuffle(spark, events):
+    """counter_rate / detect_gaps / twa are one-Exchange window plans —
+    the same class as sessionize; no joins, no extra shuffles."""
+    from tablecloth_time_spark.operators.counters import (
+        counter_rate,
+        detect_gaps,
+        time_weighted_avg,
+    )
+
+    p = _plan(counter_rate(events, "user_id", "ts", "value"))
+    assert p.count("Exchange") == 1 and "Join" not in p
+
+    p = _plan(detect_gaps(events, "user_id", "ts", 2, "hour"))
+    assert p.count("Exchange") == 1 and "Join" not in p
+
+    # twa: one Exchange feeds BOTH the lead window and the bucket-grouped
+    # aggregate; the struct-min agg plans as partial/final SortAggregate,
+    # which reuses the window's sort — no extra Exchange, no extra Sort
+    p = _plan(time_weighted_avg(events, "user_id", "ts", "value", 1, "day"))
+    assert p.count("Exchange") == 1, p
+    assert p.count("SortAggregate") == 2 and "Join" not in p
+    assert p.count("Sort [") == 1, p  # the window's sort, reused by the agg
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark, events):
+    """interval_join must plan as a bucket EQUI-join (shuffled hash /
+    sort-merge) — never BroadcastNestedLoopJoin or Cartesian, which is
+    what the raw range predicate degenerates to."""
+    from tablecloth_time_spark.operators.intervals import interval_join
+
+    ivs = events.filter("event_type = 'error'").select(
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    p = _plan(
+        interval_join(
+            events.select("event_id", "ts"), ivs, "ts", "start", "end",
+            bucket_width=2, unit="hour",
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    ), p
+
+
+def test_topk_per_bucket_map_side_combine(spark, events):
+    """The count aggregate must partial/final combine (shuffle carries one
+    row per distinct pair), then one window over the distinct frame."""
+    from tablecloth_time_spark.operators.stats import topk_per_bucket
+
+    p = _plan(topk_per_bucket(events, "event_type", "ts", 1, "day", k=3))
+    assert p.count("HashAggregate") == 2, p
+    assert "Window" in p and "Join" not in p
