@@ -1032,6 +1032,38 @@ WHERE rnk <= 3
 """
 
 
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per (event_type, day) via the skew-safe
+    two-level dedup+count shape; exact=False swaps in the mergeable HLL++
+    sketch at scale (operators/stats.py:distinct_rollup)."""
+    from tablecloth_time_spark.operators.stats import distinct_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return distinct_rollup(ev, ["event_type"], "ts", "user_id", 1, "day")
+
+
+SQL_DISTINCT_USERS_DAILY = """
+SELECT event_type,
+       date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+       COUNT(DISTINCT user_id) AS n_distinct
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB shape-preserving downsample of each user's value series to 60
+    points (sequential per-bucket argmax -> batched Arrow kernel; not
+    SQL-expressible, so rows-only here — exact semantics pinned against a
+    reference implementation of the published algorithm in
+    tests/test_counters_stats.py)."""
+    from tablecloth_time_spark.operators.downsample import lttb_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    out = lttb_downsample(ev, "user_id", "ts", "value", n_out=60)
+    return out.select("user_id", "ts_ms", F.round("value", 6).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -1397,6 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_daily": q_ohlc_daily,
         "percentile_daily": q_percentile_daily,
         "topk_event_types": q_topk_event_types,
+        "distinct_users_daily": q_distinct_users_daily,
+        "lttb_downsample": q_lttb_downsample,
         "pivot_daily_types": q_pivot_daily_types,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1444,6 +1478,10 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_daily": SQL_OHLC_DAILY,
         "percentile_daily": SQL_PERCENTILE_DAILY,
         "topk_event_types": SQL_TOPK_EVENT_TYPES,
+        "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,
+        # lttb_downsample: sequential per-bucket argmax, not SQL-expressible
+        # -> rows-only; exact parity vs the published algorithm is pinned in
+        # tests/test_counters_stats.py::test_lttb_kernel_matches_reference_impl
         "pivot_daily_types": SQL_PIVOT_DAILY_TYPES,
         "text_stats": SQL_TEXT_STATS,
         "lang_id": SQL_LANG_ID,

@@ -24,9 +24,11 @@ from tablecloth_time_spark.operators.counters import (  # noqa: F401
 )
 from tablecloth_time_spark.operators.intervals import interval_join  # noqa: F401
 from tablecloth_time_spark.operators.stats import (  # noqa: F401
+    distinct_rollup,
     percentile_rollup,
     topk_per_bucket,
 )
+from tablecloth_time_spark.operators.downsample import lttb_downsample  # noqa: F401
 from tablecloth_time_spark.operators.asof import asof_join  # noqa: F401
 from tablecloth_time_spark.operators.sessions import (  # noqa: F401
     session_stats,

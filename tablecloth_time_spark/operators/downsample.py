@@ -1,0 +1,93 @@
+"""Visual downsampling: LTTB (largest-triangle-three-buckets) per series.
+
+A dashboard cannot plot 10^8 points; it wants ~window-width points that
+preserve the SHAPE of the series (peaks, troughs, trend reversals) better
+than naive every-Nth or per-bucket averaging. LTTB (Steinarsson 2013,
+"Downsampling Time Series for Visual Representation") is the standard:
+split the series into n_out buckets, always keep the first and last
+points, and from each middle bucket keep the point forming the largest
+triangle with the previously kept point and the next bucket's centroid.
+
+The selection is sequential per series (each choice depends on the
+previous kept point), so it runs in the batched Arrow kernel
+(``_grouped.grouped_apply_stream``): one shuffle + in-partition sort,
+Python crossings per Arrow batch. Inside the kernel the loop is per
+OUTPUT bucket — n_out iterations (plot width, typically 100-2000),
+NOT per input row — with the area argmax fully numpy-vectorized inside
+each bucket; input size only affects the vector lengths.
+
+Scale: each series is downsampled independently (conv/user/metric key),
+so the operator distributes like any grouped kernel; a single series'
+points must fit one task, which holds by construction for per-key series
+under the engine's day/conversation blocking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from tablecloth_time_spark.functions.timeops import to_epoch_millis
+from tablecloth_time_spark.operators._grouped import grouped_apply_stream
+
+
+def lttb_select(t: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
+    """Indices of the LTTB-selected points for one series (t sorted asc)."""
+    n = len(t)
+    if n_out >= n or n <= 2:
+        return np.arange(n)
+    if n_out < 3:
+        return np.array([0, n - 1])
+    # bucket boundaries over the middle n-2 points (first/last pinned)
+    edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    out = np.empty(n_out, dtype=np.int64)
+    out[0] = 0
+    a = 0  # previously selected point
+    for i in range(n_out - 2):  # per OUTPUT bucket, not per row
+        lo, hi = edges[i], edges[i + 1]
+        nlo, nhi = edges[i + 1], (n if i == n_out - 3 else edges[i + 2])
+        # next bucket's centroid (last "bucket" is the final point)
+        cx = t[nlo:nhi].mean() if nhi > nlo else t[n - 1]
+        cy = v[nlo:nhi].mean() if nhi > nlo else v[n - 1]
+        # triangle area vs previous point and centroid, vectorized
+        area = np.abs(
+            (t[a] - cx) * (v[lo:hi] - v[a]) - (t[a] - t[lo:hi]) * (cy - v[a])
+        )
+        a = lo + int(np.argmax(area)) if hi > lo else lo
+        out[i + 1] = a
+    out[n_out - 1] = n - 1
+    # degenerate tiny-bucket edges (linspace rounding) can repeat an index
+    return np.unique(out)
+
+
+def lttb_downsample(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    n_out: int = 500,
+) -> DataFrame:
+    """Downsample each key's series to at most ``n_out`` shape-preserving
+    points. Output: keys + ``ts_ms`` + ``value`` (the kept points, in
+    order)."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    base = df.select(
+        *ks,
+        to_epoch_millis(ts_col).alias("ts_ms"),
+        df[value_col].cast("double").alias("value"),
+    )
+    schema = StructType(
+        [f for f in base.schema.fields if f.name in ks]
+        + [StructField("ts_ms", LongType()), StructField("value", DoubleType())]
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts_ms"].to_numpy(dtype=np.float64)
+        v = g["value"].to_numpy(dtype=np.float64)
+        idx = lttb_select(t, v, n_out)
+        out = g.iloc[idx][[*ks, "ts_ms", "value"]]
+        return out
+
+    return grouped_apply_stream(base, ks, ["ts_ms"], kernel, schema)

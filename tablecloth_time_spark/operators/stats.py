@@ -52,6 +52,38 @@ def percentile_rollup(
     return df.groupBy(*keys, bucket).agg(*aggs)
 
 
+def distinct_rollup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    distinct_col: str,
+    interval: int,
+    unit: str = "day",
+    bucket_col: str = "bucket",
+    out_col: str = "n_distinct",
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Distinct count of ``distinct_col`` per (keys, bucket).
+
+    ``exact=True`` uses the skew-safe two-level shape — dedup on
+    (keys, bucket, value) with map-side combine, then count — instead of a
+    single ``countDistinct`` whose per-group value sets concentrate on one
+    reducer. ``exact=False`` uses HyperLogLog++
+    (``approx_count_distinct``), whose sketches are map-side mergeable and
+    constant-size — the 100 TB path when ±rsd error is acceptable.
+    """
+    bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
+    if exact:
+        dedup = df.groupBy(*keys, bucket, F.col(distinct_col)).agg(F.lit(1))
+        return dedup.groupBy(*keys, bucket_col).agg(
+            F.count(F.lit(1)).alias(out_col)
+        )
+    return df.groupBy(*keys, bucket).agg(
+        F.approx_count_distinct(distinct_col, rsd).alias(out_col)
+    )
+
+
 def topk_per_bucket(
     df: DataFrame,
     group_col: str,

@@ -18,7 +18,11 @@ from tablecloth_time_spark.operators.counters import (
 )
 from tablecloth_time_spark.operators.intervals import interval_join
 from tablecloth_time_spark.operators.rollup import ohlc
-from tablecloth_time_spark.operators.stats import percentile_rollup, topk_per_bucket
+from tablecloth_time_spark.operators.stats import (
+    distinct_rollup,
+    percentile_rollup,
+    topk_per_bucket,
+)
 
 from tests.conftest import assert_frames_equal
 
@@ -374,3 +378,90 @@ def test_ohlc_matches_pandas(spark, series):
         .reset_index()
     )
     assert_frames_equal(got, exp, ["k", "bucket"])
+
+
+# ------------------------------------------------------------ distinct_rollup
+
+
+def test_distinct_rollup_exact_vs_pandas(spark, series):
+    df, pdf = series
+    got = distinct_rollup(df, ["k"], "ts", "v", 1, "day")
+    pdf2 = pdf.copy()
+    pdf2["bucket"] = pdf2["ts"].dt.floor("D")
+    exp = (
+        pdf2.groupby(["k", "bucket"])["v"].nunique().reset_index(name="n_distinct")
+    )
+    exp["n_distinct"] = exp["n_distinct"].astype("int64")
+    assert_frames_equal(got, exp, ["k", "bucket"])
+
+
+def test_distinct_rollup_approx_within_rsd(spark, series):
+    df, _ = series
+    exact = distinct_rollup(df, ["k"], "ts", "v", 365, "day")
+    approx = distinct_rollup(df, ["k"], "ts", "v", 365, "day", exact=False)
+    j = exact.alias("e").join(approx.alias("a"), ["k", "bucket"]).select(
+        F.col("e.n_distinct").alias("ne"), F.col("a.n_distinct").alias("na")
+    )
+    for r in j.collect():
+        assert abs(r["na"] - r["ne"]) <= max(3, 0.15 * r["ne"])
+
+
+# ------------------------------------------------------------------------ lttb
+
+
+def _lttb_python(t, v, n_out):
+    """Straightforward reference LTTB (per the published algorithm)."""
+    import numpy as np
+
+    n = len(t)
+    if n_out >= n or n <= 2:
+        return list(range(n))
+    if n_out < 3:
+        return [0, n - 1]
+    edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+    sel = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        nlo = edges[i + 1]
+        nhi = n if i == n_out - 3 else edges[i + 2]
+        cx = t[nlo:nhi].mean() if nhi > nlo else t[n - 1]
+        cy = v[nlo:nhi].mean() if nhi > nlo else v[n - 1]
+        best, best_area = lo, -1.0
+        for j in range(lo, max(hi, lo + 1)):
+            area = abs((t[a] - cx) * (v[j] - v[a]) - (t[a] - t[j]) * (cy - v[a]))
+            if area > best_area:
+                best, best_area = j, area
+        a = best
+        sel.append(a)
+    sel.append(n - 1)
+    return sorted(set(sel))
+
+
+def test_lttb_kernel_matches_reference_impl():
+    import numpy as np
+
+    from tablecloth_time_spark.operators.downsample import lttb_select
+
+    rng = np.random.default_rng(3)
+    for n, n_out in [(500, 50), (100, 99), (100, 3), (10, 4), (3, 2), (2, 5)]:
+        t = np.sort(rng.uniform(0, 1e6, n))
+        v = rng.uniform(-50, 50, n)
+        assert lttb_select(t, v, n_out).tolist() == _lttb_python(t, v, n_out)
+
+
+def test_lttb_downsample_df(spark, series):
+    from tablecloth_time_spark.operators.downsample import lttb_downsample
+
+    df, pdf = series
+    out = lttb_downsample(df, "k", "ts", "v", n_out=20).toPandas()
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values("ts")
+        t = (g["ts"].astype("int64").to_numpy() // 10**6).astype(float)
+        v = g["v"].to_numpy()
+        exp_idx = _lttb_python(t, v, 20)
+        got = out[out["k"] == k].sort_values("ts_ms")
+        assert got["ts_ms"].tolist() == [int(t[i]) for i in exp_idx]
+        # endpoints always kept
+        assert got["ts_ms"].iloc[0] == int(t[0])
+        assert got["ts_ms"].iloc[-1] == int(t[-1])

@@ -230,3 +230,21 @@ def test_topk_per_bucket_map_side_combine(spark, events):
     p = _plan(topk_per_bucket(events, "event_type", "ts", 1, "day", k=3))
     assert p.count("HashAggregate") == 2, p
     assert "Window" in p and "Join" not in p
+
+
+def test_distinct_rollup_shapes(spark, events):
+    """Exact path: two-level dedup+count (2 Exchanges, both map-side
+    combined). Approx path: one partial/final HLL aggregate, one Exchange
+    — constant-size sketches, the 100 TB shape."""
+    from tablecloth_time_spark.operators.stats import distinct_rollup
+
+    p = _plan(distinct_rollup(events, ["event_type"], "ts", "user_id", 1, "day"))
+    assert p.count("Exchange") == 2 and p.count("HashAggregate") == 4, p
+
+    p = _plan(
+        distinct_rollup(
+            events, ["event_type"], "ts", "user_id", 1, "day", exact=False
+        )
+    )
+    assert p.count("Exchange") == 1, p
+    assert p.count("HashAggregate") + p.count("ObjectHashAggregate") == 2, p
