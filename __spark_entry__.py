@@ -1032,6 +1032,29 @@ WHERE rnk <= 3
 """
 
 
+def q_weekly_origin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monday-aligned weekly rollup via origin-anchored bucketing
+    (down_to_nearest(origin=...) — TimescaleDB time_bucket parity; the
+    epoch-anchored default starts weeks on Thursday)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        T.down_to_nearest("ts", 1, "week", origin="2024-01-01").alias("week"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("s"),
+    )
+
+
+SQL_WEEKLY_ORIGIN_ROLLUP = """
+SELECT time_bucket(INTERVAL '7 days', CAST(ts AS TIMESTAMP),
+                   TIMESTAMP '2024-01-01') AS week,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS s
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct users per (event_type, day) via the skew-safe
     two-level dedup+count shape; exact=False swaps in the mergeable HLL++
@@ -1429,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_daily": q_ohlc_daily,
         "percentile_daily": q_percentile_daily,
         "topk_event_types": q_topk_event_types,
+        "weekly_origin_rollup": q_weekly_origin_rollup,
         "distinct_users_daily": q_distinct_users_daily,
         "lttb_downsample": q_lttb_downsample,
         "pivot_daily_types": q_pivot_daily_types,
@@ -1478,6 +1502,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_daily": SQL_OHLC_DAILY,
         "percentile_daily": SQL_PERCENTILE_DAILY,
         "topk_event_types": SQL_TOPK_EVENT_TYPES,
+        "weekly_origin_rollup": SQL_WEEKLY_ORIGIN_ROLLUP,
         "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,
         # lttb_downsample: sequential per-bucket argmax, not SQL-expressible
         # -> rows-only; exact parity vs the published algorithm is pinned in

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -34,6 +35,7 @@ N_CONV = int(os.environ.get("SCALING_N_CONV", "360000"))
 REPLICATE = int(os.environ.get("SCALING_REPLICATE", "3"))
 CORES_LO = 8
 CORES_HI = 32
+MANUAL_MARKER = "<!-- MANUAL -->"
 INPUT_DIR = os.environ.get("SCALING_INPUT_DIR", "/tmp/tts_scaling_input")
 
 
@@ -185,8 +187,18 @@ def worker(cores: int) -> None:
 
 def run_level(cores: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cores)]
+    # Pin the WHOLE process tree (JVM task threads + Arrow Python workers)
+    # to exactly `cores` CPUs. Without this, local[N]'s Python workers are
+    # extra processes beyond the JVM's N task threads — a Python-kernel
+    # stage at local[8] quietly consumes ~2N host cores, which deflates
+    # the measured 8->32 speedup and makes the two levels incomparable.
+    # An executor fleet with N total cores runs its Python workers INSIDE
+    # those N cores, so the pinned run is the faithful N-vs-4N analogue.
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}", *cmd]
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+        cmd,
         capture_output=True,
         text=True,
         env=env,
@@ -235,7 +247,14 @@ def main() -> None:
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    report = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # everything below the marker is hand-maintained analysis — carry it
+    manual_tail = ""
+    if os.path.exists(report):
+        prev = open(report).read()
+        if MANUAL_MARKER in prev:
+            manual_tail = MANUAL_MARKER + prev.split(MANUAL_MARKER, 1)[1]
+    with open(report, "w") as f:
         f.write(
             f"""# BENCH — scaling-efficiency evidence (north rule)
 
@@ -269,6 +288,8 @@ Raw per-level JSON:
 ```
 """
         )
+        if manual_tail:
+            f.write("\n" + manual_tail)
     print(json.dumps(summary))
 
 

@@ -373,7 +373,11 @@ def floor_to_year(col: Column | str, k: int = 1) -> Column:
 
 
 def down_to_nearest(
-    col: Column | str, interval: int, unit: str, as_timestamp: bool = True
+    col: Column | str,
+    interval: int,
+    unit: str,
+    as_timestamp: bool = True,
+    origin: str | None = None,
 ) -> Column:
     """Floor a timestamp to the lower multiple of (interval x unit).
 
@@ -381,8 +385,15 @@ def down_to_nearest(
     ``timestamp_millis(ms - ms % (interval * unit_ms))``. Week boundaries are
     epoch-anchored (1970-01-01, a Thursday), matching the reference.
 
+    ``origin`` (metric units only) re-anchors the bucket grid to an
+    arbitrary timestamp — TimescaleDB ``time_bucket(width, ts, origin)``
+    parity. e.g. ``origin='2024-01-01'`` (a Monday) makes weekly buckets
+    Monday-aligned. Uses ``pmod`` so values BEFORE the origin still floor
+    (toward -inf on the origin grid), unlike the epoch-anchored default's
+    documented truncation-toward-zero.
+
     Calendar units (month/quarter/year): epoch-month/quarter/year integer
-    flooring (see floor_to_* above).
+    flooring (see floor_to_* above); ``origin`` is not supported there.
 
     Returns TimestampType when ``as_timestamp`` (the engine's tier-bucket
     contract), else DateType for calendar floors.
@@ -391,6 +402,8 @@ def down_to_nearest(
     if interval < 1:
         raise ValueError("interval must be >= 1")
     if is_calendar_unit(u):
+        if origin is not None:
+            raise ValueError("origin= is only supported for metric units")
         if u == "month":
             d = floor_to_month(col, interval)
         elif u == "quarter":
@@ -400,7 +413,11 @@ def down_to_nearest(
         return d.cast("timestamp") if as_timestamp else d
     divisor = interval * milliseconds_in(u)
     ms = to_epoch_millis(col)
-    floored = ms - ms % F.lit(divisor)
+    if origin is not None:
+        o_ms = F.unix_millis(F.lit(origin).cast("timestamp"))
+        floored = ms - F.pmod(ms - o_ms, F.lit(divisor))
+    else:
+        floored = ms - ms % F.lit(divisor)
     return F.timestamp_millis(floored)
 
 

@@ -1,0 +1,125 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The built-in streaming surfaces (windowed aggregation, ``session_window``)
+cover the engine's tier rollups and sessionization; what they cannot
+express is ROW-LEVEL state carried across micro-batches — e.g. "the delta
+of this sample vs the key's previous sample" when the previous sample
+arrived minutes and several micro-batches ago. That is per-key persistent
+state: ``applyInPandasWithState`` keeps one small state blob per key in
+the state store (checkpointed, exactly-once with the sink contract) and
+hands each micro-batch's rows for that key to a vectorized pandas kernel.
+
+``streaming_counter_rate`` is the batch ``operators/counters.counter_rate``
+re-expressed for streams: state = (last_ts_ms, last_value) — constant
+size per key, unbounded keys bounded only by key cardinality (NOT by
+time, hence no watermark requirement).
+
+Ordering contract: WITHIN a micro-batch rows are sorted by the kernel;
+ACROSS micro-batches samples of a key are assumed in-order (the standard
+contract for scrape/metric pipelines — a sample older than the key's
+state is flagged ``out_of_order`` with null delta/rate rather than
+silently differenced against the wrong predecessor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from tablecloth_time_spark.functions.timeops import to_epoch_millis
+
+
+def streaming_counter_rate(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    reset_aware: bool = True,
+) -> DataFrame:
+    """Streaming reset-aware counter delta/rate with per-key state.
+
+    Output (append, one row per input sample): key, ts_ms, value, delta,
+    rate_per_s, out_of_order. First sample of a key ever seen -> null
+    delta/rate. Semantics match batch ``counter_rate`` when samples arrive
+    in order (pinned by tests/test_streaming.py).
+    """
+    key_field = stream.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("ts_ms", LongType()),
+            StructField("value", DoubleType()),
+            StructField("delta", DoubleType()),
+            StructField("rate_per_s", DoubleType()),
+            StructField("out_of_order", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_ms", LongType()), StructField("last_v", DoubleType())]
+    )
+
+    def kernel(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values("ts_ms", kind="stable")
+        ms = pdf["ts_ms"].to_numpy(dtype=np.int64)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        if state.exists:
+            last_ms, last_v = state.get
+        else:
+            last_ms, last_v = None, None
+
+        prev_ms = np.roll(ms, 1).astype(np.float64)
+        prev_v = np.roll(v, 1)
+        has_prev = np.ones(len(ms), dtype=bool)
+        if last_ms is None:
+            has_prev[0] = False
+            prev_ms[0] = prev_v[0] = np.nan
+        else:
+            prev_ms[0] = float(last_ms)
+            prev_v[0] = last_v
+
+        ooo = has_prev & (ms < prev_ms)  # older than the carried state
+        raw = v - prev_v
+        delta = np.where(reset_aware & (raw < 0), v, raw)
+        dt_s = (ms - prev_ms) / 1000.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rate = np.where(dt_s > 0, delta / dt_s, np.nan)
+        delta = np.where(has_prev & ~ooo, delta, np.nan)
+        rate = np.where(has_prev & ~ooo, rate, np.nan)
+
+        state.update((int(ms[-1]), float(v[-1])))
+        yield pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                "ts_ms": ms,
+                "value": v,
+                "delta": delta,
+                "rate_per_s": rate,
+                "out_of_order": ooo,
+            }
+        )
+
+    base = stream.select(
+        key_col,
+        to_epoch_millis(ts_col).alias("ts_ms"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return base.groupBy(key_col).applyInPandasWithState(
+        kernel,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -180,3 +180,108 @@ def test_streaming_sessionize_matches_batch_session_window(
         batch, "conv_id", "ts", 30, "minute", order_cols=["turn_idx"]
     ).count()
     assert batch_sessions == len(got)
+
+
+def test_streaming_counter_rate_matches_batch(spark, tmp_path):
+    """Per-key state carried across micro-batches: 3 time-ordered files,
+    one micro-batch each, must reproduce the batch counter_rate exactly."""
+    import numpy as np
+
+    from tablecloth_time_spark.operators.counters import counter_rate
+    from tablecloth_time_spark.streaming.stateful import streaming_counter_rate
+
+    rng = np.random.default_rng(5)
+    n = 600
+    rows = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n).astype("int64"),
+            "ts": pd.to_datetime("2024-03-01")
+            + pd.to_timedelta(np.sort(rng.integers(0, 10**7, n)), unit="s"),
+            "v": np.round(rng.uniform(0, 500, n), 3),
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    full = spark.createDataFrame(rows)
+    # three files split by GLOBAL time order -> per-key in-order batches
+    for i, part in enumerate(np.array_split(np.arange(n), 3)):
+        spark.createDataFrame(rows.iloc[part]).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_counter_rate(stream, "k", "ts", "v")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(sink)
+        .toPandas()
+        .sort_values(["k", "ts_ms"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert not got["out_of_order"].any()
+    exp = (
+        counter_rate(full, "k", "ts", "v")
+        .select(
+            "k",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.col("v").cast("double").alias("value"),
+            "delta",
+            "rate_per_s",
+        )
+        .toPandas()
+        .sort_values(["k", "ts_ms"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "ts_ms", "value", "delta", "rate_per_s"]],
+        exp[["k", "ts_ms", "value", "delta", "rate_per_s"]],
+        check_dtype=False,
+    )
+
+
+def test_streaming_counter_rate_flags_out_of_order(spark, tmp_path):
+    """A sample older than the key's carried state must be flagged, not
+    differenced against the wrong predecessor."""
+    from tablecloth_time_spark.streaming.stateful import streaming_counter_rate
+
+    t0 = pd.Timestamp("2024-03-01")
+    f1 = pd.DataFrame({"k": [1, 1], "ts": [t0, t0 + pd.Timedelta("10s")],
+                       "v": [10.0, 20.0]})
+    f2 = pd.DataFrame({"k": [1], "ts": [t0 + pd.Timedelta("5s")], "v": [15.0]})
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = spark.createDataFrame(f1).schema
+    spark.createDataFrame(f1).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(f2).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_counter_rate(stream, "k", "ts", "v")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(sink).toPandas().sort_values("ts_ms")
+    ooo = got[got["out_of_order"]]
+    assert len(ooo) == 1 and ooo.iloc[0]["value"] == 15.0
+    assert pd.isna(ooo.iloc[0]["delta"])

@@ -423,3 +423,64 @@ def test_convert_time_column_dtype_checked(spark):
     ).collect()[0]
     assert TS(row["ts2"]) == TS("1970-01-02")
     assert row["ed"] == 1
+
+
+class TestOriginAnchoredBuckets:
+    """down_to_nearest(origin=...) — TimescaleDB time_bucket origin parity."""
+
+    def test_weekly_monday_aligned(self, spark):
+        # 2024-01-01 is a Monday; epoch-anchored weeks start Thursday
+        df = spark.sql(
+            "SELECT timestamp'2024-03-06 15:00:00' AS ts"  # a Wednesday
+        )
+        [r] = df.select(
+            T.down_to_nearest("ts", 1, "week", origin="2024-01-01").alias("b")
+        ).collect()
+        assert str(r["b"]) == "2024-03-04 00:00:00"  # the preceding Monday
+
+    def test_pre_origin_floors_toward_minus_inf(self, spark):
+        df = spark.sql("SELECT timestamp'2023-12-30 12:00:00' AS ts")
+        [r] = df.select(
+            T.down_to_nearest("ts", 1, "week", origin="2024-01-01").alias("b")
+        ).collect()
+        assert str(r["b"]) == "2023-12-25 00:00:00"  # Monday before origin
+
+    def test_aligned_value_unchanged(self, spark):
+        df = spark.sql("SELECT timestamp'2024-01-15 00:00:00' AS ts")
+        [r] = df.select(
+            T.down_to_nearest("ts", 1, "week", origin="2024-01-01").alias("b")
+        ).collect()
+        assert str(r["b"]) == "2024-01-15 00:00:00"
+
+    def test_origin_matches_duckdb_time_bucket(self, spark):
+        import datetime as _dt
+
+        import duckdb
+
+        rows = [
+            (_dt.datetime(2024, 1, 1) + _dt.timedelta(hours=7 * i + 3),)
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        got = sorted(
+            str(r["b"])
+            for r in df.select(
+                T.down_to_nearest(
+                    "ts", 90, "minute", origin="2024-01-01 00:30:00"
+                ).alias("b")
+            ).collect()
+        )
+        exp = sorted(
+            str(t[0])
+            for t in duckdb.sql(
+                "SELECT time_bucket(INTERVAL '90 minutes', ts,"
+                " TIMESTAMP '2024-01-01 00:30:00') FROM (SELECT unnest(["
+                + ",".join(f"TIMESTAMP '{r[0]}'" for r in rows)
+                + "]) AS ts)"
+            ).fetchall()
+        )
+        assert got == exp
+
+    def test_origin_calendar_unit_raises(self, spark):
+        with pytest.raises(ValueError, match="metric units"):
+            T.down_to_nearest("ts", 1, "month", origin="2024-01-01")
