@@ -1032,6 +1032,95 @@ WHERE rnk <= 3
 """
 
 
+def q_continuous_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star continuous aggregate, oracle-checked end-to-end: the
+    events table arrives as THREE snapshot increments; each triggers an
+    incremental refresh (dirty-partition stage-and-swap through the
+    TierStore seam, plans/continuous.py). The final hour tier must equal
+    the plain one-shot SQL rollup of everything — the driver-level proof
+    that incremental maintenance is exact."""
+    import tempfile
+
+    from tablecloth_time_spark.plans.continuous import (
+        ContinuousAggregate,
+        TierSpec,
+    )
+    from tablecloth_time_spark.plans.snapshots import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="tts_cont_")
+    src = SnapshotTable(spark, f"{root}/src")
+    ca = ContinuousAggregate(
+        spark,
+        src,
+        f"{root}/tiers",
+        keys=["user_id"],
+        ts_col="ts",
+        aggs={"n": ("count", "event_id"), "s": ("sum", "value")},
+        tiers=(TierSpec("hour", 1, "hour"),),
+        order_cols=["ts", "event_id"],
+    )
+    for lo, hi in ((0, 3000), (3000, 7000), (7000, 1 << 62)):
+        src.append(ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)))
+        ca.refresh()
+    out = ca.read_tier("hour")
+    return out.select(
+        "user_id", "bucket", "n", F.round("s", 6).alias("s")
+    )
+
+
+SQL_CONTINUOUS_HOURLY = """
+SELECT user_id,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS s
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla XOR + delta-of-delta, oracle-checked end-to-end: rollup the
+    events to a minute tier, ENCODE it into binary blocks, DECODE it back,
+    and hand the reconstructed points to the driver — they must hash-match
+    DuckDB computing the same minute rollup directly. Proves the codecs
+    are bit-lossless at the driver level, not just in pytest round-trips
+    (operators/compress.py)."""
+    from tablecloth_time_spark.operators.compress import (
+        compress_series,
+        decompress_blocks,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    minute = rollup(
+        ev, ["user_id"], "ts", 1, "minute",
+        {"n": ("count", "event_id"), "s": ("sum", "value")},
+        order_cols=["ts", "event_id"],
+    )
+    blocks = compress_series(
+        minute.withColumn("user_id", F.col("user_id").cast("string")),
+        ts_col="bucket",
+        value_cols={"n": "int", "s": "float"},
+        key_col="user_id",
+        block_unit="day",
+    )
+    pts = decompress_blocks(blocks, value_cols={"n": "int", "s": "float"})
+    return pts.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        F.col("ts").alias("bucket"),
+        "n",
+        F.round("s", 6).alias("s"),
+    )
+
+
+SQL_COMPRESS_ROUNDTRIP = """
+SELECT user_id,
+       date_trunc('minute', CAST(ts AS TIMESTAMP)) AS bucket,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS s
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_weekly_origin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monday-aligned weekly rollup via origin-anchored bucketing
     (down_to_nearest(origin=...) — TimescaleDB time_bucket parity; the
@@ -1453,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_daily": q_percentile_daily,
         "topk_event_types": q_topk_event_types,
         "weekly_origin_rollup": q_weekly_origin_rollup,
+        "continuous_hourly": q_continuous_hourly,
+        "compress_roundtrip": q_compress_roundtrip,
         "distinct_users_daily": q_distinct_users_daily,
         "lttb_downsample": q_lttb_downsample,
         "pivot_daily_types": q_pivot_daily_types,
@@ -1503,6 +1594,8 @@ def oracle_sql() -> dict[str, str]:
         "percentile_daily": SQL_PERCENTILE_DAILY,
         "topk_event_types": SQL_TOPK_EVENT_TYPES,
         "weekly_origin_rollup": SQL_WEEKLY_ORIGIN_ROLLUP,
+        "continuous_hourly": SQL_CONTINUOUS_HOURLY,
+        "compress_roundtrip": SQL_COMPRESS_ROUNDTRIP,
         "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,
         # lttb_downsample: sequential per-bucket argmax, not SQL-expressible
         # -> rows-only; exact parity vs the published algorithm is pinned in

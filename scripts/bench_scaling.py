@@ -3,7 +3,10 @@
 No multi-node cluster exists in this sandbox, so per the driver protocol the
 "N -> 4N executors" criterion is evidenced by running the SAME job on the
 SAME input at two parallelism levels on one host: local[8] (N) and
-local[32] (4N), shuffle partitions scaled with cores, fresh JVM per level.
+local[32] (4N), shuffle partitions scaled with cores, fresh JVM per level,
+each level's process tree pinned (taskset) to exactly N CPUs so JVM task
+threads and Arrow Python workers share the same N cores an N-core
+executor fleet would give them.
 
 Job under measurement = the engine's headline pipeline on the synthetic
 transcripts table (BASELINE.json input_hint shape):
@@ -33,8 +36,8 @@ sys.path.insert(0, REPO)
 
 N_CONV = int(os.environ.get("SCALING_N_CONV", "360000"))
 REPLICATE = int(os.environ.get("SCALING_REPLICATE", "3"))
-CORES_LO = 8
-CORES_HI = 32
+CORES_LO = int(os.environ.get("SCALING_CORES_LO", "8"))
+CORES_HI = int(os.environ.get("SCALING_CORES_HI", "32"))
 MANUAL_MARKER = "<!-- MANUAL -->"
 INPUT_DIR = os.environ.get("SCALING_INPUT_DIR", "/tmp/tts_scaling_input")
 
@@ -175,8 +178,11 @@ def worker(cores: int) -> None:
     # target, excluded from the throughput measurement
     pipeline()
 
+    # best-of-3: single-host wall-clock on this sandbox swings up to ~2x
+    # under invisible host contention; the minimum is the closest estimate
+    # of the uncontended rate at each level
     runs = []
-    for _ in range(2):
+    for _ in range(3):
         reset_caches()
         runs.append(pipeline())
     best = min(runs, key=lambda r: r["total_sec"])

@@ -629,7 +629,12 @@ def compress_series(
     # per-group applyInPandas round-trip (matters at millions of small
     # blocks: ~20x fewer Python crossings)
     spark = df.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # >=4 task waves so JVM Arrow serialization pipelines with the Python
+    # encode kernel instead of alternating in lockstep (see _grouped.py)
+    nparts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism * 4,
+    )
     part = prepared.repartition(nparts, "__key", "__block").sortWithinPartitions(
         "__key", "__block", *[f"__o{i}" for i in range(n_sort)]
     )
