@@ -1032,6 +1032,76 @@ WHERE rnk <= 3
 """
 
 
+def q_lag_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag by DURATION: each event's value at least 1 h earlier for the
+    same user (struct-max over a range frame — deterministic under
+    timestamp ties, unlike last() — operators/shift.py:add_lag_time)."""
+    from tablecloth_time_spark.operators.shift import add_lag_time
+
+    ev = _t(spark, sf_dir, "events")
+    out = add_lag_time(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ["user_id"], "ts", "value", 1, "hour",
+        order_cols=["event_id"], target="value_1h_ago",
+    )
+    return out.select("event_id", "user_id", "ts", "value", "value_1h_ago")
+
+
+SQL_LAG_TIME_1H = """
+SELECT event_id, user_id, ts, value,
+       (max(struct_pack(m := epoch_ms(CAST(ts AS TIMESTAMP)),
+                        o0 := event_id, v := value))
+          OVER (PARTITION BY user_id
+                ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 3600000 PRECEDING)).v
+         AS value_1h_ago
+FROM events
+"""
+
+
+def q_zscore_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly z-score: (value - mean) / stddev over each user's
+    trailing 3-hour window (operators/rolling.py composition); rows with a
+    degenerate window (n < 2 or zero variance) -> null score."""
+    from tablecloth_time_spark.operators.rolling import rolling
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ["user_id"], "ts", 3, "hour",
+        {"mu": ("avg", "value"), "sd": ("stddev", "value"),
+         "n": ("count", "value")},
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round(
+            F.when(
+                (F.col("n") >= 2) & (F.col("sd") > 0),
+                (F.col("value") - F.col("mu")) / F.col("sd"),
+            ),
+            6,
+        ).alias("zscore"),
+    )
+
+
+SQL_ZSCORE_3H = """
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         avg(value) OVER win AS mu,
+         stddev_samp(value) OVER win AS sd,
+         COUNT(value) OVER win AS n
+  FROM events
+  WINDOW win AS (PARTITION BY user_id
+                 ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 10800000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts,
+       ROUND(CASE WHEN n >= 2 AND sd > 0 THEN (value - mu) / sd END, 6)
+         AS zscore
+FROM w
+"""
+
+
 def q_continuous_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star continuous aggregate, oracle-checked end-to-end: the
     events table arrives as THREE snapshot increments; each triggers an
@@ -1542,6 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_daily": q_percentile_daily,
         "topk_event_types": q_topk_event_types,
         "weekly_origin_rollup": q_weekly_origin_rollup,
+        "lag_time_1h": q_lag_time_1h,
+        "zscore_3h": q_zscore_3h,
         "continuous_hourly": q_continuous_hourly,
         "compress_roundtrip": q_compress_roundtrip,
         "distinct_users_daily": q_distinct_users_daily,
@@ -1594,6 +1666,8 @@ def oracle_sql() -> dict[str, str]:
         "percentile_daily": SQL_PERCENTILE_DAILY,
         "topk_event_types": SQL_TOPK_EVENT_TYPES,
         "weekly_origin_rollup": SQL_WEEKLY_ORIGIN_ROLLUP,
+        "lag_time_1h": SQL_LAG_TIME_1H,
+        "zscore_3h": SQL_ZSCORE_3H,
         "continuous_hourly": SQL_CONTINUOUS_HOURLY,
         "compress_roundtrip": SQL_COMPRESS_ROUNDTRIP,
         "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,

@@ -3,6 +3,7 @@
 from tablecloth_time_spark.operators.slice import slice_time, parse_key  # noqa: F401
 from tablecloth_time_spark.operators.shift import (  # noqa: F401
     add_lag,
+    add_lag_time,
     add_lags,
     add_lead,
     add_leads,

@@ -123,3 +123,48 @@ def first_difference(
     target = target or f"{src}_diff"
     w = _window(partition_by, order_by or [src])
     return df.withColumn(target, F.col(src) - F.lag(src, 1).over(w))
+
+
+def add_lag_time(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    src: str,
+    width: int,
+    unit: str = "hour",
+    order_cols: list[str] | None = None,
+    target: str | None = None,
+) -> DataFrame:
+    """Lag by DURATION, not row count: the key's most recent ``src`` value
+    at least ``width`` units old at each row (null when none exists yet).
+
+    Row-count lags are meaningless on irregular samples ("the previous
+    sample" may be 2 seconds or 2 days old); this is the time-based form —
+    the building block of pct-change-over-1h / week-over-week features.
+
+    Spark-native shape: a RANGE window frame over epoch-millis,
+    ``[unbounded preceding, ts - width]``, aggregated with max over an
+    ordered struct ``(ms, order_cols..., value)`` — ``last()`` over a range
+    frame is nondeterministic under timestamp ties, the struct max is not.
+    Cost: the same one-shuffle windowed pass as any rolling aggregate.
+    """
+    from tablecloth_time_spark.functions.timeops import to_epoch_millis
+    from tablecloth_time_spark.functions.units import (
+        milliseconds_in,
+        normalize_unit,
+    )
+
+    width_ms = width * milliseconds_in(normalize_unit(unit))
+    order_cols = order_cols or []
+    target = target or f"{src}_lag_{width}{normalize_unit(unit)}"
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(to_epoch_millis(ts_col))
+        .rangeBetween(Window.unboundedPreceding, -width_ms)
+    )
+    ordered = F.struct(
+        to_epoch_millis(ts_col).alias("m"),
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        F.col(src).alias("v"),
+    )
+    return df.withColumn(target, F.max(ordered).over(w).getField("v"))

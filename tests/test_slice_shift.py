@@ -161,3 +161,69 @@ def test_add_leads_partitioned(spark):
         ("x", 1): 2.0, ("x", 2): 3.0, ("x", 3): None,
         ("y", 1): 20.0, ("y", 2): None,
     }
+
+
+class TestAddLagTime:
+    """Duration-based lag (struct-max over range frame)."""
+
+    def test_matches_python_oracle(self, spark):
+        import datetime as dt
+
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        T0 = dt.datetime(2024, 5, 1)
+        rows = [
+            (int(i), int(k), T0 + dt.timedelta(seconds=int(s)), float(v))
+            for i, (k, s, v) in enumerate(
+                zip(
+                    rng.integers(0, 4, 200),
+                    np.sort(rng.integers(0, 86_400, 200)),
+                    np.round(rng.uniform(0, 100, 200), 3),
+                )
+            )
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, k long, ts timestamp, v double"
+        )
+        from tablecloth_time_spark.operators.shift import add_lag_time
+
+        got = {
+            r["event_id"]: r["v_old"]
+            for r in add_lag_time(
+                df, ["k"], "ts", "v", 2, "hour",
+                order_cols=["event_id"], target="v_old",
+            ).collect()
+        }
+        for eid, k, ts, _ in rows:
+            cand = [
+                (r[2], r[0], r[3])
+                for r in rows
+                if r[1] == k and r[2] <= ts - dt.timedelta(hours=2)
+            ]
+            exp = max(cand)[2] if cand else None
+            assert got[eid] == exp, eid
+
+    def test_deterministic_under_ts_ties(self, spark):
+        import datetime as dt
+
+        T0 = dt.datetime(2024, 5, 1)
+        rows = [
+            (1, 1, T0, 10.0),
+            (2, 1, T0, 99.0),  # same timestamp, higher event_id wins
+            (3, 1, T0 + dt.timedelta(hours=3), 0.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, k long, ts timestamp, v double"
+        )
+        from tablecloth_time_spark.operators.shift import add_lag_time
+
+        out = {
+            r["event_id"]: r["v_old"]
+            for r in add_lag_time(
+                df, ["k"], "ts", "v", 1, "hour",
+                order_cols=["event_id"], target="v_old",
+            ).collect()
+        }
+        assert out[3] == 99.0
+        assert out[1] is None and out[2] is None
