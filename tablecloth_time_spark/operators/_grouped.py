@@ -48,7 +48,12 @@ def grouped_apply_stream(
     )
 
     def apply_groups(pdf: pd.DataFrame) -> pd.DataFrame | None:
-        outs = [fn(g) for _, g in pdf.groupby(list(group_cols), sort=False)]
+        # dropna=False: a null group key is a real group (Spark groupBy /
+        # window semantics); the default would silently drop its rows
+        outs = [
+            fn(g)
+            for _, g in pdf.groupby(list(group_cols), sort=False, dropna=False)
+        ]
         outs = [o for o in outs if o is not None and len(o)]
         return pd.concat(outs, ignore_index=True) if outs else None
 
@@ -62,7 +67,11 @@ def grouped_apply_stream(
                 continue
             tail = np.ones(len(pdf), dtype=bool)
             for c in group_cols:
-                tail &= (pdf[c] == pdf[c].iloc[-1]).to_numpy()
+                last = pdf[c].iloc[-1]
+                if pd.isna(last):  # NaN != NaN — null-safe tail comparison
+                    tail &= pdf[c].isna().to_numpy()
+                else:
+                    tail &= (pdf[c] == last).to_numpy()
             not_tail = np.flatnonzero(~tail)
             cut = int(not_tail[-1]) + 1 if len(not_tail) else 0
             pending = pdf.iloc[cut:]

@@ -48,11 +48,20 @@ def asof_join(
     tolerance: int | None = None,
     unit: str = "minute",
     right_prefix: str = "",
+    right_order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the matched right columns
     (null where no match). Right payload columns may be prefixed with
     ``right_prefix`` to avoid collisions; the matched right timestamp is
     always emitted as ``<right_prefix>matched_ts``.
+
+    The matched right row is carried as ONE struct (not per-column
+    ``last``), so a right row whose payload fields are partly NULL is
+    matched atomically — no mixing of fields from different right rows
+    (pandas ``merge_asof`` semantics). ``right_order_cols`` breaks ties
+    among right rows sharing the same (key, right_ts): the LAST row in
+    that ordering wins; without it, equal-timestamp right rows are picked
+    nondeterministically.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -80,12 +89,22 @@ def asof_join(
     # FIRST (asc nulls-first) and last(payload, ignorenulls) would leak its
     # payload into left rows that have no real predecessor (while the
     # carried matched_ts, being null, is skipped) — drop such rows up front
+    tie = list(right_order_cols or [])
+    tie_names = [f"__asof_tie{i}" for i in range(len(tie))]
+    # the whole right row travels as ONE struct: the carry then matches a
+    # right row atomically even when some of its payload fields are NULL
+    # (per-column last(ignorenulls) would fill those fields from OLDER
+    # right rows — field-mixing pandas merge_asof never does)
+    pay_struct = F.struct(
+        F.col(right_ts).alias("__mts"),
+        *[F.col(c).alias(f"__v{i}") for i, c in enumerate(payload)],
+    )
     rt = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         ordval(right_ts),
         F.lit(0).alias(_SIDE),
-        F.col(right_ts).alias(_RTS),
-        *[F.col(c).alias(right_prefix + c) for c in payload],
+        *[F.col(c).alias(n) for c, n in zip(tie, tie_names)],
+        pay_struct.alias(_RTS),
     )
     # align schemas for the union: left lacks right payload, right lacks
     # left payload — fill with typed nulls via unionByName(allowMissing)
@@ -93,35 +112,30 @@ def asof_join(
 
     w = (
         Window.partitionBy(*keys)
-        .orderBy(_ORD, _SIDE)
+        .orderBy(_ORD, _SIDE, *tie_names)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(right_prefix + c, ignorenulls=True).over(w).alias(right_prefix + c)
-        for c in payload
-    ]
-    matched_ts = F.last(_RTS, ignorenulls=True).over(w).alias(_RTS)
+    matched = F.last(_RTS, ignorenulls=True).over(w).alias(_RTS)
     out = both.select(
-        *[c for c in left.columns], F.col(_SIDE), matched_ts, *carried
+        *[c for c in left.columns], F.col(_SIDE), matched
     ).filter(F.col(_SIDE) == 1)
 
-    mts = F.col(_RTS)
+    mts = F.col(_RTS).getField("__mts")
+    vals = [F.col(_RTS).getField(f"__v{i}") for i in range(len(payload))]
     if tolerance is not None:
         tol_ms = tolerance * milliseconds_in(normalize_unit(unit))
         dist = (to_epoch_millis(left_ts) - to_epoch_millis(mts)) * F.lit(sign)
         in_tol = dist <= tol_ms
-        out = out.select(
+        return out.select(
             *[c for c in left.columns],
-            F.when(in_tol, mts).otherwise(F.lit(None)).alias(_RTS),
+            F.when(in_tol, mts).alias(right_prefix + "matched_ts"),
             *[
-                F.when(in_tol, F.col(right_prefix + c))
-                .otherwise(F.lit(None))
-                .alias(right_prefix + c)
-                for c in payload
+                F.when(in_tol, v).alias(right_prefix + c)
+                for c, v in zip(payload, vals)
             ],
         )
-    else:
-        out = out.select(
-            *[c for c in left.columns], mts.alias(_RTS), *[right_prefix + c for c in payload]
-        )
-    return out.withColumnRenamed(_RTS, right_prefix + "matched_ts")
+    return out.select(
+        *[c for c in left.columns],
+        mts.alias(right_prefix + "matched_ts"),
+        *[v.alias(right_prefix + c) for c, v in zip(payload, vals)],
+    )

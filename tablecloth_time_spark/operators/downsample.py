@@ -36,10 +36,11 @@ from tablecloth_time_spark.operators._grouped import grouped_apply_stream
 def lttb_select(t: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
     """Indices of the LTTB-selected points for one series (t sorted asc)."""
     n = len(t)
-    if n_out >= n or n <= 2:
+    if n_out >= n:
         return np.arange(n)
-    if n_out < 3:
-        return np.array([0, n - 1])
+    if n <= 2 or n_out < 3:
+        # endpoints only — trimmed to the budget for degenerate n_out
+        return np.arange(n) if n <= n_out else np.array([0, n - 1])[:max(n_out, 1)]
     # bucket boundaries over the middle n-2 points (first/last pinned)
     edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
     out = np.empty(n_out, dtype=np.int64)

@@ -93,12 +93,7 @@ def interval_join(
     )
 
     iv_payload = [c for c in intervals.columns if c not in keys]
-    if how == "inner":
-        joined = pt.join(iv, [*cond, exact], "inner")
-        return joined.select(
-            *[pt[c] for c in points.columns], *[iv[c] for c in iv_payload]
-        )
-    joined = pt.join(iv, [*cond, exact], "left")
+    joined = pt.join(iv, [*cond, exact], how)
     return joined.select(
         *[pt[c] for c in points.columns], *[iv[c] for c in iv_payload]
     )

@@ -75,7 +75,14 @@ def distinct_rollup(
     """
     bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
     if exact:
-        dedup = df.groupBy(*keys, bucket, F.col(distinct_col)).agg(F.lit(1))
+        # NULL is not a distinct value (COUNT(DISTINCT) / HLL semantics);
+        # without the filter the null group would count as one, silently
+        # diverging from the exact=False path
+        dedup = (
+            df.filter(F.col(distinct_col).isNotNull())
+            .groupBy(*keys, bucket, F.col(distinct_col))
+            .agg(F.lit(1))
+        )
         return dedup.groupBy(*keys, bucket_col).agg(
             F.count(F.lit(1)).alias(out_col)
         )

@@ -99,7 +99,12 @@ def streaming_counter_rate(
         delta = np.where(has_prev & ~ooo, delta, np.nan)
         rate = np.where(has_prev & ~ooo, rate, np.nan)
 
-        state.update((int(ms[-1]), float(v[-1])))
+        # never move state backward: a wholly-late micro-batch (batch max
+        # older than the carried state) must not regress last_ms, or the
+        # NEXT in-order sample would difference against the wrong
+        # predecessor (rows are sorted, so ms[-1] is the batch max)
+        if last_ms is None or int(ms[-1]) >= last_ms:
+            state.update((int(ms[-1]), float(v[-1])))
         yield pd.DataFrame(
             {
                 key_col: pdf[key_col].to_numpy(),

@@ -236,3 +236,43 @@ def test_session_stats(spark):
         ("b", 0, 1, 5.0),
     ]
     assert got[0]["duration_ms"] == 600_000
+
+
+def test_asof_null_payload_field_not_mixed(spark):
+    """A matched right row with a NULL payload field must yield NULL for
+    that field — never a stale value from an OLDER right row (atomic
+    struct carry, pandas merge_asof semantics)."""
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, T0 + dt.timedelta(minutes=3))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T0 + dt.timedelta(minutes=1), 5.0, 7.0),
+            (1, T0 + dt.timedelta(minutes=2), None, 9.0),
+        ],
+        "k int, ts timestamp, a double, b double",
+    )
+    [r] = asof_join(left, right, on="k").collect()
+    assert r["matched_ts"] == T0 + dt.timedelta(minutes=2)
+    assert r["a"] is None  # NOT 5.0 leaked from the older row
+    assert r["b"] == 9.0
+
+
+def test_asof_right_tiebreak_deterministic(spark):
+    """right_order_cols pins which of several equal-timestamp right rows
+    wins (the LAST in that ordering)."""
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, T0 + dt.timedelta(minutes=5))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, T0, 1, 10.0), (1, T0, 2, 20.0), (1, T0, 3, 30.0)],
+        "k int, ts timestamp, seq int, v double",
+    )
+    [r] = asof_join(left, right, on="k", right_order_cols=["seq"]).collect()
+    assert r["v"] == 30.0 and r["seq"] == 3

@@ -465,3 +465,40 @@ def test_lttb_downsample_df(spark, series):
         # endpoints always kept
         assert got["ts_ms"].iloc[0] == int(t[0])
         assert got["ts_ms"].iloc[-1] == int(t[-1])
+
+
+def test_distinct_rollup_excludes_nulls_like_count_distinct(spark):
+    rows = [
+        (1, T0, "u1"),
+        (1, T0 + dt.timedelta(minutes=1), None),
+        (1, T0 + dt.timedelta(minutes=2), "u2"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, u string")
+    [ex] = distinct_rollup(df, ["k"], "ts", "u", 1, "day").collect()
+    [ap] = distinct_rollup(df, ["k"], "ts", "u", 1, "day", exact=False).collect()
+    assert ex["n_distinct"] == 2  # NULL is not a distinct value
+    assert ap["n_distinct"] == 2
+
+
+def test_ewma_keeps_null_key_group(spark):
+    rows = [
+        (None, T0, 10.0),
+        (None, T0 + dt.timedelta(minutes=1), 10.0),
+        (1, T0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = ewma(df, "k", "ts", "v", halflife=10).collect()
+    assert len(out) == 3  # the null-key series is a real group, not dropped
+    nulls = [r for r in out if r["k"] is None]
+    assert len(nulls) == 2 and all(r["ewma"] == 10.0 for r in nulls)
+
+
+def test_lttb_n_out_budget_respected():
+    import numpy as np
+
+    from tablecloth_time_spark.operators.downsample import lttb_select
+
+    t = np.arange(10, dtype=float)
+    v = np.arange(10, dtype=float)
+    assert len(lttb_select(t, v, 1)) <= 1
+    assert len(lttb_select(t, v, 2)) <= 2

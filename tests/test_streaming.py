@@ -285,3 +285,41 @@ def test_streaming_counter_rate_flags_out_of_order(spark, tmp_path):
     ooo = got[got["out_of_order"]]
     assert len(ooo) == 1 and ooo.iloc[0]["value"] == 15.0
     assert pd.isna(ooo.iloc[0]["delta"])
+
+
+def test_streaming_counter_rate_state_not_regressed_by_late_batch(
+    spark, tmp_path
+):
+    """A wholly-late micro-batch must not move per-key state backward: the
+    next in-order sample differences against the TRUE predecessor."""
+    from tablecloth_time_spark.streaming.stateful import streaming_counter_rate
+
+    t0 = pd.Timestamp("2024-03-01")
+    f0 = pd.DataFrame({"k": [1], "ts": [t0 + pd.Timedelta("10s")], "v": [20.0]})
+    f1 = pd.DataFrame({"k": [1], "ts": [t0 + pd.Timedelta("5s")], "v": [15.0]})
+    f2 = pd.DataFrame({"k": [1], "ts": [t0 + pd.Timedelta("20s")], "v": [25.0]})
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = spark.createDataFrame(f0).schema
+    for i, f in enumerate((f0, f1, f2)):
+        spark.createDataFrame(f).coalesce(1).write.parquet(str(src / f"f{i}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_counter_rate(stream, "k", "ts", "v")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {r["value"]: r for r in spark.read.parquet(sink).collect()}
+    # 25.0 at t=20s: delta vs the TRUE predecessor (20.0 at t=10s), not
+    # vs the late sample (15.0 at t=5s)
+    assert got[25.0]["delta"] == 5.0
+    assert got[25.0]["rate_per_s"] == 0.5
+    assert got[15.0]["out_of_order"]
