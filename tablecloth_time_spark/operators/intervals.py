@@ -37,6 +37,7 @@ from tablecloth_time_spark.functions.timeops import to_epoch_millis
 from tablecloth_time_spark.functions.units import milliseconds_in, normalize_unit
 
 _BUCKET = "__iv_bucket"
+_SALT = "__iv_salt"
 
 
 def interval_join(
@@ -49,6 +50,7 @@ def interval_join(
     bucket_width: int = 1,
     unit: str = "hour",
     how: str = "inner",
+    salt: int = 0,
 ) -> DataFrame:
     """Join each point to every interval with ``start <= ts < end``
     (half-open), optionally also equi-matching key columns ``on``.
@@ -57,6 +59,14 @@ def interval_join(
     with null interval columns. Output = point columns + interval columns
     (minus join keys); colliding names must be resolved by the caller
     before the join (raises otherwise).
+
+    ``salt > 1`` splits each HOT bucket across ``salt`` reducers: every
+    interval-bucket row is replicated to all ``salt`` sub-buckets while
+    each point hashes (on its timestamp) into exactly one — results are
+    identical, the interval side inflates x``salt``, and a bucket that
+    concentrates most points (a flash-event hour at 10^12 rows) no longer
+    lands on one reducer. AQE skew-join handles moderate skew on its own;
+    the explicit salt is for the pathological hot-bucket case.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
@@ -84,7 +94,17 @@ def interval_join(
     )
     pt = points.withColumn(_BUCKET, F.floor(to_epoch_millis(point_ts) / width_ms))
 
+    if salt and salt > 1:
+        iv = iv.withColumn(
+            _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        pt = pt.withColumn(
+            _SALT, F.pmod(F.xxhash64(to_epoch_millis(point_ts)), F.lit(salt))
+        )
+
     cond = [pt[_BUCKET] == iv[_BUCKET]]
+    if salt and salt > 1:
+        cond.append(pt[_SALT] == iv[_SALT])
     for k in keys:
         cond.append(pt[k] == iv[k])
     p_ts = to_epoch_millis(pt[point_ts])

@@ -502,3 +502,24 @@ def test_lttb_n_out_budget_respected():
     v = np.arange(10, dtype=float)
     assert len(lttb_select(t, v, 1)) <= 1
     assert len(lttb_select(t, v, 2)) <= 2
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_interval_join_salted_identical_results(spark, how):
+    """Hot-bucket salting must not change results — same pairs, same
+    unmatched-point rows, for both join modes."""
+    pdf, idf, pts, ivs = _interval_frames(spark)
+    base = interval_join(
+        pdf, idf, "ts", "start", "end", on="k",
+        bucket_width=2, unit="hour", how=how,
+    )
+    salted = interval_join(
+        pdf, idf, "ts", "start", "end", on="k",
+        bucket_width=2, unit="hour", how=how, salt=7,
+    )
+    key = lambda rows: sorted(
+        (r["pid"], r["iv_id"]) for r in rows  # noqa: E731
+    )
+    assert key(salted.select("pid", "iv_id").collect()) == key(
+        base.select("pid", "iv_id").collect()
+    )
