@@ -1032,6 +1032,37 @@ WHERE rnk <= 3
 """
 
 
+def q_suppress_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion re-delivery suppression: an event is a duplicate when the
+    same (user, event_type, value) occurred within the previous 30 minutes
+    — one lag window over key+fingerprint
+    (operators/dedup.py:suppress_duplicate_events)."""
+    from tablecloth_time_spark.operators.dedup import suppress_duplicate_events
+
+    ev = _t(spark, sf_dir, "events")
+    out = suppress_duplicate_events(
+        ev.select("event_id", "user_id", "ts", "event_type", "value"),
+        "user_id", "ts", ["event_type", "value"], 30, "minute",
+        order_cols=["event_id"],
+    )
+    return out.select("event_id", "user_id", "ts", "is_duplicate")
+
+
+SQL_SUPPRESS_DUPLICATES = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         epoch_ms(CAST(ts AS TIMESTAMP))
+           - lag(epoch_ms(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id, event_type, value
+                   ORDER BY ts, event_id) AS gap_ms
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       COALESCE(gap_ms <= 1800000, FALSE) AS is_duplicate
+FROM o
+"""
+
+
 def q_lag_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag by DURATION: each event's value at least 1 h earlier for the
     same user (struct-max over a range frame — deterministic under
@@ -1614,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_origin_rollup": q_weekly_origin_rollup,
         "lag_time_1h": q_lag_time_1h,
         "zscore_3h": q_zscore_3h,
+        "suppress_duplicates": q_suppress_duplicates,
         "continuous_hourly": q_continuous_hourly,
         "compress_roundtrip": q_compress_roundtrip,
         "distinct_users_daily": q_distinct_users_daily,
@@ -1668,6 +1700,7 @@ def oracle_sql() -> dict[str, str]:
         "weekly_origin_rollup": SQL_WEEKLY_ORIGIN_ROLLUP,
         "lag_time_1h": SQL_LAG_TIME_1H,
         "zscore_3h": SQL_ZSCORE_3H,
+        "suppress_duplicates": SQL_SUPPRESS_DUPLICATES,
         "continuous_hourly": SQL_CONTINUOUS_HOURLY,
         "compress_roundtrip": SQL_COMPRESS_ROUNDTRIP,
         "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,

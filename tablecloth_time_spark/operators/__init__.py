@@ -30,6 +30,10 @@ from tablecloth_time_spark.operators.stats import (  # noqa: F401
     topk_per_bucket,
 )
 from tablecloth_time_spark.operators.downsample import lttb_downsample  # noqa: F401
+from tablecloth_time_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    suppress_duplicate_events,
+)
 from tablecloth_time_spark.operators.asof import asof_join  # noqa: F401
 from tablecloth_time_spark.operators.sessions import (  # noqa: F401
     session_stats,

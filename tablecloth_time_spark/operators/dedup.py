@@ -432,3 +432,45 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+
+
+def suppress_duplicate_events(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    fingerprint_cols: list[str],
+    window: int,
+    unit: str = "minute",
+    order_cols: list[str] | None = None,
+    flag_col: str = "is_duplicate",
+) -> DataFrame:
+    """Flag re-deliveries: a row is a duplicate when the SAME
+    (keys, fingerprint) appeared within ``window`` units before it.
+
+    The ingestion-dedup primitive (at-least-once sources re-deliver; exact
+    content dedup across all time is too aggressive when a user may
+    legitimately repeat an action later): one ``lag`` window over
+    (keys + fingerprint) — a single shuffle, whole-stage codegen, and a
+    run of back-to-back re-deliveries chains correctly (each row compares
+    to its immediate predecessor, so a burst spanning longer than
+    ``window`` still flags every copy after the first).
+    """
+    from pyspark.sql.window import Window
+
+    from tablecloth_time_spark.functions.timeops import to_epoch_millis
+    from tablecloth_time_spark.functions.units import (
+        milliseconds_in,
+        normalize_unit,
+    )
+
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    order_cols = order_cols or []
+    window_ms = window * milliseconds_in(normalize_unit(unit))
+    w = Window.partitionBy(*ks, *fingerprint_cols).orderBy(
+        to_epoch_millis(ts_col), *order_cols
+    )
+    ms = to_epoch_millis(ts_col)
+    gap = ms - F.lag(ms).over(w)
+    return df.withColumn(
+        flag_col, F.coalesce(gap <= F.lit(window_ms), F.lit(False))
+    )

@@ -523,3 +523,29 @@ def test_interval_join_salted_identical_results(spark, how):
     assert key(salted.select("pid", "iv_id").collect()) == key(
         base.select("pid", "iv_id").collect()
     )
+
+
+def test_suppress_duplicate_events_chain(spark):
+    """Back-to-back re-deliveries chain: every copy after the first is
+    flagged, even when the burst outlasts the window; a later legitimate
+    repeat outside the window is NOT flagged."""
+    from tablecloth_time_spark.operators.dedup import suppress_duplicate_events
+
+    rows = [
+        (1, 1, T0, "click", 5.0),
+        (2, 1, T0 + dt.timedelta(minutes=5), "click", 5.0),   # dup
+        (3, 1, T0 + dt.timedelta(minutes=12), "click", 5.0),  # dup (chained)
+        (4, 1, T0 + dt.timedelta(hours=2), "click", 5.0),     # legit repeat
+        (5, 1, T0 + dt.timedelta(minutes=3), "view", 5.0),    # diff fingerprint
+        (6, 2, T0 + dt.timedelta(minutes=3), "click", 5.0),   # diff key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, k int, ts timestamp, et string, v double"
+    )
+    out = {
+        r["event_id"]: r["is_duplicate"]
+        for r in suppress_duplicate_events(
+            df, "k", "ts", ["et", "v"], 10, "minute", order_cols=["event_id"]
+        ).collect()
+    }
+    assert out == {1: False, 2: True, 3: True, 4: False, 5: False, 6: False}
