@@ -94,9 +94,11 @@ def main() -> None:
         ).count()
 
     headline()
-    t0 = time.perf_counter()
-    total_points = headline()
-    cascade_sec = time.perf_counter() - t0
+    cascade_sec = float("inf")
+    for _ in range(2):  # best-of-2, same rationale as timed()
+        t0 = time.perf_counter()
+        total_points = headline()
+        cascade_sec = min(cascade_sec, time.perf_counter() - t0)
     timings["rollup_tiers_grouping_sets"] = round(cascade_sec, 3)
 
     # r01-comparable: the cached-partial cascade (tiers materialized
@@ -109,10 +111,16 @@ def main() -> None:
     assert all_tier_points(tiers) == total_points
     timings["rollup_tiers_transcripts"] = round(time.perf_counter() - t0, 3)
 
-    def timed(name, fn):
-        t = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t, 3)
+    def timed(name, fn, trials: int = 2):
+        # best-of-N: same-binary wall clock on this host swings up to ~2x
+        # under externally-invisible contention (see BENCH/BASELINE.md);
+        # the minimum is the closest estimate of the uncontended rate
+        best = float("inf")
+        for _ in range(trials):
+            t = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t)
+        timings[name] = round(best, 3)
 
     timed(
         "rollup_hourly_events",
