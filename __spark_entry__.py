@@ -1032,6 +1032,56 @@ WHERE rnk <= 3
 """
 
 
+def q_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user value sum, its running peak, and the drawdown
+    from that peak — pure running-frame window composition (one Exchange,
+    all three frames share one sort)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_sum = ev.select(
+        "event_id", "user_id", "ts", F.sum("value").over(w).alias("__rs")
+    )
+    with_peak = with_sum.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "__rs",
+        F.max("__rs").over(w).alias("__rp"),
+    )
+    return with_peak.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("__rs", 6).alias("run_sum"),
+        F.round("__rp", 6).alias("run_peak"),
+        F.round(F.col("__rp") - F.col("__rs"), 6).alias("drawdown"),
+    )
+
+
+SQL_RUNNING_DRAWDOWN = """
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS rs
+  FROM events
+),
+p AS (
+  SELECT *, MAX(rs) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS rp
+  FROM s
+)
+SELECT event_id, user_id, ts,
+       ROUND(rs, 6) AS run_sum,
+       ROUND(rp, 6) AS run_peak,
+       ROUND(rp - rs, 6) AS drawdown
+FROM p
+"""
+
+
 def q_suppress_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion re-delivery suppression: an event is a duplicate when the
     same (user, event_type, value) occurred within the previous 30 minutes
@@ -1646,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_time_1h": q_lag_time_1h,
         "zscore_3h": q_zscore_3h,
         "suppress_duplicates": q_suppress_duplicates,
+        "running_drawdown": q_running_drawdown,
         "continuous_hourly": q_continuous_hourly,
         "compress_roundtrip": q_compress_roundtrip,
         "distinct_users_daily": q_distinct_users_daily,
@@ -1701,6 +1752,7 @@ def oracle_sql() -> dict[str, str]:
         "lag_time_1h": SQL_LAG_TIME_1H,
         "zscore_3h": SQL_ZSCORE_3H,
         "suppress_duplicates": SQL_SUPPRESS_DUPLICATES,
+        "running_drawdown": SQL_RUNNING_DRAWDOWN,
         "continuous_hourly": SQL_CONTINUOUS_HOURLY,
         "compress_roundtrip": SQL_COMPRESS_ROUNDTRIP,
         "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,
