@@ -22,6 +22,22 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def stream_nparts(spark, npartitions: int | None = None) -> int:
+    """Partition count for Arrow-kernel stages: at least 4 task WAVES.
+
+    With exactly one partition per core, the JVM Arrow serializer and the
+    Python worker of each task alternate in lockstep and any imbalance
+    lands on the critical path (measured 3.5x slower on an 18M-row
+    identity round-trip at 32 cores). Several waves pipeline JVM I/O with
+    Python compute and let AQE/scheduling absorb stragglers. Shared by
+    grouped_apply_stream and operators/compress.compress_series.
+    """
+    return npartitions or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism * 4,
+    )
+
+
 def grouped_apply_stream(
     df: DataFrame,
     group_cols: list[str],
@@ -33,16 +49,7 @@ def grouped_apply_stream(
     """Apply ``fn`` once per (group_cols) group; rows arrive sorted by
     ``sort_cols`` within each group. ``schema`` is the output schema."""
     spark = df.sparkSession
-    # At least 4 waves of tasks: with exactly one partition per core, the
-    # JVM Arrow serializer and the Python worker of each task alternate in
-    # lockstep and any imbalance lands on the critical path (measured 3.5x
-    # slower on the 18M-row compression input at 32 cores). Several waves
-    # pipeline JVM I/O with Python compute and let AQE/scheduling absorb
-    # stragglers.
-    nparts = npartitions or max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        spark.sparkContext.defaultParallelism * 4,
-    )
+    nparts = stream_nparts(spark, npartitions)
     part = df.repartition(nparts, *group_cols).sortWithinPartitions(
         *group_cols, *sort_cols
     )

@@ -11,10 +11,12 @@ Scale-first shape — union + ordered window, NOT a range join:
   O(|l| x matching |r|) intermediate rows before the per-row argmax; at
   10^12 turns that intermediate is unpayable.
 - here both sides are tagged and UNIONED (one shuffle on the key), sorted
-  within the key by (ts, side), and each right payload column is carried
-  forward with ``last(col, ignorenulls=True)`` over an unbounded-preceding
-  running frame. Cost: one Exchange + one sort — the same plan class as
-  any windowed aggregate, linear in |l| + |r|, AQE/salting-compatible.
+  within the key by (ts, side), and the matched right row travels as ONE
+  struct carried forward with ``last(struct, ignorenulls=True)`` over an
+  unbounded-preceding running frame — atomic, so right rows with NULL
+  payload fields never mix with older rows' fields. Cost: one Exchange +
+  one sort — the same plan class as any windowed aggregate, linear in
+  |l| + |r|, AQE/salting-compatible.
 - ties: a right row AT the left row's timestamp matches (inclusive), so
   right sorts before left at equal ts.
 - ``tolerance``: matches farther than the tolerance (in ``unit``) are

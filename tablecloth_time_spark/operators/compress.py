@@ -630,11 +630,10 @@ def compress_series(
     # blocks: ~20x fewer Python crossings)
     spark = df.sparkSession
     # >=4 task waves so JVM Arrow serialization pipelines with the Python
-    # encode kernel instead of alternating in lockstep (see _grouped.py)
-    nparts = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        spark.sparkContext.defaultParallelism * 4,
-    )
+    # encode kernel instead of alternating in lockstep
+    from tablecloth_time_spark.operators._grouped import stream_nparts
+
+    nparts = stream_nparts(spark)
     part = prepared.repartition(nparts, "__key", "__block").sortWithinPartitions(
         "__key", "__block", *[f"__o{i}" for i in range(n_sort)]
     )

@@ -98,8 +98,14 @@ def interval_join(
         iv = iv.withColumn(
             _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         )
+        # hash ALL point columns, not just the timestamp: flash-event hot
+        # buckets often share one (truncated) timestamp, which would map
+        # every hot point to the same sub-bucket and defeat the salt
         pt = pt.withColumn(
-            _SALT, F.pmod(F.xxhash64(to_epoch_millis(point_ts)), F.lit(salt))
+            _SALT,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in points.columns]), F.lit(salt)
+            ),
         )
 
     cond = [pt[_BUCKET] == iv[_BUCKET]]

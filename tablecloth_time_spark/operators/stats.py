@@ -75,16 +75,14 @@ def distinct_rollup(
     """
     bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
     if exact:
-        # NULL is not a distinct value (COUNT(DISTINCT) / HLL semantics);
-        # without the filter the null group would count as one, silently
-        # diverging from the exact=False path
-        dedup = (
-            df.filter(F.col(distinct_col).isNotNull())
-            .groupBy(*keys, bucket, F.col(distinct_col))
-            .agg(F.lit(1))
-        )
+        # NULL is not a distinct value (COUNT(DISTINCT) / HLL semantics),
+        # but the (keys, bucket) GROUP must survive even when all its
+        # values are null — count the value column (null-skipping) instead
+        # of pre-filtering rows, so an all-null group yields n_distinct=0
+        # exactly like the exact=False path
+        dedup = df.groupBy(*keys, bucket, F.col(distinct_col)).agg(F.lit(1))
         return dedup.groupBy(*keys, bucket_col).agg(
-            F.count(F.lit(1)).alias(out_col)
+            F.count(F.col(distinct_col)).alias(out_col)
         )
     return df.groupBy(*keys, bucket).agg(
         F.approx_count_distinct(distinct_col, rsd).alias(out_col)

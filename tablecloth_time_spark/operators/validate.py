@@ -219,12 +219,13 @@ def ensure_time_column(
         raise ValueError(f"Time column not found: {time_col!r}; columns: {df.columns}")
     if sorted:
         return EnsuredTime(df, time_col, True)
-    # per-key check with no explicit sequence column: order by time itself
-    # (verifies null-freeness; time-ordered-by-time is trivially monotone)
-    # — without this default the sort branch below would be unreachable
-    # for the natural ensure(df, ts, partition_by=keys) call
-    check_order = order_by if order_by is not None or partition_by is None else time_col
-    already = is_sorted(df, time_col, partition_by=partition_by, order_by=check_order)
+    if partition_by is not None and order_by is None:
+        # no within-key sequence column -> nothing meaningful to CHECK
+        # (time ordered by time is tautologically monotone), so treat the
+        # layout as not-known-sorted and establish it below when sort=True
+        already = False
+    else:
+        already = is_sorted(df, time_col, partition_by=partition_by, order_by=order_by)
     if already or not sort:
         return EnsuredTime(df, time_col, already)
     if partition_by is not None:

@@ -80,6 +80,11 @@ def streaming_counter_rate(
         else:
             last_ms, last_v = None, None
 
+        # Effective predecessor per ROW: the batch is sorted, so row i's
+        # in-batch predecessor is row i-1 — but when that row is itself
+        # LATE (older than the carried state), the true predecessor is the
+        # state. Without this, a batch mixing one late row with in-order
+        # rows silently differences the in-order row against the late one.
         prev_ms = np.roll(ms, 1).astype(np.float64)
         prev_v = np.roll(v, 1)
         has_prev = np.ones(len(ms), dtype=bool)
@@ -87,10 +92,13 @@ def streaming_counter_rate(
             has_prev[0] = False
             prev_ms[0] = prev_v[0] = np.nan
         else:
-            prev_ms[0] = float(last_ms)
-            prev_v[0] = last_v
+            use_state = np.zeros(len(ms), dtype=bool)
+            use_state[0] = True
+            use_state[1:] = prev_ms[1:] < float(last_ms)
+            prev_ms = np.where(use_state, float(last_ms), prev_ms)
+            prev_v = np.where(use_state, last_v, prev_v)
 
-        ooo = has_prev & (ms < prev_ms)  # older than the carried state
+        ooo = has_prev & (ms < prev_ms)  # older than the effective predecessor
         raw = v - prev_v
         delta = np.where(reset_aware & (raw < 0), v, raw)
         dt_s = (ms - prev_ms) / 1000.0

@@ -549,3 +549,11 @@ def test_suppress_duplicate_events_chain(spark):
         ).collect()
     }
     assert out == {1: False, 2: True, 3: True, 4: False, 5: False, 6: False}
+
+
+def test_distinct_rollup_all_null_group_survives(spark):
+    rows = [(1, T0, None), (1, T0 + dt.timedelta(minutes=1), None)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, u string")
+    [ex] = distinct_rollup(df, ["k"], "ts", "u", 1, "day").collect()
+    [ap] = distinct_rollup(df, ["k"], "ts", "u", 1, "day", exact=False).collect()
+    assert ex["n_distinct"] == 0 and ap["n_distinct"] == 0  # group kept

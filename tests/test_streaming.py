@@ -323,3 +323,79 @@ def test_streaming_counter_rate_state_not_regressed_by_late_batch(
     assert got[25.0]["delta"] == 5.0
     assert got[25.0]["rate_per_s"] == 0.5
     assert got[15.0]["out_of_order"]
+
+
+def test_streaming_counter_rate_mixed_late_batch(spark, tmp_path):
+    """A micro-batch mixing a late row with an in-order row: the late row
+    is flagged, and the in-order row differences against the carried
+    state (the TRUE predecessor), not the late row."""
+    from tablecloth_time_spark.streaming.stateful import streaming_counter_rate
+
+    t0 = pd.Timestamp("2024-03-01")
+    f0 = pd.DataFrame({"k": [1], "ts": [t0 + pd.Timedelta("10s")], "v": [20.0]})
+    f1 = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": [t0 + pd.Timedelta("5s"), t0 + pd.Timedelta("20s")],
+            "v": [15.0, 25.0],
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = spark.createDataFrame(f0).schema
+    for i, f in enumerate((f0, f1)):
+        spark.createDataFrame(f).coalesce(1).write.parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_counter_rate(stream, "k", "ts", "v")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {r["value"]: r for r in spark.read.parquet(sink).collect()}
+    assert got[15.0]["out_of_order"] and got[15.0]["delta"] is None
+    assert not got[25.0]["out_of_order"]
+    assert got[25.0]["delta"] == 5.0 and got[25.0]["rate_per_s"] == 0.5
+
+
+def test_streaming_counter_rate_wholly_late_multirow_batch(spark, tmp_path):
+    """EVERY row of a wholly-late multi-row batch is flagged — not just
+    the first."""
+    from tablecloth_time_spark.streaming.stateful import streaming_counter_rate
+
+    t0 = pd.Timestamp("2024-03-01")
+    f0 = pd.DataFrame({"k": [1], "ts": [t0 + pd.Timedelta("10s")], "v": [20.0]})
+    f1 = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": [t0 + pd.Timedelta("3s"), t0 + pd.Timedelta("5s")],
+            "v": [11.0, 15.0],
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = spark.createDataFrame(f0).schema
+    for i, f in enumerate((f0, f1)):
+        spark.createDataFrame(f).coalesce(1).write.parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_counter_rate(stream, "k", "ts", "v")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {r["value"]: r for r in spark.read.parquet(sink).collect()}
+    assert got[11.0]["out_of_order"] and got[15.0]["out_of_order"]
+    assert got[11.0]["delta"] is None and got[15.0]["delta"] is None
