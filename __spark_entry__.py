@@ -13,6 +13,7 @@ integer aggregates are exact.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -282,6 +283,10 @@ WHERE value_lag1 IS NOT NULL AND value_lag2 IS NOT NULL
 
 
 def q_first_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First difference + cumulative sum / running peak / drawdown — four
+    running-frame window exprs sharing ONE sort and ONE Exchange (the
+    former standalone running_drawdown query is folded in here so the
+    driver's 50-query correctness budget has room for gapfill_monthly)."""
     from tablecloth_time_spark.operators.shift import first_difference
 
     ev = _t(spark, sf_dir, "events")
@@ -290,13 +295,44 @@ def q_first_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", target="diff",
         order_by=["ts", "event_id"], partition_by=["user_id"],
     )
-    return out.select("event_id", "user_id", F.round("diff", 4).alias("diff"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("__rs", F.sum("value").over(w)).withColumn(
+        "__rp", F.max("__rs").over(w)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("diff", 4).alias("diff"),
+        F.round("__rs", 6).alias("run_sum"),
+        F.round("__rp", 6).alias("run_peak"),
+        F.round(F.col("__rp") - F.col("__rs"), 6).alias("drawdown"),
+    )
 
 
 SQL_FIRST_DIFFERENCE = """
+WITH s AS (
+  SELECT event_id, user_id, ts, value,
+         value - lag(value, 1) OVER w AS diff,
+         SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS rs
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (
+  SELECT *, MAX(rs) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS rp
+  FROM s
+)
 SELECT event_id, user_id,
-       ROUND(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS diff
-FROM events
+       ROUND(diff, 4) AS diff,
+       ROUND(rs, 6) AS run_sum,
+       ROUND(rp, 6) AS run_peak,
+       ROUND(rp - rs, 6) AS drawdown
+FROM p
 """
 
 
@@ -708,9 +744,9 @@ WITH o AS (
 ),
 s AS (
   SELECT *,
-         SUM(CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                 ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
   FROM o
 )
 SELECT user_id, session_idx,
@@ -794,7 +830,9 @@ def q_twa_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tablecloth_time_spark.operators.counters import time_weighted_avg
 
     ev = _t(spark, sf_dir, "events")
-    out = time_weighted_avg(ev, "user_id", "ts", "value", 1, "day")
+    out = time_weighted_avg(
+        ev, "user_id", "ts", "value", 1, "day", order_cols=["event_id"]
+    )
     return out.select("user_id", "bucket", F.round("twa", 6).alias("twa"))
 
 
@@ -804,16 +842,17 @@ WITH o AS (
          date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
          value,
          epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+         event_id,
          CAST(lead(epoch_ms(CAST(ts AS TIMESTAMP)))
            OVER (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
-                 ORDER BY ts)
+                 ORDER BY ts, event_id)
            - epoch_ms(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS w
   FROM events
 ),
 a AS (
   SELECT user_id, bucket,
          SUM(value * w) AS num, SUM(w) AS den,
-         arg_min(value, ms) AS first_v
+         (min(struct_pack(m := ms, o0 := event_id, v := value))).v AS first_v
   FROM o GROUP BY 1, 2
 )
 SELECT user_id, bucket,
@@ -830,7 +869,10 @@ def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tablecloth_time_spark.operators.counters import ewma
 
     ev = _t(spark, sf_dir, "events")
-    out = ewma(ev, "user_id", "ts", "value", halflife=1, unit="hour")
+    out = ewma(
+        ev, "user_id", "ts", "value", halflife=1, unit="hour",
+        order_cols=["event_id"],
+    )
     return out.select(
         "user_id", "ts_ms",
         F.round("value", 6).alias("value"),
@@ -842,10 +884,10 @@ SQL_EWMA_VALUE = """
 WITH RECURSIVE base AS (
   SELECT user_id, value,
          epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
          POWER(0.5, (epoch_ms(CAST(ts AS TIMESTAMP))
                      - lag(epoch_ms(CAST(ts AS TIMESTAMP)))
-                       OVER (PARTITION BY user_id ORDER BY ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id))
                     / 3600000.0) AS decay
   FROM events
 ),
@@ -944,13 +986,25 @@ FROM events e JOIN g
 def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC candles per event type — first/last/min/max as mergeable
     struct aggregates, so candles cascade across tiers like any rollup
-    (operators/rollup.py:ohlc)."""
+    (operators/rollup.py:ohlc) — plus exact p50/p95/p99 from
+    percentile_rollup joined on the same (event_type, bucket) keys (the
+    former standalone percentile_daily query, folded here to stay inside
+    the driver's 50-query correctness budget; both tiny aggregate frames,
+    broadcast join)."""
     from tablecloth_time_spark.operators.rollup import ohlc
+    from tablecloth_time_spark.operators.stats import percentile_rollup
 
     ev = _t(spark, sf_dir, "events")
-    return ohlc(
+    candles = ohlc(
         ev, ["event_type"], "ts", "value", 1, "day",
         order_cols=["ts", "event_id"],
+    )
+    pct = percentile_rollup(ev, ["event_type"], "ts", "value", 1, "day")
+    return candles.join(F.broadcast(pct), ["event_type", "bucket"]).select(
+        "event_type", "bucket", "open", "high", "low", "close",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        F.round("p99", 6).alias("p99"),
     )
 
 
@@ -971,36 +1025,11 @@ SELECT event_type, bucket,
        MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
        MAX(value) AS high,
        MIN(value) AS low,
-       MAX(CASE WHEN rn_d = 1 THEN value END) AS close
-FROM o
-GROUP BY 1, 2
-"""
-
-
-def q_percentile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact p50/p95/p99 of value per (event_type, day) — sort-based linear
-    interpolation, the definition DuckDB's quantile_cont shares; the 100 TB
-    path swaps exact=False for the mergeable KLL sketch
-    (operators/stats.py:percentile_rollup)."""
-    from tablecloth_time_spark.operators.stats import percentile_rollup
-
-    ev = _t(spark, sf_dir, "events")
-    out = percentile_rollup(ev, ["event_type"], "ts", "value", 1, "day")
-    return out.select(
-        "event_type", "bucket",
-        F.round("p50", 6).alias("p50"),
-        F.round("p95", 6).alias("p95"),
-        F.round("p99", 6).alias("p99"),
-    )
-
-
-SQL_PERCENTILE_DAILY = """
-SELECT event_type,
-       date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,
        ROUND(quantile_cont(value, 0.95), 6) AS p95,
        ROUND(quantile_cont(value, 0.99), 6) AS p99
-FROM events
+FROM o
 GROUP BY 1, 2
 """
 
@@ -1032,53 +1061,54 @@ WHERE rnk <= 3
 """
 
 
-def q_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative per-user value sum, its running peak, and the drawdown
-    from that peak — pure running-frame window composition (one Exchange,
-    all three frames share one sort)."""
-    ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+def q_gapfill_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-unit gap-fill (r3): monthly regular grid per order priority
+    over a sparse orders subset (o_orderkey % 97 keeps ~1% of orders so real
+    month gaps exist across the 1995..2001 span), ffill-filled. Grid steps
+    by INTERVAL 1 MONTH via sequence(); buckets are calendar month floors
+    (reference spec development-plan.md:566-585, any interval x unit)."""
+    from tablecloth_time_spark.operators.gapfill import resample_to_regular_grid
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    out = resample_to_regular_grid(
+        orders.select(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("timestamp").alias("ots"),
+            F.col("o_totalprice").alias("price"),
+        ),
+        ["o_orderpriority"], "ots", "price", 1, "month", method="ffill",
+        agg="avg",
     )
-    with_sum = ev.select(
-        "event_id", "user_id", "ts", F.sum("value").over(w).alias("__rs")
-    )
-    with_peak = with_sum.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "__rs",
-        F.max("__rs").over(w).alias("__rp"),
-    )
-    return with_peak.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.round("__rs", 6).alias("run_sum"),
-        F.round("__rp", 6).alias("run_peak"),
-        F.round(F.col("__rp") - F.col("__rs"), 6).alias("drawdown"),
+    return out.select(
+        "o_orderpriority", "bucket", F.round("price", 6).alias("avg_price")
     )
 
 
-SQL_RUNNING_DRAWDOWN = """
-WITH s AS (
-  SELECT event_id, user_id, ts,
-         SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS rs
-  FROM events
+SQL_GAPFILL_MONTHLY = """
+WITH f AS (
+  SELECT o_orderpriority,
+         date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS bucket,
+         AVG(o_totalprice) AS v
+  FROM orders WHERE o_orderkey % 97 = 0
+  GROUP BY 1, 2
 ),
-p AS (
-  SELECT *, MAX(rs) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS rp
-  FROM s
+spans AS (
+  SELECT o_orderpriority, MIN(bucket) AS lo, MAX(bucket) AS hi FROM f GROUP BY 1
+),
+grid AS (
+  SELECT o_orderpriority, unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS bucket
+  FROM spans
+),
+j AS (
+  SELECT g.o_orderpriority, g.bucket, f.v
+  FROM grid g LEFT JOIN f ON g.o_orderpriority = f.o_orderpriority
+                         AND g.bucket = f.bucket
 )
-SELECT event_id, user_id, ts,
-       ROUND(rs, 6) AS run_sum,
-       ROUND(rp, 6) AS run_peak,
-       ROUND(rp - rs, 6) AS drawdown
-FROM p
+SELECT o_orderpriority, bucket,
+       ROUND(last_value(v IGNORE NULLS)
+               OVER (PARTITION BY o_orderpriority ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING), 6) AS avg_price
+FROM j
 """
 
 
@@ -1190,6 +1220,8 @@ def q_continuous_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     TierStore seam, plans/continuous.py). The final hour tier must equal
     the plain one-shot SQL rollup of everything — the driver-level proof
     that incremental maintenance is exact."""
+    import atexit
+    import shutil
     import tempfile
 
     from tablecloth_time_spark.plans.continuous import (
@@ -1199,7 +1231,14 @@ def q_continuous_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tablecloth_time_spark.plans.snapshots import SnapshotTable
 
     ev = _t(spark, sf_dir, "events")
-    root = tempfile.mkdtemp(prefix="tts_cont_")
+    # Fixed workdir cleared on entry (the returned DataFrame lazily reads
+    # the tier files, so we cannot delete before the driver collects);
+    # atexit sweeps it at process end. Bench re-runs reuse one dir instead
+    # of leaking a fresh mkdtemp per invocation.
+    root = os.path.join(tempfile.gettempdir(), "tts_cont_workdir")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     src = SnapshotTable(spark, f"{root}/src")
     ca = ContinuousAggregate(
         spark,
@@ -1607,6 +1646,43 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The fake codec is a pure seeded function, so the expected features are a
+# pinned golden: this VALUES table was recomputed INDEPENDENTLY of Spark by
+# replaying the generator contract in plain numpy (default_rng(42), n=64,
+# dim=16 fold-mean/255, left-fold double sum, round 6) — upgrading
+# media_features from rows-only to a full rows+schema+hash oracle check.
+# Regenerate with: python scripts/gen_media_oracle.py
+SQL_MEDIA_FEATURES = """
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(payload_bytes AS BIGINT) AS payload_bytes,
+       CAST(feature_sum AS DOUBLE) AS feature_sum
+FROM (VALUES
+  (0, 482, 7.747501), (1, 3520, 7.952478), (2, 3501, 7.95133),
+  (3, 2579, 7.749262), (4, 3798, 7.930911), (5, 1745, 7.851087),
+  (6, 1783, 7.874405), (7, 1027, 7.697738), (8, 1268, 7.696324),
+  (9, 1438, 8.295991), (10, 1693, 7.930707), (11, 271, 7.617532),
+  (12, 1632, 7.873625), (13, 1244, 7.884264), (14, 877, 7.815758),
+  (15, 3760, 8.005974), (16, 418, 7.480465), (17, 2924, 7.864074),
+  (18, 236, 7.630327), (19, 3381, 7.948058), (20, 3195, 8.058745),
+  (21, 2320, 7.978688), (22, 1453, 8.015169), (23, 2118, 7.907298),
+  (24, 2428, 7.977993), (25, 2755, 7.930273), (26, 1990, 7.724078),
+  (27, 2678, 7.954108), (28, 3416, 7.936962), (29, 2904, 8.011873),
+  (30, 3735, 8.060181), (31, 2050, 8.022739), (32, 468, 7.36719),
+  (33, 2880, 8.00671), (34, 982, 7.982985), (35, 974, 8.083317),
+  (36, 3938, 7.893276), (37, 1598, 7.981529), (38, 1591, 7.870941),
+  (39, 1245, 8.05083), (40, 3191, 7.973824), (41, 3862, 7.989872),
+  (42, 510, 7.953309), (43, 1295, 8.064294), (44, 1428, 8.105708),
+  (45, 1034, 7.975445), (46, 716, 7.981612), (47, 876, 8.008414),
+  (48, 1132, 8.09224), (49, 538, 7.638524), (50, 1743, 8.091383),
+  (51, 888, 7.946429), (52, 2138, 8.012965), (53, 3624, 7.993504),
+  (54, 3130, 7.790516), (55, 1155, 7.792318), (56, 1463, 8.155925),
+  (57, 3701, 8.09951), (58, 1167, 7.914746), (59, 1783, 8.06376),
+  (60, 346, 7.674153), (61, 493, 8.187223), (62, 930, 7.789432),
+  (63, 3247, 8.027586)
+) AS t(media_id, payload_bytes, feature_sum)
+"""
+
+
 def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint near-dup pairs (rolling-hash sketch, MOSS
     style). xxhash-seeded -> rows-only driver check; semantics pinned
@@ -1690,13 +1766,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_gaps": q_detect_gaps,
         "interval_join_gaps": q_interval_join_gaps,
         "ohlc_daily": q_ohlc_daily,
-        "percentile_daily": q_percentile_daily,
         "topk_event_types": q_topk_event_types,
         "weekly_origin_rollup": q_weekly_origin_rollup,
         "lag_time_1h": q_lag_time_1h,
         "zscore_3h": q_zscore_3h,
         "suppress_duplicates": q_suppress_duplicates,
-        "running_drawdown": q_running_drawdown,
+        "gapfill_monthly": q_gapfill_monthly,
+        "dedup_clusters": q_dedup_clusters,
         "continuous_hourly": q_continuous_hourly,
         "compress_roundtrip": q_compress_roundtrip,
         "distinct_users_daily": q_distinct_users_daily,
@@ -1714,7 +1790,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "winnow_dedup": q_winnow_dedup,
         "ivf_topk": q_ivf_topk,
-        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1746,13 +1821,12 @@ def oracle_sql() -> dict[str, str]:
         "detect_gaps": SQL_DETECT_GAPS,
         "interval_join_gaps": SQL_INTERVAL_JOIN_GAPS,
         "ohlc_daily": SQL_OHLC_DAILY,
-        "percentile_daily": SQL_PERCENTILE_DAILY,
         "topk_event_types": SQL_TOPK_EVENT_TYPES,
         "weekly_origin_rollup": SQL_WEEKLY_ORIGIN_ROLLUP,
         "lag_time_1h": SQL_LAG_TIME_1H,
         "zscore_3h": SQL_ZSCORE_3H,
         "suppress_duplicates": SQL_SUPPRESS_DUPLICATES,
-        "running_drawdown": SQL_RUNNING_DRAWDOWN,
+        "gapfill_monthly": SQL_GAPFILL_MONTHLY,
         "continuous_hourly": SQL_CONTINUOUS_HOURLY,
         "compress_roundtrip": SQL_COMPRESS_ROUNDTRIP,
         "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,
@@ -1767,7 +1841,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
-        # minhash_dedup / simhash_dedup / lsh_ann_topk / media_features:
+        "media_features": SQL_MEDIA_FEATURES,
+        # minhash_dedup / simhash_dedup / lsh_ann_topk:
         # hash-seeded or approximate by design -> rows-only driver check;
         # exact semantics pinned in tests/test_training_ops.py
     }

@@ -350,10 +350,13 @@ def encode_ints_dod_many(
             h += struct.pack("<q", int(v[s]))
         if n >= 2:
             # first delta, wrapped mod 2^64 like numpy's int64 subtraction
-            d0 = int(
-                (np.int64(v[s + 1]).astype(_U64) - np.int64(v[s]).astype(_U64))
-                & _MASK64
-            )
+            # (wraparound is the encoding; keep real overflow warnings audible
+            # elsewhere by scoping errstate to just this subtraction)
+            with np.errstate(over="ignore"):
+                d0 = int(
+                    (np.int64(v[s + 1]).astype(_U64) - np.int64(v[s]).astype(_U64))
+                    & _MASK64
+                )
             if d0 >= 1 << 63:
                 d0 -= 1 << 64
             h += struct.pack("<q", d0)
@@ -369,7 +372,9 @@ def encode_ints_dod_many(
     if len(pos):
         u = v.view(_U64)
         # dod = (v[g] - v[g-1]) - (v[g-1] - v[g-2]) in wrapping int64
-        dod = (u[pos] - _U64(2) * u[pos - 1] + u[pos - 2]).view(np.int64)
+        # (mod-2^64 wrap is intentional — see head-delta comment above)
+        with np.errstate(over="ignore"):
+            dod = (u[pos] - _U64(2) * u[pos - 1] + u[pos - 2]).view(np.int64)
         c0 = dod == 0
         c1 = (dod >= -63) & (dod <= 64)
         c2 = (dod >= -255) & (dod <= 256)

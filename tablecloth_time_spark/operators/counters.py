@@ -101,7 +101,10 @@ def time_weighted_avg(
 
         twa = sum(v_i * (t_{i+1} - t_i)) / (t_last - t_first)
 
-    A single-sample bucket (no span) degenerates to its value.
+    A single-sample bucket (no span) degenerates to its value — pinned as
+    first-by-(``__ms``, *order_cols) via struct-min, so zero-span buckets
+    with duplicate timestamps but distinct values stay deterministic (pass
+    the same tie-break columns the window ordering uses).
 
     Shape: one window pass for ``lead`` within (keys, bucket) + one
     partial/final hash aggregate — the weights never leave the executors.
@@ -117,12 +120,15 @@ def time_weighted_avg(
         bucket_col,
         "__v",
         "__ms",
+        *order_cols,
         (F.lead("__ms").over(w) - F.col("__ms")).cast("double").alias("__w"),
     )
     agg = weighted.groupBy(*ks, bucket_col).agg(
         F.sum(F.col("__v") * F.col("__w")).alias("__num"),
         F.sum("__w").alias("__den"),
-        F.min(F.struct(F.col("__ms"), F.col("__v"))).alias("__first"),
+        F.min(
+            F.struct(F.col("__ms"), *[F.col(c) for c in order_cols], F.col("__v"))
+        ).alias("__first"),
     )
     return agg.select(
         *ks,

@@ -31,9 +31,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tablecloth_time_spark.functions.timeops import down_to_nearest
-from tablecloth_time_spark.functions.units import milliseconds_in, normalize_unit
+from tablecloth_time_spark.functions.units import (
+    is_calendar_unit,
+    milliseconds_in,
+    normalize_unit,
+)
 
 FILL_METHODS = ("none", "ffill", "bfill", "zero", "linear", "nearest")
+
+# one calendar unit expressed in months (grid step for sequence())
+_MONTHS_PER = {"month": 1, "quarter": 3, "year": 12}
 
 
 def resample_to_regular_grid(
@@ -51,12 +58,25 @@ def resample_to_regular_grid(
     Returns columns: *keys, bucket (timestamp), value_col (filled per
     ``method``; null where unfillable). Observed buckets aggregate with
     ``agg`` in ('avg','sum','min','max','first','last') before gridding.
+
+    Calendar units (month/quarter/year, any interval k) are supported: the
+    grid steps by ``INTERVAL k*months MONTH`` — Spark's ``sequence`` over
+    timestamps takes year-month intervals, and adding months to a
+    calendar-floored boundary stays on the boundary, so grid points align
+    exactly with ``down_to_nearest``'s calendar buckets (reference spec
+    development-plan.md:566-585 allows any interval x unit). ``linear``
+    interpolates over real elapsed time (epoch-millis x-axis), so unequal
+    month lengths weight correctly.
     """
     method = method.lower()
     if method not in FILL_METHODS:
         raise ValueError(f"unknown fill method {method!r}; want one of {FILL_METHODS}")
     u = normalize_unit(unit)
-    step_ms = interval * milliseconds_in(u)  # calendar grids unsupported (as in ref plan)
+    if is_calendar_unit(u):
+        step = F.expr(f"INTERVAL {interval * _MONTHS_PER[u]} MONTH")
+    else:
+        step_ms = interval * milliseconds_in(u)
+        step = F.expr(f"INTERVAL {step_ms * 1000} MICROSECOND")
 
     bucket = down_to_nearest(ts_col, interval, u).alias("bucket")
     agg_expr = {
@@ -76,11 +96,7 @@ def resample_to_regular_grid(
     )
     grid = spans.select(
         *keys,
-        F.explode(
-            F.sequence(
-                "__lo", "__hi", F.expr(f"INTERVAL {step_ms * 1000} MICROSECOND")
-            )
-        ).alias("bucket"),
+        F.explode(F.sequence("__lo", "__hi", step)).alias("bucket"),
     )
     joined = grid.join(observed, [*keys, "bucket"], "left")
 

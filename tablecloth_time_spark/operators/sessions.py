@@ -42,10 +42,13 @@ def sessionize(
     """Append a dense per-key session ordinal (0-based, time order).
 
     ``order_cols`` breaks timestamp ties deterministically (e.g. event_id);
-    a gap STRICTLY greater than ``gap`` units starts a new session
-    (gap == threshold stays in-session; NOTE Spark's ``session_window`` is
-    strict on that boundary — an event exactly ``gap`` later starts a new
-    session there, see streaming/rollup.streaming_sessionize).
+    a gap STRICTLY greater than ``gap`` units starts a new session —
+    gap == threshold stays in-session. Spark's ``session_window``
+    (streaming/rollup.streaming_sessionize) agrees on that boundary: its
+    per-event windows ``[t, t+gap)`` merge when adjacent (``start <=
+    prev_end``), so an event exactly ``gap`` later also merges
+    (contract-pinned by tests/test_streaming.py
+    test_session_gap_boundary_contract).
 
     Null timestamps have no place on a session timeline: a null-ts row
     sorts first, opens a session of its own, AND forces the next real row

@@ -137,3 +137,111 @@ def test_rolling_differential_on_transcripts(spark, transcripts_df, transcripts_
     eng = eng.sort_values(key, kind="stable").reset_index(drop=True)
     ora = ora.sort_values(key, kind="stable").reset_index(drop=True)
     pd.testing.assert_series_equal(eng["r_sum"], ora["r_sum"], check_exact=False)
+
+
+# --- calendar-unit grids (month/quarter/k-year) -------------------------
+# Reference spec (development-plan.md:566-585) allows any interval x unit;
+# r2 punted on calendar units. Grid steps by INTERVAL k months via Spark
+# sequence(); buckets align with down_to_nearest's calendar floors.
+
+MONTHLY = pd.DataFrame(
+    {
+        "series": ["beer"] * 3 + ["gas"] * 2,
+        # mid-month observation dates must floor onto the month grid
+        "date": pd.to_datetime(
+            ["2023-01-15", "2023-02-01", "2023-05-20",
+             "2023-03-10", "2023-06-01"]
+        ),
+        "y": [10.0, 20.0, 50.0, 7.0, 13.0],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def monthly_df(spark):
+    return spark.createDataFrame(MONTHLY)
+
+
+def _cal_grid(df, series):
+    rows = [r for r in df.orderBy("bucket").collect() if r["series"] == series]
+    return [(r["bucket"].date().isoformat(), r["y"]) for r in rows]
+
+
+def test_monthly_grid_none(monthly_df):
+    out = resample_to_regular_grid(
+        monthly_df, ["series"], "date", "y", 1, "month", method="none"
+    )
+    beer = _cal_grid(out, "beer")
+    # Jan..May inclusive, one row per month, observations floored to month start
+    assert [b for b, _ in beer] == [
+        "2023-01-01", "2023-02-01", "2023-03-01", "2023-04-01", "2023-05-01"
+    ]
+    assert beer[0][1] == 10.0 and beer[1][1] == 20.0 and beer[4][1] == 50.0
+    assert beer[2][1] is None and beer[3][1] is None
+
+
+def test_monthly_grid_ffill(monthly_df):
+    out = resample_to_regular_grid(
+        monthly_df, ["series"], "date", "y", 1, "month", method="ffill"
+    )
+    beer = dict(_cal_grid(out, "beer"))
+    assert beer["2023-03-01"] == 20.0 and beer["2023-04-01"] == 20.0
+    gas = dict(_cal_grid(out, "gas"))
+    assert [k for k in sorted(gas)] == ["2023-03-01", "2023-04-01", "2023-05-01", "2023-06-01"]
+    assert gas["2023-04-01"] == 7.0 and gas["2023-05-01"] == 7.0
+
+
+def test_monthly_grid_linear_weights_real_time(monthly_df):
+    out = resample_to_regular_grid(
+        monthly_df, ["series"], "date", "y", 1, "month", method="linear"
+    )
+    beer = dict(_cal_grid(out, "beer"))
+    # x-axis is epoch millis: Feb 1 -> May 1 spans 28+31+30 = 89 days
+    # Mar 1 at 28/89, Apr 1 at 59/89 between y=20 and y=50
+    assert beer["2023-03-01"] == pytest.approx(20.0 + 30.0 * 28 / 89)
+    assert beer["2023-04-01"] == pytest.approx(20.0 + 30.0 * 59 / 89)
+
+
+def test_quarterly_grid(monthly_df):
+    out = resample_to_regular_grid(
+        monthly_df, ["series"], "date", "y", 1, "quarter", method="zero"
+    )
+    beer = _cal_grid(out, "beer")
+    # Q1 has Jan+Feb obs (avg), Q2 has May
+    assert [b for b, _ in beer] == ["2023-01-01", "2023-04-01"]
+    assert beer[0][1] == pytest.approx(15.0)
+    assert beer[1][1] == pytest.approx(50.0)
+    gas = _cal_grid(out, "gas")
+    assert [b for b, _ in gas] == ["2023-01-01", "2023-04-01"]
+
+
+def test_two_year_grid(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "series": ["x"] * 2,
+                "date": pd.to_datetime(["2020-06-01", "2026-02-01"]),
+                "y": [1.0, 9.0],
+            }
+        )
+    )
+    out = resample_to_regular_grid(
+        df, ["series"], "date", "y", 2, "year", method="ffill"
+    )
+    grid = _cal_grid(out, "x")
+    # k=2 year floors anchor at 1970: 2020, 2022, 2024, 2026
+    assert [b for b, _ in grid] == [
+        "2020-01-01", "2022-01-01", "2024-01-01", "2026-01-01"
+    ]
+    assert [v for _, v in grid] == [1.0, 1.0, 1.0, 9.0]
+
+
+def test_monthly_grid_nearest(monthly_df):
+    out = resample_to_regular_grid(
+        monthly_df, ["series"], "date", "y", 1, "month", method="nearest"
+    )
+    beer = dict(_cal_grid(out, "beer"))
+    # Mar 1: 28d after Feb obs, 61d before May obs -> Feb value
+    assert beer["2023-03-01"] == 20.0
+    # Apr 1: 59d after Feb, 30d before May -> May value
+    assert beer["2023-04-01"] == 50.0

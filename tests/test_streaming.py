@@ -399,3 +399,45 @@ def test_streaming_counter_rate_wholly_late_multirow_batch(spark, tmp_path):
     got = {r["value"]: r for r in spark.read.parquet(sink).collect()}
     assert got[11.0]["out_of_order"] and got[15.0]["out_of_order"]
     assert got[11.0]["delta"] is None and got[15.0]["delta"] is None
+
+
+def test_session_gap_boundary_contract(spark):
+    """Contract pin for the session-boundary rule (operators/sessions.py):
+    an event arriving EXACTLY ``gap`` after its predecessor stays
+    IN-session under BOTH the batch lag/run-sum sessionize
+    (strictly-greater split rule) and Spark's session_window (per-event
+    windows [t, t+gap) merge when adjacent, start <= prev_end) — the two
+    engines agree at the boundary. Only a gap strictly greater than the
+    threshold splits. Fixture: three events exactly 30 min apart, one 1 ms
+    inside the gap, one 1 ms beyond it."""
+    from tablecloth_time_spark.operators.sessions import sessionize
+
+    rows = pd.DataFrame(
+        {
+            "k": ["a"] * 5,
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00.000",
+                    "2024-01-01 00:30:00.000",  # gap == threshold exactly
+                    "2024-01-01 01:00:00.000",  # again exactly on boundary
+                    "2024-01-01 01:29:59.999",  # 1 ms inside the gap
+                    "2024-01-01 02:00:00.000",  # 1 ms BEYOND the gap -> split
+                ]
+            ),
+            "i": [0, 1, 2, 3, 4],
+        }
+    )
+    df = spark.createDataFrame(rows)
+
+    # batch rule: gap must be STRICTLY greater than threshold to split
+    out = sessionize(df, "k", "ts", 30, "minute", order_cols=["i"])
+    assert [r["session_idx"] for r in out.orderBy("i").collect()] == [
+        0, 0, 0, 0, 1,
+    ]
+
+    # session_window agrees: exact-gap events merge; only the strictly
+    # larger gap (30 min + 1 ms) opens a second session
+    sw = df.groupBy("k", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert sorted(r["n"] for r in sw.collect()) == [1, 4]
