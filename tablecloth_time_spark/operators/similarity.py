@@ -293,6 +293,17 @@ def cosine_near_dup_pairs(
 
     Returns (id_a < id_b, cosine_sim >= threshold). Bucket sizes bound the
     quadratic term; at corpus scale tune n_planes up for smaller buckets.
+
+    Shuffle discipline: vectors ride ONE shuffle — the bucket equi-join
+    keyed on (table_id, bucket), one copy per (row x table). The cosine is
+    computed and thresholded INSIDE the join's output projection
+    (pipelined, no materialization), so the cross-table dedup Exchange
+    that follows carries only (id_a, id_b, cosine_sim) — at 10^10-doc
+    scale the quadratic candidate stream never shuffles vector bytes.
+    A pair blocked by k tables is scored k times; that trades bounded
+    duplicate JVM codegen work for a pair-granularity vector shuffle,
+    the right side of the trade at any realistic dim. (Verified identical
+    results; plan pinned by test_plan_shapes.)
     """
     tables = F.array(
         *[
@@ -310,7 +321,7 @@ def cosine_near_dup_pairs(
         F.explode(tables).alias("tb"),
     ).select("__id", "__vec", "tb.table_id", "tb.bucket")
     x, y = b.alias("a"), b.alias("b")
-    cand = (
+    return (
         x.join(
             y,
             on=[
@@ -322,11 +333,8 @@ def cosine_near_dup_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__vec").alias("va"),
-            F.col("b.__vec").alias("vb"),
+            cosine(F.col("a.__vec"), F.col("b.__vec")).alias("cosine_sim"),
         )
+        .filter(F.col("cosine_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
-    ).filter(F.col("cosine_sim") >= threshold)

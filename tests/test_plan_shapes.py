@@ -248,3 +248,39 @@ def test_distinct_rollup_shapes(spark, events):
     )
     assert p.count("Exchange") == 1, p
     assert p.count("HashAggregate") + p.count("ObjectHashAggregate") == 2, p
+
+
+def test_near_dup_pair_dedup_exchange_carries_no_vectors(spark):
+    """cosine_near_dup_pairs: vectors ride ONLY the bucket equi-join
+    shuffle; the quadratic candidate stream is scored + thresholded in the
+    join's output projection, so the pair-dedup Exchange that follows
+    carries (id_a, id_b, cosine_sim) and NO array column. Regression guard
+    for the r3 restructure (similarity.py:cosine_near_dup_pairs)."""
+    from tablecloth_time_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(cosine_near_dup_pairs(emb, dim=64, threshold=0.9))
+    # the dedup is a partial/final aggregate pair over the pair keys
+    assert "Join" in p
+    # every hashpartitioning Exchange above the join keys on pair ids /
+    # their agg, never on a bucket tuple carrying __vec
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange hashpartitioning" in ln and "id_a" in ln:
+            assert "__vec" not in ln and "embedding" not in ln
+    # the only Exchanges that mention the vector column are the two
+    # bucket-join sides (one per join input)
+    vec_exchanges = [
+        ln for ln in lines
+        if "Exchange hashpartitioning" in ln
+        and ("__vec" in ln or "embedding" in ln)
+    ]
+    assert len(vec_exchanges) <= 2
+    # and a pair-id Exchange exists that does NOT carry vectors
+    pair_exchanges = [
+        ln for ln in lines
+        if "Exchange hashpartitioning(id_a" in ln
+    ]
+    assert pair_exchanges and all(
+        "__vec" not in ln and "embedding" not in ln for ln in pair_exchanges
+    )
