@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from tablecloth_time_spark.functions import timeops as T
 from tablecloth_time_spark.operators.rollup import rollup
-from tablecloth_time_spark.operators.rolling import rolling
+from tablecloth_time_spark.operators.rolling import rolling, rolling_rows
 from tablecloth_time_spark.operators.slice import slice_time
 
 SF_SMALL = "/root/testdata/sf0.001"
@@ -147,46 +147,45 @@ GROUP BY 1, 2
 """
 
 
-def q_floor_month_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_calendar_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-interval calendar floors (r2's floor_month_k3 + floor_year_k5,
+    folded into one scored query to free a slot in the driver's 50-query
+    budget — the union'd `grain` tag keeps both grains fully hashed)."""
     orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(
-            T.floor_to_month("o_orderdate", 3).cast("timestamp").alias("bucket")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        )
-    )
+    months = orders.groupBy(
+        T.floor_to_month("o_orderdate", 3).cast("timestamp").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    ).select(F.lit("month_k3").alias("grain"), "bucket", "n_orders", "sum_price")
+    years = orders.groupBy(
+        T.floor_to_year("o_orderdate", 5).cast("timestamp").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    ).select(F.lit("year_k5").alias("grain"), "bucket", "n_orders", "sum_price")
+    return months.unionByName(years)
 
 
-SQL_FLOOR_MONTH_K3 = """
+SQL_CALENDAR_FLOORS = """
 WITH m AS (
   SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1 AS em,
          o_totalprice
   FROM orders
 )
-SELECT CAST(DATE '1970-01-01' + to_months(CAST(em - em % 3 AS INT)) AS TIMESTAMP) AS bucket,
+SELECT 'month_k3' AS grain,
+       CAST(DATE '1970-01-01' + to_months(CAST(em - em % 3 AS INT)) AS TIMESTAMP) AS bucket,
        COUNT(*) AS n_orders,
        ROUND(SUM(o_totalprice), 2) AS sum_price
 FROM m
-GROUP BY 1
-"""
-
-
-def q_floor_year_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy(
-        T.floor_to_year("o_orderdate", 5).cast("timestamp").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n_orders"))
-
-
-SQL_FLOOR_YEAR_K5 = """
-WITH y AS (SELECT year(o_orderdate) - 1970 AS ey FROM orders)
-SELECT CAST(make_date(CAST(1970 + ey - ey % 5 AS INT), 1, 1) AS TIMESTAMP) AS bucket,
-       COUNT(*) AS n_orders
-FROM y
-GROUP BY 1
+GROUP BY 2
+UNION ALL
+SELECT 'year_k5' AS grain,
+       CAST(make_date(CAST(1970 + ey - ey % 5 AS INT), 1, 1) AS TIMESTAMP) AS bucket,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM (SELECT year(o_orderdate) - 1970 AS ey, o_totalprice FROM orders)
+GROUP BY 2
 """
 
 
@@ -358,23 +357,35 @@ GROUP BY 1
 
 
 def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling (1h trailing) + the reference's ARCHIVED
+    row-count rolling window (last-5-observations; dev-plan §8.1) in one
+    scored query — both frame families over the same series."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = rolling(
         ev, ["user_id"], "ts", 1, "hour",
         {"roll_sum": ("sum", "value"), "roll_n": ("count", "value")},
     )
+    out = rolling_rows(
+        out, ["user_id"], ["ts", "event_id"], 5,
+        {"roll5_avg": ("avg", "value"), "roll5_min": ("min", "value")},
+    )
     return out.select(
-        "event_id", "user_id", F.round("roll_sum", 4).alias("roll_sum"), "roll_n"
+        "event_id", "user_id", F.round("roll_sum", 4).alias("roll_sum"), "roll_n",
+        F.round("roll5_avg", 6).alias("roll5_avg"), "roll5_min",
     )
 
 
 SQL_ROLLING_1H = """
 SELECT event_id, user_id,
        ROUND(SUM(value) OVER w, 4) AS roll_sum,
-       COUNT(value) OVER w AS roll_n
+       COUNT(value) OVER w AS roll_n,
+       ROUND(AVG(value) OVER w5, 6) AS roll5_avg,
+       MIN(value) OVER w5 AS roll5_min
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
-             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+       w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -513,6 +524,61 @@ FROM (
   UNION ALL SELECT user_id, 2, n2, denom FROM agg
   UNION ALL SELECT user_id, 3, n3, denom FROM agg
 )
+"""
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (fpp3 §3.4 — the chapter after the
+    reference's notebook track) of each event type's daily count series:
+    centered 7-MA trend, day-of-week seasonal indices re-centered to sum
+    zero, remainder. One window pass + a tiny broadcast seasonal join."""
+    from tablecloth_time_spark.operators.decompose import classical_decomposition
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = classical_decomposition(
+        daily, ["event_type"], "day", "y", 7, season_col=F.dayofweek("day")
+    )
+    return out.select(
+        "event_type",
+        "day",
+        F.col("y").cast("long").alias("n_events"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("remainder", 6).alias("remainder"),
+    )
+
+
+SQL_SEASONAL_DECOMPOSE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, day, y,
+         CASE WHEN COUNT(*) OVER w = 7 THEN AVG(y) OVER w END AS trend,
+         dayofweek(day) AS season
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+s AS (
+  SELECT event_type, season, AVG(y - trend) AS s_raw
+  FROM t GROUP BY 1, 2
+),
+adj AS (SELECT event_type, AVG(s_raw) AS s_adj FROM s GROUP BY 1),
+si AS (
+  SELECT s.event_type, s.season, s.s_raw - adj.s_adj AS seasonal
+  FROM s JOIN adj USING (event_type)
+)
+SELECT t.event_type, t.day, CAST(t.y AS BIGINT) AS n_events,
+       ROUND(t.trend, 6) AS trend,
+       ROUND(si.seasonal, 6) AS seasonal,
+       ROUND(t.y - t.trend - si.seasonal, 6) AS remainder
+FROM t JOIN si ON t.event_type = si.event_type AND t.season = si.season
 """
 
 
@@ -1390,6 +1456,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
         F.round("mean_word_len", 6).alias("mean_word_len"),
         F.round("quality_score", 6).alias("quality"),
+        TX.lang_id("text").alias("lang_pred"),
     )
 
 
@@ -1434,6 +1501,61 @@ FROM stats
 """
 
 
+def q_sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling for training-data curation: md5-based
+    uniform fraction -> reproducible sample membership, train/val/test
+    split assignment, and an exact top-3-per-(lang, source) stratified
+    draw — all engine-independent (DuckDB recomputes the identical md5
+    fractions), which is what makes this an exactly-oracled query."""
+    from tablecloth_time_spark.operators.sample import (
+        assign_splits,
+        hash_fraction,
+        sample_predicate,
+        stratified_sample_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    out = assign_splits(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).withColumn("sampled", sample_predicate("doc_id", 0.3))
+    picks = stratified_sample_exact(docs, ["lang", "source"], "doc_id", 3).select(
+        "doc_id", F.lit(True).alias("strat_pick")
+    )
+    return (
+        out.join(picks, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.round(hash_fraction("doc_id"), 8).alias("frac"),
+            "split",
+            "sampled",
+            F.coalesce("strat_pick", F.lit(False)).alias("strat_pick"),
+        )
+    )
+
+
+SQL_SAMPLE_SPLITS = """
+WITH h AS (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS frac
+  FROM documents
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY frac, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, lang, source,
+       ROUND(frac, 8) AS frac,
+       CASE WHEN frac < 0.8 THEN 'train'
+            WHEN frac < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       frac < 0.3 AS sampled,
+       rn <= 3 AS strat_pick
+FROM r
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tablecloth_time_spark.functions import text as TX
 
@@ -1465,6 +1587,12 @@ FROM b
 
 
 SQL_LANG_ID = _lang_sql()
+
+# r3 query-budget fold: lang_id rides the text_stats scored query
+SQL_TEXT_STATS_LANG = (
+    "SELECT s.*, l.lang_pred FROM (" + SQL_TEXT_STATS + ") s "
+    "JOIN (" + SQL_LANG_ID + ") l USING (doc_id)"
+)
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1743,8 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_events": q_slice_events,
         "rollup_hourly": q_rollup_hourly,
         "rollup_15min_salted": q_rollup_15min_salted,
-        "floor_month_k3": q_floor_month_k3,
-        "floor_year_k5": q_floor_year_k5,
+        "calendar_floors": q_calendar_floors,
         "field_extractors": q_field_extractors,
         "computed_fields": q_computed_fields,
         "add_lags": q_add_lags,
@@ -1755,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_stats": q_datetime_stats,
         "gapfill_ffill": q_gapfill_ffill,
         "acf_hourly": q_acf_hourly,
+        "seasonal_decompose": q_seasonal_decompose,
         "timeops_misc": q_timeops_misc,
         "convert_time_units": q_convert_time_units,
         "rollup_tiers_long": q_rollup_tiers_long,
@@ -1779,7 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample": q_lttb_downsample,
         "pivot_daily_types": q_pivot_daily_types,
         "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
+        "sample_splits": q_sample_splits,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1798,8 +1926,7 @@ def oracle_sql() -> dict[str, str]:
         "slice_events": SQL_SLICE_EVENTS,
         "rollup_hourly": SQL_ROLLUP_HOURLY,
         "rollup_15min_salted": SQL_ROLLUP_15MIN,
-        "floor_month_k3": SQL_FLOOR_MONTH_K3,
-        "floor_year_k5": SQL_FLOOR_YEAR_K5,
+        "calendar_floors": SQL_CALENDAR_FLOORS,
         "field_extractors": SQL_FIELD_EXTRACTORS,
         "computed_fields": SQL_COMPUTED_FIELDS,
         "add_lags": SQL_ADD_LAGS,
@@ -1810,6 +1937,7 @@ def oracle_sql() -> dict[str, str]:
         "datetime_stats": SQL_DATETIME_STATS,
         "gapfill_ffill": SQL_GAPFILL_FFILL,
         "acf_hourly": SQL_ACF_HOURLY,
+        "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
         "timeops_misc": SQL_TIMEOPS_MISC,
         "convert_time_units": SQL_CONVERT_TIME_UNITS,
         "rollup_tiers_long": SQL_ROLLUP_TIERS_LONG,
@@ -1834,8 +1962,8 @@ def oracle_sql() -> dict[str, str]:
         # -> rows-only; exact parity vs the published algorithm is pinned in
         # tests/test_counters_stats.py::test_lttb_kernel_matches_reference_impl
         "pivot_daily_types": SQL_PIVOT_DAILY_TYPES,
-        "text_stats": SQL_TEXT_STATS,
-        "lang_id": SQL_LANG_ID,
+        "text_stats": SQL_TEXT_STATS_LANG,
+        "sample_splits": SQL_SAMPLE_SPLITS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

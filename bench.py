@@ -238,6 +238,26 @@ def main() -> None:
                         "epoch-day", "epoch-week")]
         ).agg(F.sum("epoch_day")).collect(),
     )
+    from tablecloth_time_spark.operators.decompose import classical_decomposition
+    from tablecloth_time_spark.operators.rolling import rolling_rows
+
+    timed(
+        "rolling_rows5_events",
+        lambda: rolling_rows(
+            events, ["user_id"], ["ts", "event_id"], 5,
+            {"r5": ("avg", "value")},
+        ).agg(F.sum("r5")).collect(),
+    )
+    daily_counts = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    timed(
+        "seasonal_decompose_daily",
+        lambda: classical_decomposition(
+            daily_counts, ["event_type"], "day", "y", 7,
+            season_col=F.dayofweek("day"),
+        ).agg(F.sum("remainder")).collect(),
+    )
 
     # training-data ops + compression (sf tables: documents / embeddings)
     from tablecloth_time_spark.operators.compress import compress_series
@@ -281,6 +301,12 @@ def main() -> None:
     timed(
         "embedding_topk_bruteforce",
         lambda: brute_force_topk(emb, probe, k=10).count(),
+    )
+    from tablecloth_time_spark.operators.similarity import cosine_near_dup_pairs
+
+    timed(
+        "near_dup_pairs_embeddings",
+        lambda: cosine_near_dup_pairs(emb, dim=64, threshold=0.9).count(),
     )
 
     points_per_sec = total_points / cascade_sec if cascade_sec > 0 else 0.0

@@ -86,17 +86,23 @@ def host_compute_probe(cores: int) -> float:
     coordination). Runs inside the same taskset pinning as the Spark
     stages. If THIS doesn't scale 4x from N to 4N cores, nothing on this
     guest can: the gap is hypervisor steal / host contention, not any
-    property of the software under test."""
+    property of the software under test.
+
+    The pool is created ONCE and warmed before the timed region — pool
+    fork cost grows with nproc and would otherwise penalize the wide
+    level. Total work (256 tasks) is cores-independent."""
     from concurrent.futures import ProcessPoolExecutor
 
-    ntasks = cores * 8
+    ntasks = 256
 
-    def run() -> None:
-        with ProcessPoolExecutor(cores) as ex:
+    with ProcessPoolExecutor(cores) as ex:
+        list(ex.map(_sha_task, range(cores)))  # warmup: fork every worker
+
+        def run() -> None:
             list(ex.map(_sha_task, range(ntasks)))
 
-    run()  # warmup (worker fork)
-    return min(_timed(run) for _ in range(TRIALS))
+        run()
+        return min(_timed(run) for _ in range(TRIALS))
 
 
 def worker(cores: int) -> None:

@@ -43,3 +43,7 @@ from tablecloth_time_spark.operators.validate import (  # noqa: F401
     ensure_time_column,
     is_sorted,
 )
+from tablecloth_time_spark.operators.rolling import rolling, rolling_rows  # noqa: F401
+from tablecloth_time_spark.operators.decompose import (  # noqa: F401
+    classical_decomposition,
+)

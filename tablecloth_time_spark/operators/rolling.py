@@ -77,3 +77,46 @@ def rolling(
             raise ValueError(f"unsupported rolling agg {kind!r}")
         exprs.append(ROLLING_AGGS[kind](src).over(w).alias(name))
     return out.select("*", *exprs)
+
+
+def rolling_rows(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    n: int,
+    aggs: dict[str, tuple[str, str]],
+    min_periods: int = 1,
+) -> DataFrame:
+    """Add trailing row-count window aggregates, one value per input row.
+
+    The reference's ARCHIVED rolling-window API (reference
+    development-plan.md:645-666): a fixed window of the previous ``n``
+    rows (current row included), truncated at the start of each series —
+    the first row's window holds 1 row, the second 2, ... until ``n``.
+    Not time-aware: the frame counts rows in ``order_cols`` order, which
+    is the point ("last N observations" vs "last N minutes").
+
+    Spark-native form: ``Window.partitionBy(keys).orderBy(order_cols)
+    .rowsBetween(-(n - 1), 0)`` — a ROWS frame, one shuffle on the series
+    key then a sorted streaming pass, no Python. ``min_periods`` mirrors
+    the pandas contract the archived API's truncation implies: windows
+    holding fewer rows yield null (default 1 = reference behavior, every
+    truncated prefix window still aggregates).
+    """
+    if n < 1:
+        raise ValueError(f"rolling_rows: window must be >= 1 row, got {n}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(-(n - 1), 0)
+    )
+    exprs = []
+    count_in_frame = F.count(F.lit(1)).over(w)
+    for name, (kind, src) in aggs.items():
+        if kind not in ROLLING_AGGS:
+            raise ValueError(f"unsupported rolling agg {kind!r}")
+        e = ROLLING_AGGS[kind](src).over(w)
+        if min_periods > 1:
+            e = F.when(count_in_frame >= min_periods, e)
+        exprs.append(e.alias(name))
+    return df.select("*", *exprs)

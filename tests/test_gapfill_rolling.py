@@ -245,3 +245,48 @@ def test_monthly_grid_nearest(monthly_df):
     assert beer["2023-03-01"] == 20.0
     # Apr 1: 59d after Feb, 30d before May -> May value
     assert beer["2023-04-01"] == 50.0
+
+
+def test_rolling_rows_last3(stocks_df):
+    """Archived row-count rolling window (reference dev-plan §8.1):
+    trailing 3-row frame truncated at the series start — window holds
+    1, 2, then 3 rows; counts rows, not time (the 3-day gap between
+    01-05 and 01-08 does not shrink the frame)."""
+    from tablecloth_time_spark.operators.rolling import rolling_rows
+
+    out = rolling_rows(
+        stocks_df, ["symbol"], ["date"], 3,
+        {"r_avg": ("avg", "close"), "r_n": ("count", "close")},
+    )
+    rows = {
+        (r["symbol"], r["date"].date().isoformat()): (r["r_avg"], r["r_n"])
+        for r in out.collect()
+    }
+    assert rows[("AAPL", "2024-01-01")] == (180.0, 1)  # truncated prefix
+    assert rows[("AAPL", "2024-01-02")] == (pytest.approx((180 + 182.5) / 2), 2)
+    assert rows[("AAPL", "2024-01-03")] == (pytest.approx((180 + 182.5 + 181) / 3), 3)
+    # across the time gap the frame still holds exactly 3 rows
+    assert rows[("AAPL", "2024-01-08")][1] == 3
+
+
+def test_rolling_rows_min_periods(stocks_df):
+    from tablecloth_time_spark.operators.rolling import rolling_rows
+
+    out = rolling_rows(
+        stocks_df, ["symbol"], ["date"], 3,
+        {"r_avg": ("avg", "close")}, min_periods=3,
+    )
+    rows = {
+        (r["symbol"], r["date"].date().isoformat()): r["r_avg"]
+        for r in out.collect()
+    }
+    assert rows[("AAPL", "2024-01-01")] is None
+    assert rows[("AAPL", "2024-01-02")] is None
+    assert rows[("AAPL", "2024-01-03")] == pytest.approx((180 + 182.5 + 181) / 3)
+
+
+def test_rolling_rows_rejects_bad_window(stocks_df):
+    from tablecloth_time_spark.operators.rolling import rolling_rows
+
+    with pytest.raises(ValueError, match="window must be >= 1"):
+        rolling_rows(stocks_df, ["symbol"], ["date"], 0, {"r": ("avg", "close")})

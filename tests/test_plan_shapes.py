@@ -284,3 +284,44 @@ def test_near_dup_pair_dedup_exchange_carries_no_vectors(spark):
     assert pair_exchanges and all(
         "__vec" not in ln and "embedding" not in ln for ln in pair_exchanges
     )
+
+
+def test_deterministic_sample_is_shuffle_free(events):
+    """hash sampling / split assignment are pure row-local expressions:
+    no Exchange anywhere — they ride the scan inside codegen."""
+    from tablecloth_time_spark.operators.sample import (
+        assign_splits,
+        deterministic_sample,
+    )
+
+    p = _plan(deterministic_sample(events, "event_id", 0.25))
+    assert "Exchange" not in p, p
+    p = _plan(
+        assign_splits(events, "event_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    assert "Exchange" not in p, p
+
+
+def test_stratified_sample_single_shuffle(events):
+    from tablecloth_time_spark.operators.sample import stratified_sample_exact
+
+    p = _plan(stratified_sample_exact(events, ["event_type"], "event_id", 10))
+    assert p.count("Exchange") == 1, p
+
+
+def test_decomposition_seasonal_join_broadcasts(events):
+    """classical_decomposition: the big table shuffles once (series-key
+    window); the (keys x m) seasonal-index join must be a broadcast hash
+    join, never a sort-merge over the fact table."""
+    from tablecloth_time_spark.operators.decompose import classical_decomposition
+
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    p = _plan(
+        classical_decomposition(
+            daily, ["event_type"], "day", "y", 7, season_col=F.dayofweek("day")
+        )
+    )
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
