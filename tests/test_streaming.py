@@ -441,3 +441,62 @@ def test_session_gap_boundary_contract(spark):
         F.count(F.lit(1)).alias("n")
     )
     assert sorted(r["n"] for r in sw.collect()) == [1, 4]
+
+
+def test_streaming_dedup_suppresses_cross_run_duplicates(spark, tmp_path):
+    """Ingest dedup: the SAME content arriving in a LATER run of the query
+    (same checkpoint) is suppressed by carried state — the streaming
+    analogue of batch exact_dedup, with state bounded by the watermark."""
+    import datetime as dt
+
+    from tablecloth_time_spark.streaming.dedup import streaming_dedup_exact
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def run_wave(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(src)
+        q = (
+            streaming_dedup_exact(stream, "text", "ts", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_wave(
+        [
+            (1, "the quick brown fox", t0),
+            (2, "lorem ipsum dolor", t0 + dt.timedelta(minutes=1)),
+            (3, "the quick brown fox", t0 + dt.timedelta(minutes=2)),  # in-wave dup
+        ]
+    )
+    # wave 2: doc 4 duplicates doc 1's content (cross-RUN, within the
+    # watermark horizon); doc 5 is new
+    run_wave(
+        [
+            (4, "the quick brown fox", t0 + dt.timedelta(minutes=10)),
+            (5, "completely new text", t0 + dt.timedelta(minutes=11)),
+        ]
+    )
+
+    got = spark.read.parquet(sink).toPandas().sort_values("doc_id")
+    # one row per distinct content; first-seen ids kept
+    assert sorted(got["doc_id"]) == [1, 2, 5]
+    assert got["fingerprint"].is_unique
+    # normalization: whitespace/case variants collapse to one fingerprint
+    from tablecloth_time_spark.functions.text import fingerprint_md5
+
+    fp = spark.createDataFrame(
+        [("The  Quick  Brown   Fox",), ("the quick brown fox",)], "text string"
+    ).select(fingerprint_md5("text").alias("f")).collect()
+    assert fp[0]["f"] == fp[1]["f"]
