@@ -47,3 +47,14 @@ from tablecloth_time_spark.operators.rolling import rolling, rolling_rows  # noq
 from tablecloth_time_spark.operators.decompose import (  # noqa: F401
     classical_decomposition,
 )
+from tablecloth_time_spark.operators.sample import (  # noqa: F401
+    assign_splits,
+    deterministic_sample,
+    hash_fraction,
+    stratified_sample_exact,
+)
+from tablecloth_time_spark.operators.pack import (  # noqa: F401
+    mixture_sample,
+    pack_documents,
+    packing_stats,
+)
