@@ -325,3 +325,19 @@ def test_decomposition_seasonal_join_broadcasts(events):
     )
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_gapfill_linear_has_no_python(events):
+    """linear/nearest gap-fill compile to window exprs over one sort —
+    NO Arrow kernel (r3: the Arrow interp kernel was replaced by
+    opposite-direction window frames; this pins the regression)."""
+    from tablecloth_time_spark.operators.gapfill import resample_to_regular_grid
+
+    for method in ("linear", "nearest"):
+        p = _plan(
+            resample_to_regular_grid(
+                events, ["user_id"], "ts", "value", 1, "hour", method=method
+            )
+        )
+        assert "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p, p
+        assert "Window" in p, p
