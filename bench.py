@@ -95,7 +95,7 @@ def main() -> None:
 
     headline()
     cascade_sec = float("inf")
-    for _ in range(2):  # best-of-2, same rationale as timed()
+    for _ in range(3):  # best-of-3, same rationale as timed()
         t0 = time.perf_counter()
         total_points = headline()
         cascade_sec = min(cascade_sec, time.perf_counter() - t0)
@@ -111,7 +111,7 @@ def main() -> None:
     assert all_tier_points(tiers) == total_points
     timings["rollup_tiers_transcripts"] = round(time.perf_counter() - t0, 3)
 
-    def timed(name, fn, trials: int = 2):
+    def timed(name, fn, trials: int = 3):
         # best-of-N: same-binary wall clock on this host swings up to ~2x
         # under externally-invisible contention (see BENCH/BASELINE.md);
         # the minimum is the closest estimate of the uncontended rate
