@@ -4,10 +4,12 @@ from tablecloth_time_spark.streaming.rollup import (
     streaming_sessionize,
 )
 from tablecloth_time_spark.streaming.stateful import streaming_counter_rate
+from tablecloth_time_spark.streaming.dedup import streaming_dedup_exact
 
 __all__ = [
     "streaming_rollup",
     "streaming_rollup_to_sink",
     "streaming_sessionize",
     "streaming_counter_rate",
+    "streaming_dedup_exact",
 ]
