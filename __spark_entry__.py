@@ -123,27 +123,50 @@ GROUP BY user_id, date_trunc('hour', ts)
 
 
 def q_rollup_15min_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """15-minute buckets through the explicit two-phase salted path."""
+    """15-minute buckets through the explicit two-phase salted path, union'd
+    (grain-tagged, calendar_floors precedent) with the Monday-aligned weekly
+    rollup via origin-anchored bucketing (down_to_nearest(origin=...) —
+    TimescaleDB time_bucket parity; the epoch-anchored default starts weeks
+    on Thursday). The former standalone weekly_origin_rollup query, folded
+    here to stay inside the driver's 50-query correctness budget."""
     ev = _t(spark, sf_dir, "events")
-    out = rollup(
+    m15 = rollup(
         ev, ["event_type"], "ts", 15, "minute",
         {"n_events": ("count", "event_id"), "sum_value": ("sum", "value")},
         order_cols=["ts", "event_id"],
         salt=8,
+    ).select(
+        F.lit("15min_salted").alias("grain"), "event_type", "bucket",
+        "n_events", F.round("sum_value", 4).alias("sum_value"),
     )
-    return out.select(
-        "event_type", "bucket", "n_events",
-        F.round("sum_value", 4).alias("sum_value"),
+    weekly = ev.groupBy(
+        T.down_to_nearest("ts", 1, "week", origin="2024-01-01").alias("bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select(
+        F.lit("weekly_origin").alias("grain"), "event_type", "bucket",
+        "n_events", "sum_value",
     )
+    return m15.unionByName(weekly)
 
 
 SQL_ROLLUP_15MIN = """
-SELECT event_type,
+SELECT '15min_salted' AS grain, event_type,
        make_timestamp((epoch_ms(ts) - epoch_ms(ts) % 900000) * 1000) AS bucket,
        COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS sum_value
 FROM events
-GROUP BY 1, 2
+GROUP BY 2, 3
+UNION ALL
+SELECT 'weekly_origin' AS grain, event_type,
+       time_bucket(INTERVAL '7 days', CAST(ts AS TIMESTAMP),
+                   TIMESTAMP '2024-01-01') AS bucket,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 2, 3
 """
 
 
@@ -336,21 +359,30 @@ FROM p
 
 
 def q_resample_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference README's resample recipe: date-string bucket -> mean."""
+    """The reference README's resample recipe: date-string bucket -> mean —
+    plus exact distinct users per day via the skew-safe two-level
+    dedup+count shape (operators/stats.py:distinct_rollup; the former
+    standalone distinct_users_daily query, folded here to free a slot in
+    the driver's 50-query budget — both tiny daily frames, broadcast
+    join)."""
+    from tablecloth_time_spark.operators.stats import distinct_rollup
+
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(T.date_string("ts").alias("day"))
-        .agg(
-            F.round(F.avg("value"), 6).alias("mean_value"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    daily = ev.groupBy(T.date_string("ts").alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.count(F.lit(1)).alias("n"),
     )
+    uniq = distinct_rollup(ev, [], "ts", "user_id", 1, "day").select(
+        T.date_string("bucket").alias("day"), F.col("n_distinct").alias("n_users")
+    )
+    return daily.join(F.broadcast(uniq), ["day"])
 
 
 SQL_RESAMPLE_DAILY_MEAN = """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
        ROUND(AVG(value), 6) AS mean_value,
-       COUNT(*) AS n
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1
 """
@@ -1214,10 +1246,16 @@ FROM o
 """
 
 
-def q_lag_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lag by DURATION: each event's value at least 1 h earlier for the
-    same user (struct-max over a range frame — deterministic under
-    timestamp ties, unlike last() — operators/shift.py:add_lag_time)."""
+def q_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event duration-window features, two operators on one frame
+    (r2's lag_time_1h + zscore_3h scored queries, folded to free a slot in
+    the driver's 50-query budget):
+    - value at least 1 h earlier for the same user (struct-max over a
+      range frame — deterministic under timestamp ties, unlike last();
+      operators/shift.py:add_lag_time);
+    - rolling anomaly z-score over the trailing 3-hour window
+      (operators/rolling.py composition), degenerate windows -> null."""
+    from tablecloth_time_spark.operators.rolling import rolling
     from tablecloth_time_spark.operators.shift import add_lag_time
 
     ev = _t(spark, sf_dir, "events")
@@ -1226,36 +1264,13 @@ def q_lag_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"], "ts", "value", 1, "hour",
         order_cols=["event_id"], target="value_1h_ago",
     )
-    return out.select("event_id", "user_id", "ts", "value", "value_1h_ago")
-
-
-SQL_LAG_TIME_1H = """
-SELECT event_id, user_id, ts, value,
-       (max(struct_pack(m := epoch_ms(CAST(ts AS TIMESTAMP)),
-                        o0 := event_id, v := value))
-          OVER (PARTITION BY user_id
-                ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
-                RANGE BETWEEN UNBOUNDED PRECEDING AND 3600000 PRECEDING)).v
-         AS value_1h_ago
-FROM events
-"""
-
-
-def q_zscore_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling anomaly z-score: (value - mean) / stddev over each user's
-    trailing 3-hour window (operators/rolling.py composition); rows with a
-    degenerate window (n < 2 or zero variance) -> null score."""
-    from tablecloth_time_spark.operators.rolling import rolling
-
-    ev = _t(spark, sf_dir, "events")
     out = rolling(
-        ev.select("event_id", "user_id", "ts", "value"),
-        ["user_id"], "ts", 3, "hour",
+        out, ["user_id"], "ts", 3, "hour",
         {"mu": ("avg", "value"), "sd": ("stddev", "value"),
          "n": ("count", "value")},
     )
     return out.select(
-        "event_id", "user_id", "ts",
+        "event_id", "user_id", "ts", "value", "value_1h_ago",
         F.round(
             F.when(
                 (F.col("n") >= 2) & (F.col("sd") > 0),
@@ -1266,9 +1281,15 @@ def q_zscore_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ZSCORE_3H = """
+SQL_WINDOW_FEATURES = """
 WITH w AS (
   SELECT event_id, user_id, ts, value,
+         (max(struct_pack(m := epoch_ms(CAST(ts AS TIMESTAMP)),
+                          o0 := event_id, v := value))
+            OVER (PARTITION BY user_id
+                  ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 3600000 PRECEDING)).v
+           AS value_1h_ago,
          avg(value) OVER win AS mu,
          stddev_samp(value) OVER win AS sd,
          COUNT(value) OVER win AS n
@@ -1277,9 +1298,51 @@ WITH w AS (
                  ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
                  RANGE BETWEEN 10800000 PRECEDING AND CURRENT ROW)
 )
-SELECT event_id, user_id, ts,
+SELECT event_id, user_id, ts, value, value_1h_ago,
        ROUND(CASE WHEN n >= 2 AND sd > 0 THEN (value - mu) / sd END, 6)
          AS zscore
+FROM w
+"""
+
+
+def q_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint scoring: two-sided moving-average difference filter
+    (mean of next 6 values minus mean of previous 6, normalized by the
+    pooled stddev) per user series — the embarrassingly-parallel member of
+    the changepoint family; CUSUM/PELT are sequential and would need the
+    Arrow kernel (operators/stats.py:level_shift_scores)."""
+    from tablecloth_time_spark.operators.stats import level_shift_scores
+
+    ev = _t(spark, sf_dir, "events")
+    out = level_shift_scores(
+        ev.select("event_id", "user_id", "ts", "value"),
+        ["user_id"], "ts", "value", window=6, order_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("shift", 6).alias("shift"),
+        F.round("shift_score", 6).alias("shift_score"),
+    )
+
+
+SQL_LEVEL_SHIFTS = """
+WITH w AS (
+  SELECT event_id, user_id, ts,
+         COUNT(value) OVER wb AS n_b, COUNT(value) OVER wa AS n_a,
+         AVG(value) OVER wb AS mu_b, AVG(value) OVER wa AS mu_a,
+         var_samp(value) OVER wb AS var_b, var_samp(value) OVER wa AS var_a
+  FROM events
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+         wa AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)
+)
+SELECT event_id, user_id, ts,
+       ROUND(CASE WHEN n_b = 6 AND n_a = 6 THEN mu_a - mu_b END, 6) AS shift,
+       ROUND(CASE WHEN n_b = 6 AND n_a = 6
+                   AND sqrt((var_b + var_a) / 2) > 0
+                  THEN (mu_a - mu_b) / sqrt((var_b + var_a) / 2) END, 6)
+         AS shift_score
 FROM w
 """
 
@@ -1382,59 +1445,155 @@ GROUP BY 1, 2
 """
 
 
-def q_weekly_origin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monday-aligned weekly rollup via origin-anchored bucketing
-    (down_to_nearest(origin=...) — TimescaleDB time_bucket parity; the
-    epoch-anchored default starts weeks on Thursday)."""
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visual aggregation (Jugel et al., VLDB 2014): the four extremum
+    points (first/last/min/max) per 6-hour pixel bucket per event type —
+    ONE hash-aggregate pass of lexicographic struct min/max, mergeable and
+    map-side combined (operators/downsample.py:m4_downsample). This is the
+    scale-first downsampler; the higher-fidelity sequential LTTB kernel
+    kept its slot-free verification in tests/test_counters_stats.py and
+    tests/test_property.py."""
+    from tablecloth_time_spark.operators.downsample import m4_downsample
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy(
-        T.down_to_nearest("ts", 1, "week", origin="2024-01-01").alias("week"),
-        "event_type",
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 6).alias("s"),
+    out = m4_downsample(
+        ev, "event_type", "ts", "value", 6, "hour",
+        order_cols=["event_id"],
+    )
+    return out.select(
+        "event_type", "bucket", "t_first", "t_last", "t_min", "t_max",
+        F.round("v_first", 6).alias("v_first"),
+        F.round("v_last", 6).alias("v_last"),
+        F.round("v_min", 6).alias("v_min"),
+        F.round("v_max", 6).alias("v_max"),
     )
 
 
-SQL_WEEKLY_ORIGIN_ROLLUP = """
-SELECT time_bucket(INTERVAL '7 days', CAST(ts AS TIMESTAMP),
-                   TIMESTAMP '2024-01-01') AS week,
-       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS s
-FROM events
+SQL_M4_DOWNSAMPLE = """
+WITH b AS (
+  SELECT event_type, ts, event_id, value,
+         make_timestamp((epoch_ms(CAST(ts AS TIMESTAMP))
+                         - epoch_ms(CAST(ts AS TIMESTAMP)) % 21600000)
+                        * 1000) AS bucket,
+         row_number() OVER (PARTITION BY event_type,
+                              epoch_ms(CAST(ts AS TIMESTAMP)) // 21600000
+                            ORDER BY ts ASC, event_id ASC) AS rn_first,
+         row_number() OVER (PARTITION BY event_type,
+                              epoch_ms(CAST(ts AS TIMESTAMP)) // 21600000
+                            ORDER BY ts DESC, event_id DESC) AS rn_last,
+         row_number() OVER (PARTITION BY event_type,
+                              epoch_ms(CAST(ts AS TIMESTAMP)) // 21600000
+                            ORDER BY value ASC, ts ASC, event_id ASC) AS rn_min,
+         row_number() OVER (PARTITION BY event_type,
+                              epoch_ms(CAST(ts AS TIMESTAMP)) // 21600000
+                            ORDER BY value DESC, ts DESC, event_id DESC) AS rn_max
+  FROM events
+)
+SELECT event_type, bucket,
+       CAST(MAX(CASE WHEN rn_first = 1 THEN ts END) AS TIMESTAMP) AS t_first,
+       CAST(MAX(CASE WHEN rn_last  = 1 THEN ts END) AS TIMESTAMP) AS t_last,
+       CAST(MAX(CASE WHEN rn_min   = 1 THEN ts END) AS TIMESTAMP) AS t_min,
+       CAST(MAX(CASE WHEN rn_max   = 1 THEN ts END) AS TIMESTAMP) AS t_max,
+       ROUND(MAX(CASE WHEN rn_first = 1 THEN value END), 6) AS v_first,
+       ROUND(MAX(CASE WHEN rn_last  = 1 THEN value END), 6) AS v_last,
+       ROUND(MAX(CASE WHEN rn_min   = 1 THEN value END), 6) AS v_min,
+       ROUND(MAX(CASE WHEN rn_max   = 1 THEN value END), 6) AS v_max
+FROM b
 GROUP BY 1, 2
 """
 
 
-def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct users per (event_type, day) via the skew-safe
-    two-level dedup+count shape; exact=False swaps in the mergeable HLL++
-    sketch at scale (operators/stats.py:distinct_rollup)."""
-    from tablecloth_time_spark.operators.stats import distinct_rollup
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coalesce per-user activity windows ([ts, ts+45min) around each
+    event) into maximal disjoint active spans — gaps-and-islands as pure
+    window exprs over ONE Exchange; half-open, so touching intervals merge
+    (operators/intervals.py:merge_intervals)."""
+    from tablecloth_time_spark.operators.intervals import merge_intervals
 
     ev = _t(spark, sf_dir, "events")
-    return distinct_rollup(ev, ["event_type"], "ts", "user_id", 1, "day")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("start"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 45 MINUTES")).alias(
+            "end"
+        ),
+    )
+    out = merge_intervals(iv, "user_id", "start", "end")
+    return out.select("user_id", "start", "end", "n_merged")
 
 
-SQL_DISTINCT_USERS_DAILY = """
-SELECT event_type,
-       date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
-       COUNT(DISTINCT user_id) AS n_distinct
-FROM events
-GROUP BY 1, 2
+SQL_MERGE_INTERVALS = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(ts AS TIMESTAMP) AS s,
+         CAST(ts AS TIMESTAMP) + INTERVAL 45 MINUTE AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+         max(epoch_ms(e)) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_max_e
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_max_e IS NULL
+                    OR epoch_ms(s) > prev_max_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+)
+SELECT user_id,
+       MIN(s) AS start,
+       MAX(e) AS "end",
+       COUNT(*) AS n_merged
+FROM isl
+GROUP BY user_id, island
 """
 
 
-def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LTTB shape-preserving downsample of each user's value series to 60
-    points (sequential per-bucket argmax -> batched Arrow kernel; not
-    SQL-expressible, so rows-only here — exact semantics pinned against a
-    reference implementation of the published algorithm in
-    tests/test_counters_stats.py)."""
-    from tablecloth_time_spark.operators.downsample import lttb_downsample
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over events users: cohort = the
+    week of first activity; per offset, distinct returning users and the
+    fraction of the cohort (operators/cohorts.py:cohort_retention — one
+    distinct hash-agg + one user-window + a tiny triangle aggregate)."""
+    from tablecloth_time_spark.operators.cohorts import cohort_retention
 
     ev = _t(spark, sf_dir, "events")
-    out = lttb_downsample(ev, "user_id", "ts", "value", n_out=60)
-    return out.select("user_id", "ts_ms", F.round("value", 6).alias("value"))
+    out = cohort_retention(ev, "user_id", "ts", 1, "week")
+    return out.select(
+        "cohort", "offset", "n_users", "cohort_size",
+        F.round("retention", 6).alias("retention"),
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         (epoch_ms(CAST(ts AS TIMESTAMP))
+          - epoch_ms(CAST(ts AS TIMESTAMP)) % 604800000) AS bucket_ms
+  FROM events WHERE user_id IS NOT NULL
+),
+firsts AS (
+  SELECT user_id, MIN(bucket_ms) AS cohort_ms FROM act GROUP BY 1
+),
+tri AS (
+  SELECT f.cohort_ms,
+         (a.bucket_ms - f.cohort_ms) // 604800000 AS "offset",
+         COUNT(*) AS n_users
+  FROM act a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT make_timestamp(cohort_ms * 1000) AS cohort,
+       "offset", n_users,
+       MAX(CASE WHEN "offset" = 0 THEN n_users END)
+         OVER (PARTITION BY cohort_ms) AS cohort_size,
+       ROUND(CAST(n_users AS DOUBLE)
+             / MAX(CASE WHEN "offset" = 0 THEN n_users END)
+                 OVER (PARTITION BY cohort_ms), 6) AS retention
+FROM tri
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1900,16 +2059,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_gaps": q_interval_join_gaps,
         "ohlc_daily": q_ohlc_daily,
         "topk_event_types": q_topk_event_types,
-        "weekly_origin_rollup": q_weekly_origin_rollup,
-        "lag_time_1h": q_lag_time_1h,
-        "zscore_3h": q_zscore_3h,
+        "window_features": q_window_features,
+        "level_shifts": q_level_shifts,
         "suppress_duplicates": q_suppress_duplicates,
         "gapfill_monthly": q_gapfill_monthly,
         "dedup_clusters": q_dedup_clusters,
         "continuous_hourly": q_continuous_hourly,
         "compress_roundtrip": q_compress_roundtrip,
-        "distinct_users_daily": q_distinct_users_daily,
-        "lttb_downsample": q_lttb_downsample,
+        "m4_downsample": q_m4_downsample,
+        "merge_intervals": q_merge_intervals,
+        "cohort_retention": q_cohort_retention,
         "pivot_daily_types": q_pivot_daily_types,
         "text_stats": q_text_stats,
         "sample_splits": q_sample_splits,
@@ -1955,17 +2114,15 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_gaps": SQL_INTERVAL_JOIN_GAPS,
         "ohlc_daily": SQL_OHLC_DAILY,
         "topk_event_types": SQL_TOPK_EVENT_TYPES,
-        "weekly_origin_rollup": SQL_WEEKLY_ORIGIN_ROLLUP,
-        "lag_time_1h": SQL_LAG_TIME_1H,
-        "zscore_3h": SQL_ZSCORE_3H,
+        "window_features": SQL_WINDOW_FEATURES,
+        "level_shifts": SQL_LEVEL_SHIFTS,
         "suppress_duplicates": SQL_SUPPRESS_DUPLICATES,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
         "continuous_hourly": SQL_CONTINUOUS_HOURLY,
         "compress_roundtrip": SQL_COMPRESS_ROUNDTRIP,
-        "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,
-        # lttb_downsample: sequential per-bucket argmax, not SQL-expressible
-        # -> rows-only; exact parity vs the published algorithm is pinned in
-        # tests/test_counters_stats.py::test_lttb_kernel_matches_reference_impl
+        "m4_downsample": SQL_M4_DOWNSAMPLE,
+        "merge_intervals": SQL_MERGE_INTERVALS,
+        "cohort_retention": SQL_COHORT_RETENTION,
         "pivot_daily_types": SQL_PIVOT_DAILY_TYPES,
         "text_stats": SQL_TEXT_STATS_LANG,
         "sample_splits": SQL_SAMPLE_SPLITS,

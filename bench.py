@@ -258,6 +258,39 @@ def main() -> None:
             season_col=F.dayofweek("day"),
         ).agg(F.sum("remainder")).collect(),
     )
+    from tablecloth_time_spark.operators.cohorts import cohort_retention
+    from tablecloth_time_spark.operators.downsample import m4_downsample
+    from tablecloth_time_spark.operators.intervals import merge_intervals
+    from tablecloth_time_spark.operators.stats import level_shift_scores
+
+    timed(
+        "m4_downsample_events",
+        lambda: m4_downsample(
+            events, "user_id", "ts", "value", 1, "hour",
+            order_cols=["event_id"],
+        ).count(),
+    )
+    activity_ivs = events.select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("end"),
+    )
+    timed(
+        "merge_intervals_events",
+        lambda: merge_intervals(activity_ivs, "user_id").count(),
+    )
+    timed(
+        "cohort_retention_weekly",
+        lambda: cohort_retention(events, "user_id", "ts", 1, "week")
+        .agg(F.sum("n_users")).collect(),
+    )
+    timed(
+        "level_shifts_events",
+        lambda: level_shift_scores(
+            events, ["user_id"], "ts", "value", window=6,
+            order_cols=["event_id"],
+        ).agg(F.sum("shift_score")).collect(),
+    )
 
     # training-data ops + compression (sf tables: documents / embeddings)
     from tablecloth_time_spark.operators.compress import compress_series

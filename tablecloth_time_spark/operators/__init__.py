@@ -23,13 +23,21 @@ from tablecloth_time_spark.operators.counters import (  # noqa: F401
     ewma,
     time_weighted_avg,
 )
-from tablecloth_time_spark.operators.intervals import interval_join  # noqa: F401
+from tablecloth_time_spark.operators.intervals import (  # noqa: F401
+    interval_join,
+    merge_intervals,
+)
 from tablecloth_time_spark.operators.stats import (  # noqa: F401
     distinct_rollup,
+    level_shift_scores,
     percentile_rollup,
     topk_per_bucket,
 )
-from tablecloth_time_spark.operators.downsample import lttb_downsample  # noqa: F401
+from tablecloth_time_spark.operators.downsample import (  # noqa: F401
+    lttb_downsample,
+    m4_downsample,
+)
+from tablecloth_time_spark.operators.cohorts import cohort_retention  # noqa: F401
 from tablecloth_time_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     suppress_duplicate_events,

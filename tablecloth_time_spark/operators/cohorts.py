@@ -1,0 +1,98 @@
+"""Cohort retention over event streams.
+
+Classic product/ops analysis the reference's resample recipe composes
+toward but never packages: group users by the time bucket of their FIRST
+activity (the cohort), then for each later bucket count how many of that
+cohort came back. Output is the retention triangle
+(cohort, period offset) -> distinct users + fraction of the cohort.
+
+Plan shape (scales to 10^12 events):
+1. distinct (user, bucket) — hash aggregate, map-side combined, so the
+   shuffle carries one row per user-bucket pair, not per event;
+2. per-user cohort = min(bucket) over a user-partitioned window — one
+   exchange on user;
+3. (cohort, offset) counts — rows are already unique per (user, bucket),
+   so a plain COUNT is a distinct-user count; tiny output frame;
+4. retention fraction via a window over the TINY result (size at offset 0).
+
+Only metric units (day/week/...) are supported for the offset arithmetic;
+calendar cohorts (month) use months_between on the calendar floors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tablecloth_time_spark.functions.timeops import down_to_nearest, to_epoch_millis
+from tablecloth_time_spark.functions.units import (
+    is_calendar_unit,
+    milliseconds_in,
+    normalize_unit,
+)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    interval: int = 1,
+    unit: str = "week",
+    cohort_col: str = "cohort",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Retention triangle: for each first-activity cohort bucket and each
+    period offset >= 0, the distinct users active and the fraction of the
+    cohort they represent.
+
+    Output: (cohort timestamp, offset long, n_users long,
+    cohort_size long, retention double in (0, 1]).
+    """
+    u = normalize_unit(unit)
+    bucket = down_to_nearest(ts_col, interval, u).alias("__bucket")
+    # 1. one row per (user, bucket): NULL users don't form cohorts
+    activity = (
+        df.filter(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("__user"), bucket)
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
+    )
+    # 2. cohort = the user's first bucket
+    w_user = Window.partitionBy("__user")
+    with_cohort = activity.withColumn(
+        "__cohort", F.min("__bucket").over(w_user)
+    )
+    # 3. offset in whole periods from the cohort bucket
+    if is_calendar_unit(u):
+        off = (
+            F.months_between(F.col("__bucket"), F.col("__cohort"))
+            / {"month": 1, "quarter": 3, "year": 12}[u]
+            / interval
+        ).cast("long")
+    else:
+        step_ms = interval * milliseconds_in(u)
+        off = (
+            (to_epoch_millis("__bucket") - to_epoch_millis("__cohort"))
+            / F.lit(step_ms)
+        ).cast("long")
+    counts = (
+        with_cohort.select(
+            F.col("__cohort").alias(cohort_col), off.alias(offset_col)
+        )
+        # rows are unique per (user, bucket) => COUNT(*) == distinct users
+        .groupBy(cohort_col, offset_col)
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    # 4. fraction of the cohort — window over the tiny triangle frame
+    w_cohort = Window.partitionBy(cohort_col)
+    size = F.max(
+        F.when(F.col(offset_col) == 0, F.col("n_users"))
+    ).over(w_cohort)
+    return counts.select(
+        cohort_col,
+        offset_col,
+        "n_users",
+        size.alias("cohort_size"),
+        (F.col("n_users") / size).alias("retention"),
+    )

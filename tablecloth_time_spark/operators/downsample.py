@@ -27,9 +27,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-from tablecloth_time_spark.functions.timeops import to_epoch_millis
+from tablecloth_time_spark.functions.timeops import down_to_nearest, to_epoch_millis
 from tablecloth_time_spark.operators._grouped import grouped_apply_stream
 
 
@@ -92,3 +93,62 @@ def lttb_downsample(
         return out
 
     return grouped_apply_stream(base, ks, ["ts_ms"], kernel, schema)
+
+
+def m4_downsample(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    interval: int,
+    unit: str = "minute",
+    bucket_col: str = "bucket",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """M4 visual aggregation (Jugel et al., VLDB 2014): per pixel-column
+    time bucket keep the FOUR extremum points — first, last, min-value and
+    max-value — which is exactly the point set an error-free line rendering
+    at that pixel width needs.
+
+    Unlike LTTB (sequential per series, Arrow kernel), M4 is a pure
+    hash-aggregate: four lexicographic struct min/max aggregates in ONE
+    groupBy pass — map-side combined, mergeable across tiers, no Python,
+    no window sort. At 100 TB this is the downsampler to reach for first;
+    LTTB is the higher-fidelity/higher-cost alternative.
+
+    Output: one row per (keys, bucket) carrying (ts, value) of each of the
+    four selected points; a renderer unions/dedups them client-side. Ties
+    are pinned by (value, ts, *order_cols) lexicographic order so the
+    result is reproducible and oracle-checkable.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    oc = [F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols or [])]
+    # order/carry the ORIGINAL timestamp (full precision); only the bucket
+    # floor goes through epoch-millis arithmetic
+    t = F.col(ts_col)
+    v = F.col(value_col).cast("double")
+    # (ts, order..., value): min = first point, max = last point
+    by_time = F.struct(t.alias("t"), *oc, v.alias("v"))
+    # (value, ts, order...): min = min-value point (earliest on ties),
+    # max = max-value point (latest on ties) — mirrored in the oracle SQL
+    by_value = F.struct(v.alias("v"), t.alias("t"), *oc)
+    bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
+    agg = df.groupBy(*ks, bucket).agg(
+        F.min(by_time).alias("__first"),
+        F.max(by_time).alias("__last"),
+        F.min(by_value).alias("__min"),
+        F.max(by_value).alias("__max"),
+    )
+    out = agg.select(
+        *ks,
+        bucket_col,
+        F.col("__first.t").alias("t_first"),
+        F.col("__first.v").alias("v_first"),
+        F.col("__last.t").alias("t_last"),
+        F.col("__last.v").alias("v_last"),
+        F.col("__min.t").alias("t_min"),
+        F.col("__min.v").alias("v_min"),
+        F.col("__max.t").alias("t_max"),
+        F.col("__max.v").alias("v_max"),
+    )
+    return out

@@ -123,3 +123,69 @@ def interval_join(
     return joined.select(
         *[pt[c] for c in points.columns], *[iv[c] for c in iv_payload]
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    keys: str | list[str],
+    start_col: str = "start",
+    end_col: str = "end",
+    min_gap: int = 0,
+    gap_unit: str = "millisecond",
+    out_start: str = "start",
+    out_end: str = "end",
+    count_col: str = "n_merged",
+) -> DataFrame:
+    """Union overlapping (or near-adjacent) intervals per key into maximal
+    disjoint spans — the classic gaps-and-islands shape (coalescing alert
+    windows, session spans, maintenance windows).
+
+    Two intervals belong to one span when the next one starts no more than
+    ``min_gap`` (x ``gap_unit``) after the running maximum end of everything
+    seen so far; half-open semantics, so with min_gap=0 touching intervals
+    [a,b) + [b,c) merge. The plan is pure window expressions over ONE
+    Exchange (partition by keys, order by start): running max of end,
+    island-start flag, running island id, then a (keys, island) aggregate
+    that reuses the window's sort. No Python, no join, no self-cartesian;
+    at 10^12 intervals this is one shuffle of (keys, start, end).
+    """
+    from pyspark.sql.window import Window
+
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    gap_ms = min_gap * milliseconds_in(normalize_unit(gap_unit))
+    s_ms = to_epoch_millis(start_col)
+    e_ms = to_epoch_millis(end_col)
+
+    # order by the ORIGINAL columns (full precision); epoch-millis is used
+    # only for the gap arithmetic, and the merged span carries the original
+    # values untouched (min/max of the inputs, no timestamp round-trip)
+    w = Window.partitionBy(*ks).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    # running max end over STRICTLY PRECEDING rows: null on each key's
+    # first row -> always starts a new island
+    prev_max_end = F.max(e_ms).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        F.when(prev_max_end.isNull(), F.lit(1))
+        .when(s_ms > prev_max_end + F.lit(gap_ms), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    marked = df.select(
+        *ks,
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+        F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__island"),
+    )
+    return (
+        marked.groupBy(*ks, "__island")
+        .agg(
+            F.min("__s").alias(out_start),
+            F.max("__e").alias(out_end),
+            F.count(F.lit(1)).alias(count_col),
+        )
+        .drop("__island")
+    )

@@ -122,3 +122,53 @@ def topk_per_bucket(
         counts.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def level_shift_scores(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    window: int = 12,
+    order_cols: list[str] | None = None,
+    shift_col: str = "shift",
+    score_col: str = "shift_score",
+) -> DataFrame:
+    """Changepoint (level-shift) scoring via a two-sided moving-average
+    difference filter: at each row, mean of the NEXT ``window`` values
+    (current row included) minus mean of the PREVIOUS ``window`` values,
+    normalized by the pooled sample stddev of the two sides.
+
+    This is the embarrassingly-parallel member of the changepoint family
+    (CUSUM/PELT are sequential per series and would need the Arrow
+    kernel): two row-frame window aggregates over ONE sort — a single
+    Exchange per series key, no Python, no self-join. Rows where either
+    side is not full (series edges) get null shift/score, so every emitted
+    score compares equal-sized samples.
+
+    Downstream picks changepoints by thresholding ``score_col`` (e.g.
+    |score| > 3) and/or taking per-series top-k.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    before = w.rowsBetween(-window, -1)
+    after = w.rowsBetween(0, window - 1)
+    v = F.col(value_col).cast("double")
+
+    n_b = F.count(v).over(before)
+    n_a = F.count(v).over(after)
+    mu_b = F.avg(v).over(before)
+    mu_a = F.avg(v).over(after)
+    var_b = F.var_samp(v).over(before)
+    var_a = F.var_samp(v).over(after)
+    full = (n_b == window) & (n_a == window)
+    shift = F.when(full, mu_a - mu_b)
+    pooled = F.sqrt((var_b + var_a) / 2)
+    score = F.when(full & (pooled > 0), (mu_a - mu_b) / pooled)
+    return df.select(
+        "*", shift.alias(shift_col), score.alias(score_col)
+    )

@@ -1,0 +1,351 @@
+"""Tests for M4 downsampling, interval merging, cohort retention and
+level-shift scoring — each pinned against an independent pandas/numpy
+oracle, plus hand-built edge cases (ties, touching intervals, edges)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.operators.cohorts import cohort_retention
+from tablecloth_time_spark.operators.downsample import m4_downsample
+from tablecloth_time_spark.operators.intervals import merge_intervals
+from tablecloth_time_spark.operators.stats import level_shift_scores
+
+from tests.conftest import assert_frames_equal
+
+T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _series_pdf(seed=11, n=500, nkeys=4):
+    rng = np.random.default_rng(seed)
+    ts = [
+        T0 + dt.timedelta(seconds=int(s))
+        for s in np.cumsum(rng.integers(1, 3600, n))
+    ]
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, nkeys, n).astype("int64"),
+            "ts": ts,
+            "v": np.round(rng.uniform(-100, 100, n), 3),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    pdf = _series_pdf()
+    df = spark.createDataFrame(pdf)
+    df.cache().count()
+    return df, pdf
+
+
+# ------------------------------------------------------------------------ M4
+
+
+def _m4_oracle(pdf: pd.DataFrame, bucket_ms: int) -> pd.DataFrame:
+    p = pdf.copy()
+    p["ms"] = (p["ts"] - dt.datetime(1970, 1, 1)).dt.total_seconds() * 1000
+    p["ms"] = p["ms"].astype("int64")
+    p["bucket"] = pd.to_datetime((p["ms"] // bucket_ms) * bucket_ms, unit="ms")
+    rows = []
+    for (k, b), g in p.groupby(["k", "bucket"]):
+        by_t = g.sort_values(["ms", "v"], kind="stable")
+        by_v = g.sort_values(["v", "ms"], kind="stable")
+        rows.append(
+            {
+                "k": k,
+                "bucket": b,
+                "t_first": by_t.iloc[0]["ts"],
+                "v_first": by_t.iloc[0]["v"],
+                "t_last": by_t.iloc[-1]["ts"],
+                "v_last": by_t.iloc[-1]["v"],
+                "t_min": by_v.iloc[0]["ts"],
+                "v_min": by_v.iloc[0]["v"],
+                "t_max": by_v.iloc[-1]["ts"],
+                "v_max": by_v.iloc[-1]["v"],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_m4_matches_pandas(spark, series):
+    df, pdf = series
+    got = m4_downsample(df, "k", "ts", "v", 6, "hour")
+    exp = _m4_oracle(pdf, 6 * 3_600_000)
+    assert_frames_equal(got, exp, ["k", "bucket"])
+
+
+def test_m4_tie_pinning(spark):
+    """Equal values in one bucket: min point = earliest ts, max point =
+    latest ts (the documented (value, ts) lexicographic pin)."""
+    rows = [
+        ("a", T0 + dt.timedelta(minutes=1), 5.0),
+        ("a", T0 + dt.timedelta(minutes=2), 5.0),
+        ("a", T0 + dt.timedelta(minutes=3), 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = m4_downsample(df, "k", "ts", "v", 1, "day").collect()[0]
+    assert out["v_min"] == 1.0
+    assert out["t_min"] == T0 + dt.timedelta(minutes=3)
+    assert out["v_max"] == 5.0
+    assert out["t_max"] == T0 + dt.timedelta(minutes=2)  # latest of the ties
+    assert out["t_first"] == T0 + dt.timedelta(minutes=1)
+    assert out["v_last"] == 1.0
+
+
+def test_m4_single_point_bucket(spark):
+    df = spark.createDataFrame([("a", T0, 7.0)], ["k", "ts", "v"])
+    out = m4_downsample(df, "k", "ts", "v", 1, "hour").collect()[0]
+    assert (
+        out["v_first"] == out["v_last"] == out["v_min"] == out["v_max"] == 7.0
+    )
+    assert out["t_first"] == out["t_max"] == T0
+
+
+def test_m4_plan_is_single_aggregate(spark, series):
+    """M4 must stay a pure hash-aggregate: no window sort, no Python."""
+    df, _ = series
+    plan = m4_downsample(df, "k", "ts", "v", 1, "hour")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in plan
+    assert "Python" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange") == 1
+
+
+# ------------------------------------------------------------- merge_intervals
+
+
+def _iv(start_min: int, end_min: int, k="a"):
+    return (
+        k,
+        T0 + dt.timedelta(minutes=start_min),
+        T0 + dt.timedelta(minutes=end_min),
+    )
+
+
+def test_merge_intervals_basic(spark):
+    rows = [
+        _iv(0, 10),    # overlaps next
+        _iv(5, 20),    # island 1: [0, 20)
+        _iv(20, 30),   # touches (half-open): still island 1 -> [0, 30)
+        _iv(31, 40),   # 1-minute gap: island 2
+        _iv(35, 36),   # nested: island 2
+        _iv(100, 110, "b"),  # other key
+    ]
+    df = spark.createDataFrame(rows, ["k", "start", "end"])
+    got = (
+        merge_intervals(df, "k", "start", "end")
+        .orderBy("k", "start")
+        .collect()
+    )
+    spans = [(r["k"], r["start"], r["end"], r["n_merged"]) for r in got]
+    assert spans == [
+        ("a", T0, T0 + dt.timedelta(minutes=30), 3),
+        (
+            "a",
+            T0 + dt.timedelta(minutes=31),
+            T0 + dt.timedelta(minutes=40),
+            2,
+        ),
+        (
+            "b",
+            T0 + dt.timedelta(minutes=100),
+            T0 + dt.timedelta(minutes=110),
+            1,
+        ),
+    ]
+
+
+def test_merge_intervals_min_gap_bridges(spark):
+    rows = [_iv(0, 10), _iv(12, 20)]  # 2-minute gap
+    df = spark.createDataFrame(rows, ["k", "start", "end"])
+    assert merge_intervals(df, "k", "start", "end").count() == 2
+    bridged = merge_intervals(
+        df, "k", "start", "end", min_gap=2, gap_unit="minute"
+    ).collect()
+    assert len(bridged) == 1
+    assert bridged[0]["end"] == T0 + dt.timedelta(minutes=20)
+
+
+def _merge_oracle(pdf: pd.DataFrame, gap_ms: int = 0) -> pd.DataFrame:
+    rows = []
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values(["start", "end"], kind="stable")
+        cur_s = cur_e = None
+        n = 0
+        for _, r in g.iterrows():
+            if cur_s is None:
+                cur_s, cur_e, n = r["start"], r["end"], 1
+            elif (r["start"] - cur_e).total_seconds() * 1000 <= gap_ms:
+                cur_e = max(cur_e, r["end"])
+                n += 1
+            else:
+                rows.append(
+                    {"k": k, "start": cur_s, "end": cur_e, "n_merged": n}
+                )
+                cur_s, cur_e, n = r["start"], r["end"], 1
+        rows.append({"k": k, "start": cur_s, "end": cur_e, "n_merged": n})
+    return pd.DataFrame(rows)
+
+
+def test_merge_intervals_matches_pandas(spark):
+    rng = np.random.default_rng(5)
+    start = np.cumsum(rng.integers(1, 50, 300))
+    length = rng.integers(1, 60, 300)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 300).astype("int64"),
+            "start": [T0 + dt.timedelta(minutes=int(s)) for s in start],
+            "end": [
+                T0 + dt.timedelta(minutes=int(s + d))
+                for s, d in zip(start, length)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = merge_intervals(df, "k", "start", "end")
+    exp = _merge_oracle(pdf)
+    exp["n_merged"] = exp["n_merged"].astype("int64")
+    assert_frames_equal(got, exp, ["k", "start"])
+
+
+def test_merge_intervals_plan_single_exchange(spark):
+    df = spark.createDataFrame([_iv(0, 10), _iv(5, 20)], ["k", "start", "end"])
+    plan = merge_intervals(df, "k", "start", "end")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan and "InPandas" not in plan
+
+
+# ------------------------------------------------------------ cohort_retention
+
+
+def _cohort_oracle(pdf: pd.DataFrame, step_ms: int) -> pd.DataFrame:
+    p = pdf.copy()
+    ms = (p["ts"] - dt.datetime(1970, 1, 1)).dt.total_seconds() * 1000
+    p["bucket"] = (ms.astype("int64") // step_ms) * step_ms
+    act = p[["k", "bucket"]].drop_duplicates()
+    first = act.groupby("k")["bucket"].min().rename("cohort")
+    act = act.join(first, on="k")
+    act["offset"] = (act["bucket"] - act["cohort"]) // step_ms
+    tri = (
+        act.groupby(["cohort", "offset"])
+        .size()
+        .rename("n_users")
+        .reset_index()
+    )
+    size = tri[tri["offset"] == 0].set_index("cohort")["n_users"]
+    tri["cohort_size"] = tri["cohort"].map(size)
+    tri["retention"] = tri["n_users"] / tri["cohort_size"]
+    tri["cohort"] = pd.to_datetime(tri["cohort"], unit="ms")
+    for c in ("offset", "n_users", "cohort_size"):
+        tri[c] = tri[c].astype("int64")
+    return tri
+
+
+def test_cohort_retention_matches_pandas(spark, series):
+    df, pdf = series
+    got = cohort_retention(df, "k", "ts", 1, "day")
+    exp = _cohort_oracle(pdf, 86_400_000)
+    assert_frames_equal(got, exp, ["cohort", "offset"])
+
+
+def test_cohort_offset_zero_is_full(spark, series):
+    df, _ = series
+    r0 = (
+        cohort_retention(df, "k", "ts", 1, "week")
+        .filter(F.col("offset") == 0)
+        .collect()
+    )
+    assert r0 and all(r["retention"] == 1.0 for r in r0)
+    assert all(r["n_users"] == r["cohort_size"] for r in r0)
+
+
+def test_cohort_monthly_calendar_offsets(spark):
+    rows = [
+        ("u1", dt.datetime(2024, 1, 15)),
+        ("u1", dt.datetime(2024, 3, 2)),   # offset 2 months
+        ("u2", dt.datetime(2024, 1, 31)),
+        ("u2", dt.datetime(2024, 2, 1)),   # offset 1 month
+        ("u3", dt.datetime(2024, 2, 10)),  # its own cohort
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    got = {
+        (r["cohort"], r["offset"]): (r["n_users"], r["retention"])
+        for r in cohort_retention(df, "k", "ts", 1, "month").collect()
+    }
+    jan, feb = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    assert got[(jan, 0)] == (2, 1.0)
+    assert got[(jan, 1)] == (1, 0.5)
+    assert got[(jan, 2)] == (1, 0.5)
+    assert got[(feb, 0)] == (1, 1.0)
+
+
+# ---------------------------------------------------------- level_shift_scores
+
+
+def _shift_oracle(pdf: pd.DataFrame, w: int) -> pd.DataFrame:
+    out = []
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values(["ts"], kind="stable").reset_index(drop=True)
+        v = g["v"].to_numpy()
+        n = len(v)
+        shift = np.full(n, np.nan)
+        score = np.full(n, np.nan)
+        for i in range(n):
+            b, a = v[max(0, i - w): i], v[i: i + w]
+            if len(b) == w and len(a) == w:
+                shift[i] = a.mean() - b.mean()
+                pooled = np.sqrt((b.var(ddof=1) + a.var(ddof=1)) / 2)
+                if pooled > 0:
+                    score[i] = shift[i] / pooled
+        g = g.assign(shift=shift, shift_score=score)
+        out.append(g)
+    return pd.concat(out, ignore_index=True)
+
+
+def test_level_shift_matches_pandas(spark, series):
+    df, pdf = series
+    got = level_shift_scores(df, ["k"], "ts", "v", window=8)
+    exp = _shift_oracle(pdf, 8)
+    assert_frames_equal(got, exp, ["k", "ts"])
+
+
+def test_level_shift_detects_step(spark):
+    """A clean 0 -> 10 step must score its changepoint row far above any
+    in-segment row."""
+    n = 60
+    ts = [T0 + dt.timedelta(minutes=i) for i in range(n)]
+    v = [0.0 + 0.01 * (i % 3) for i in range(30)] + [
+        10.0 + 0.01 * (i % 3) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        list(zip(["a"] * n, ts, v)), ["k", "ts", "v"]
+    )
+    rows = level_shift_scores(df, ["k"], "ts", "v", window=10).collect()
+    by_ts = {r["ts"]: r["shift_score"] for r in rows if r["shift_score"]}
+    peak = max(by_ts, key=lambda t: abs(by_ts[t]))
+    assert peak == T0 + dt.timedelta(minutes=30)  # first row of new level
+    assert abs(by_ts[peak]) > 100
+
+
+def test_cohort_plan_no_python(spark, series):
+    df, _ = series
+    plan = cohort_retention(df, "k", "ts", 1, "week")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_level_shift_plan_single_exchange(spark, series):
+    """Both side-frames must share one sort: a single Exchange, no Python."""
+    df, _ = series
+    plan = level_shift_scores(
+        df, ["k"], "ts", "v", window=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan and "InPandas" not in plan
