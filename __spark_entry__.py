@@ -883,41 +883,72 @@ GROUP BY 1
 
 
 def q_counter_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reset-aware counter delta + per-second rate per user (Prometheus
-    increase/rate semantics as pure lag-window exprs; operators/counters.py).
-    """
-    from tablecloth_time_spark.operators.counters import counter_rate
+    """Per-event stream features on one frame: reset-aware counter delta +
+    per-second rate (Prometheus increase/rate semantics as pure lag-window
+    exprs) AND the irregular-time EWMA (adjusted form, halflife 1 h — the
+    one sequential recurrence, batched Arrow kernel with `carry_cols`
+    threading the window features through). The former standalone
+    ewma_value query, folded here to free a slot in the driver's 50-query
+    budget; the oracle re-derives the EWMA as a recursive CTE over the
+    same decay recurrence (operators/counters.py:counter_rate, ewma)."""
+    from tablecloth_time_spark.operators.counters import counter_rate, ewma
 
     ev = _t(spark, sf_dir, "events")
-    out = counter_rate(
+    cr = counter_rate(
         ev.select("event_id", "user_id", "ts", "value"),
         "user_id", "ts", "value", order_cols=["event_id"],
     )
+    out = ewma(
+        cr, "user_id", "ts", "value", halflife=1, unit="hour",
+        order_cols=["event_id"],
+        carry_cols=["event_id", "delta", "rate_per_s"],
+    )
+    # ewma rounds to 4 (not 6): pandas' C ewm and the oracle's recursive
+    # CTE accumulate the same recurrence in different orders, and at 100k+
+    # rows some true value lands within one ULP of a 1e-6 rounding
+    # boundary (observed at sf0.1: 57.668507 vs 57.668506). 1e-4 keeps the
+    # check meaningful with ~100x the boundary margin.
     return out.select(
-        "event_id", "user_id", "ts",
+        "event_id", "user_id", "ts_ms",
         F.round("delta", 6).alias("delta"),
         F.round("rate_per_s", 6).alias("rate_per_s"),
+        F.round("ewma", 4).alias("ewma"),
     )
 
 
 SQL_COUNTER_RATE_EVENTS = """
-WITH o AS (
-  SELECT event_id, user_id, ts, value,
+WITH RECURSIVE o AS (
+  SELECT event_id, user_id, value,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
          lag(value) OVER w AS prev_v,
          epoch_ms(CAST(ts AS TIMESTAMP))
-           - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w AS dt_ms
+           - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w AS dt_ms,
+         row_number() OVER w AS rn,
+         POWER(0.5, (epoch_ms(CAST(ts AS TIMESTAMP))
+                     - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w)
+                    / 3600000.0) AS decay
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+rec AS (
+  SELECT user_id, rn, value AS num, CAST(1.0 AS DOUBLE) AS den
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn,
+         b.value + b.decay * r.num,
+         1.0 + b.decay * r.den
+  FROM o b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn + 1
 )
-SELECT event_id, user_id, ts,
-       ROUND(CASE WHEN prev_v IS NULL THEN NULL
-                  WHEN value - prev_v < 0 THEN value
-                  ELSE value - prev_v END, 6) AS delta,
-       ROUND(CASE WHEN prev_v IS NULL OR dt_ms <= 0 THEN NULL
-                  WHEN value - prev_v < 0 THEN value / (dt_ms / 1000.0)
-                  ELSE (value - prev_v) / (dt_ms / 1000.0) END,
-             6) AS rate_per_s
-FROM o
+SELECT o.event_id, o.user_id, o.ts_ms,
+       ROUND(CASE WHEN o.prev_v IS NULL THEN NULL
+                  WHEN o.value - o.prev_v < 0 THEN o.value
+                  ELSE o.value - o.prev_v END, 6) AS delta,
+       ROUND(CASE WHEN o.prev_v IS NULL OR o.dt_ms <= 0 THEN NULL
+                  WHEN o.value - o.prev_v < 0 THEN o.value / (o.dt_ms / 1000.0)
+                  ELSE (o.value - o.prev_v) / (o.dt_ms / 1000.0) END,
+             6) AS rate_per_s,
+       ROUND(rec.num / rec.den, 4) AS ewma
+FROM o JOIN rec ON o.user_id = rec.user_id AND o.rn = rec.rn
 """
 
 
@@ -956,57 +987,6 @@ a AS (
 SELECT user_id, bucket,
        ROUND(CASE WHEN den > 0 THEN num / den ELSE first_v END, 6) AS twa
 FROM a
-"""
-
-
-def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Irregular-time EWMA (adjusted form, halflife 1 h) per user — the one
-    sequential recurrence, run in the batched Arrow kernel; the oracle
-    re-derives it as a recursive CTE over the same decay recurrence
-    (operators/counters.py:ewma)."""
-    from tablecloth_time_spark.operators.counters import ewma
-
-    ev = _t(spark, sf_dir, "events")
-    out = ewma(
-        ev, "user_id", "ts", "value", halflife=1, unit="hour",
-        order_cols=["event_id"],
-    )
-    # ewma rounds to 4 (not 6): pandas' C ewm and the oracle's recursive
-    # CTE accumulate the same recurrence in different orders, and at 100k+
-    # rows some true value lands within one ULP of a 1e-6 rounding
-    # boundary (observed at sf0.1: 57.668507 vs 57.668506). 1e-4 keeps the
-    # check meaningful with ~100x the boundary margin.
-    return out.select(
-        "user_id", "ts_ms",
-        F.round("value", 6).alias("value"),
-        F.round("ewma", 4).alias("ewma"),
-    )
-
-
-SQL_EWMA_VALUE = """
-WITH RECURSIVE base AS (
-  SELECT user_id, value,
-         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-         POWER(0.5, (epoch_ms(CAST(ts AS TIMESTAMP))
-                     - lag(epoch_ms(CAST(ts AS TIMESTAMP)))
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                    / 3600000.0) AS decay
-  FROM events
-),
-rec AS (
-  SELECT user_id, rn, ts_ms, value,
-         value AS num, CAST(1.0 AS DOUBLE) AS den
-  FROM base WHERE rn = 1
-  UNION ALL
-  SELECT b.user_id, b.rn, b.ts_ms, b.value,
-         b.value + b.decay * r.num,
-         1.0 + b.decay * r.den
-  FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn + 1
-)
-SELECT user_id, ts_ms, ROUND(value, 6) AS value,
-       ROUND(num / den, 4) AS ewma
-FROM rec
 """
 
 
@@ -1212,6 +1192,71 @@ SELECT o_orderpriority, bucket,
                OVER (PARTITION BY o_orderpriority ORDER BY bucket
                      ROWS UNBOUNDED PRECEDING), 6) AS avg_price
 FROM j
+"""
+
+
+def q_benchmark_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fpp3 chapter-5 benchmark forecasts (mean/naive/snaive/drift) of the
+    daily event-count series per event type, 14 days ahead with a weekly
+    season — mean/naive/drift from ONE per-key hash aggregate, snaive an
+    equi-join against the last m observations; no Python
+    (operators/forecast.py:benchmark_forecast)."""
+    from tablecloth_time_spark.operators.forecast import benchmark_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = benchmark_forecast(
+        daily, "event_type", "day", "y", horizon=14, interval=1, unit="day",
+        methods=("mean", "naive", "snaive", "drift"), season_length=7,
+    )
+    return out.select(
+        "event_type", "method",
+        F.col("h").cast("long").alias("h"),
+        "ts",
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
+SQL_BENCHMARK_FORECAST = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n, AVG(y) AS mean_y,
+         arg_min(y, day) AS y_first, arg_max(y, day) AS y_last,
+         MAX(day) AS last_day
+  FROM d GROUP BY 1
+),
+hs AS (
+  SELECT event_type, n, mean_y, y_first, y_last, last_day,
+         unnest(generate_series(1, 14)) AS h
+  FROM s
+),
+tail AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rnd
+  FROM d
+)
+SELECT event_type, 'mean' AS method, h, last_day + h * INTERVAL 1 DAY AS ts,
+       ROUND(mean_y, 6) AS forecast
+FROM hs
+UNION ALL
+SELECT event_type, 'naive', h, last_day + h * INTERVAL 1 DAY,
+       ROUND(y_last, 6)
+FROM hs
+UNION ALL
+SELECT event_type, 'drift', h, last_day + h * INTERVAL 1 DAY,
+       ROUND(y_last + h * (y_last - y_first) / (n - 1), 6)
+FROM hs
+UNION ALL
+SELECT hs.event_type, 'snaive', hs.h, hs.last_day + hs.h * INTERVAL 1 DAY,
+       ROUND(t.y, 6)
+FROM hs JOIN tail t
+  ON t.event_type = hs.event_type AND t.rnd = 7 - (hs.h - 1) % 7
 """
 
 
@@ -2054,7 +2099,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "counter_rate_events": q_counter_rate_events,
         "twa_daily": q_twa_daily,
-        "ewma_value": q_ewma_value,
         "detect_gaps": q_detect_gaps,
         "interval_join_gaps": q_interval_join_gaps,
         "ohlc_daily": q_ohlc_daily,
@@ -2062,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_features": q_window_features,
         "level_shifts": q_level_shifts,
         "suppress_duplicates": q_suppress_duplicates,
+        "benchmark_forecast": q_benchmark_forecast,
         "gapfill_monthly": q_gapfill_monthly,
         "dedup_clusters": q_dedup_clusters,
         "continuous_hourly": q_continuous_hourly,
@@ -2109,7 +2154,6 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "counter_rate_events": SQL_COUNTER_RATE_EVENTS,
         "twa_daily": SQL_TWA_DAILY,
-        "ewma_value": SQL_EWMA_VALUE,
         "detect_gaps": SQL_DETECT_GAPS,
         "interval_join_gaps": SQL_INTERVAL_JOIN_GAPS,
         "ohlc_daily": SQL_OHLC_DAILY,
@@ -2117,6 +2161,7 @@ def oracle_sql() -> dict[str, str]:
         "window_features": SQL_WINDOW_FEATURES,
         "level_shifts": SQL_LEVEL_SHIFTS,
         "suppress_duplicates": SQL_SUPPRESS_DUPLICATES,
+        "benchmark_forecast": SQL_BENCHMARK_FORECAST,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
         "continuous_hourly": SQL_CONTINUOUS_HOURLY,
         "compress_roundtrip": SQL_COMPRESS_ROUNDTRIP,

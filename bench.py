@@ -291,6 +291,18 @@ def main() -> None:
             order_cols=["event_id"],
         ).agg(F.sum("shift_score")).collect(),
     )
+    from tablecloth_time_spark.operators.forecast import benchmark_forecast
+
+    daily_by_user = events.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    timed(
+        "benchmark_forecast_daily",
+        lambda: benchmark_forecast(
+            daily_by_user, "user_id", "day", "y", 14, 1, "day",
+            methods=("mean", "naive", "snaive", "drift"), season_length=7,
+        ).agg(F.sum("forecast")).collect(),
+    )
 
     # training-data ops + compression (sf tables: documents / embeddings)
     from tablecloth_time_spark.operators.compress import compress_series

@@ -184,6 +184,7 @@ def ewma(
     unit: str = "minute",
     order_cols: list[str] | None = None,
     out_col: str = "ewma",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Time-decay exponentially weighted moving average per key (adjusted
     form): for each sample,
@@ -197,19 +198,26 @@ def ewma(
     pandas' native (C-implemented, numerically segmented) time-decay
     ``ewm`` — no Python row loop.
 
-    Output: input keys + ``ts_ms`` (epoch millis) + ``value`` + ``out_col``.
+    Output: input keys + ``ts_ms`` (epoch millis) + ``value`` + ``out_col``
+    (+ any ``carry_cols``, passed through the kernel untouched so callers
+    can keep row identity / sibling features without a post-join).
     """
     ks = _keys(keys)
     order_cols = order_cols or []
+    carry = [c for c in (carry_cols or []) if c not in (*ks, "ts_ms", "value")]
     base = df.select(
         *ks,
         to_epoch_millis(ts_col).alias("ts_ms"),
         F.col(value_col).cast("double").alias("value"),
-        *order_cols,
+        *dict.fromkeys([*order_cols, *carry]),
     )
     halflife_ms = int(halflife * milliseconds_in(normalize_unit(unit)))
     out_schema = StructType(
-        [f for f in base.schema.fields if f.name in (*ks, "ts_ms", "value")]
+        [
+            f
+            for f in base.schema.fields
+            if f.name in (*ks, "ts_ms", "value", *carry)
+        ]
         + [StructField(out_col, DoubleType())]
     )
 
@@ -220,7 +228,9 @@ def ewma(
             .ewm(halflife=pd.Timedelta(milliseconds=halflife_ms), times=times)
             .mean()
         )
-        out = g[[*ks, "ts_ms", "value"]].copy()
+        # column order must track out_schema (base field order), not the
+        # caller's carry list order
+        out = g[[f.name for f in out_schema.fields[:-1]]].copy()
         out[out_col] = y.to_numpy()
         return out
 

@@ -1,0 +1,129 @@
+"""Benchmark-forecast tests: fpp3 ch. 5 semantics pinned by hand-computed
+goldens and a numpy oracle over random regular series."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.operators.forecast import benchmark_forecast
+
+from tests.conftest import assert_frames_equal
+
+T0 = dt.datetime(2024, 1, 1)
+DAY = dt.timedelta(days=1)
+
+
+def _daily_pdf(seed=3, n=60, nkeys=3):
+    rng = np.random.default_rng(seed)
+    frames = []
+    for k in range(nkeys):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "k": np.full(n, k, dtype="int64"),
+                    "ts": [T0 + i * DAY for i in range(n)],
+                    "v": np.round(rng.normal(50, 10, n), 3),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def daily(spark):
+    pdf = _daily_pdf()
+    df = spark.createDataFrame(pdf)
+    df.cache().count()
+    return df, pdf
+
+
+def _oracle(pdf: pd.DataFrame, horizon: int, m: int) -> pd.DataFrame:
+    rows = []
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values("ts", kind="stable")
+        y = g["v"].to_numpy()
+        last_ts = g["ts"].iloc[-1]
+        n = len(y)
+        for h in range(1, horizon + 1):
+            ts = last_ts + h * DAY
+            rows.append((k, "mean", h, ts, y.mean()))
+            rows.append((k, "naive", h, ts, y[-1]))
+            rows.append(
+                (k, "drift", h, ts, y[-1] + h * (y[-1] - y[0]) / (n - 1))
+            )
+            kk = (h - 1) // m
+            rows.append((k, "snaive", h, ts, y[n + h - m * (kk + 1) - 1]))
+    return pd.DataFrame(
+        rows, columns=["k", "method", "h", "ts", "forecast"]
+    ).astype({"h": "int32"})
+
+
+def test_benchmark_forecast_matches_numpy(spark, daily):
+    df, pdf = daily
+    got = benchmark_forecast(
+        df, "k", "ts", "v", horizon=14, interval=1, unit="day",
+        methods=("mean", "naive", "drift", "snaive"), season_length=7,
+    ).withColumn("forecast", F.round("forecast", 9))
+    exp = _oracle(pdf, 14, 7)
+    exp["forecast"] = exp["forecast"].round(9)
+    assert_frames_equal(got, exp, ["k", "method", "h"])
+
+
+def test_fpp3_identities(spark):
+    """Hand-computed goldens on y = [10, 20, 30, 40] (m=2, horizon 5):
+    naive always 40; mean always 25; drift 40+10h; snaive alternates
+    30, 40 starting at h=1 -> y_{T+1-2} = 30."""
+    rows = [("a", T0 + i * DAY, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = benchmark_forecast(
+        df, "k", "ts", "v", horizon=5, interval=1, unit="day",
+        methods=("mean", "naive", "drift", "snaive"), season_length=2,
+    )
+    got = {
+        (r["method"], r["h"]): (r["forecast"], r["ts"]) for r in out.collect()
+    }
+    for h in range(1, 6):
+        assert got[("naive", h)][0] == 40.0
+        assert got[("mean", h)][0] == 25.0
+        assert got[("drift", h)][0] == pytest.approx(40 + 10 * h)
+        assert got[("snaive", h)][0] == (30.0 if h % 2 == 1 else 40.0)
+        assert got[("naive", h)][1] == T0 + (3 + h) * DAY
+    # 4 methods x 5 horizons, one key
+    assert out.count() == 20
+
+
+def test_drift_single_observation_null(spark):
+    df = spark.createDataFrame([("a", T0, 5.0)], ["k", "ts", "v"])
+    rows = benchmark_forecast(
+        df, "k", "ts", "v", horizon=3, interval=1, unit="day",
+        methods=("drift", "naive"),
+    ).collect()
+    drift = [r for r in rows if r["method"] == "drift"]
+    naive = [r for r in rows if r["method"] == "naive"]
+    assert all(r["forecast"] is None for r in drift)
+    assert all(r["forecast"] == 5.0 for r in naive)
+
+
+def test_snaive_requires_season(spark, daily):
+    df, _ = daily
+    with pytest.raises(ValueError, match="season_length"):
+        benchmark_forecast(
+            df, "k", "ts", "v", 3, 1, "day", methods=("snaive",)
+        )
+    with pytest.raises(ValueError, match="unknown method"):
+        benchmark_forecast(df, "k", "ts", "v", 3, 1, "day", methods=("arima",))
+
+
+def test_forecast_plan_no_python(spark, daily):
+    df, _ = daily
+    plan = benchmark_forecast(
+        df, "k", "ts", "v", 7, 1, "day",
+        methods=("mean", "naive", "drift", "snaive"), season_length=7,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
