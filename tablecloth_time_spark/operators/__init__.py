@@ -38,7 +38,10 @@ from tablecloth_time_spark.operators.downsample import (  # noqa: F401
     m4_downsample,
 )
 from tablecloth_time_spark.operators.cohorts import cohort_retention  # noqa: F401
-from tablecloth_time_spark.operators.forecast import benchmark_forecast  # noqa: F401
+from tablecloth_time_spark.operators.forecast import (  # noqa: F401
+    backtest_accuracy,
+    benchmark_forecast,
+)
 from tablecloth_time_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     suppress_duplicate_events,

@@ -146,3 +146,84 @@ def benchmark_forecast(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def backtest_accuracy(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    test_steps: int,
+    interval: int,
+    unit: str,
+    methods: tuple[str, ...] | list[str] = ("mean", "naive", "drift"),
+    season_length: int | None = None,
+    method_col: str = "method",
+) -> DataFrame:
+    """fpp3 §5.8 accuracy evaluation: hold out each key's last
+    ``test_steps`` observations, forecast them from the remaining
+    training prefix with the benchmark methods, and score per
+    (keys, method):
+
+    - MAE  = mean |e|, RMSE = sqrt(mean e^2), MAPE = mean |100 e / y|
+    - MASE = MAE / Q, Q = in-sample one-step (seasonal-)naive MAE over
+      the TRAINING data (scale m = season_length if snaive is among the
+      methods, else 1), making scores comparable across series.
+
+    Everything is window/aggregate algebra: one row_number window splits
+    train/test, forecasts come from ``benchmark_forecast``, the join back
+    to test actuals is a (keys, ts) equi-join of two key-partitioned
+    frames, and the scale Q is one lag window + aggregate over train.
+    Regular-grid input contract, like the forecaster.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    ms = to_epoch_millis(ts_col)
+    scale_m = int(season_length) if (
+        season_length and "snaive" in methods
+    ) else 1
+
+    w_desc = Window.partitionBy(*ks).orderBy(ms.desc())
+    marked = df.withColumn("__rnd", F.row_number().over(w_desc))
+    train = marked.filter(F.col("__rnd") > test_steps).drop("__rnd")
+    test = marked.filter(F.col("__rnd") <= test_steps).select(
+        *ks,
+        ms.alias("__tms"),
+        F.col(value_col).cast("double").alias("__actual"),
+    )
+
+    fc = benchmark_forecast(
+        train, ks, ts_col, value_col, test_steps, interval, unit,
+        methods=methods, season_length=season_length,
+        method_col=method_col, out_ts="__fts", out_col="__fc",
+    )
+    joined = fc.join(
+        test,
+        [*[fc[k] == test[k] for k in ks],
+         to_epoch_millis(fc["__fts"]) == test["__tms"]],
+    ).select(
+        *[fc[k] for k in ks],
+        F.col(method_col),
+        (F.col("__actual") - F.col("__fc")).alias("__e"),
+        F.col("__actual"),
+    )
+    err = joined.groupBy(*ks, method_col).agg(
+        F.avg(F.abs(F.col("__e"))).alias("mae"),
+        F.sqrt(F.avg(F.col("__e") * F.col("__e"))).alias("rmse"),
+        # MAPE is undefined on zero actuals (fpp3 §5.8): null them out of
+        # the mean rather than raising under ANSI mode
+        F.avg(
+            F.abs(F.try_divide(100.0 * F.col("__e"), F.col("__actual")))
+        ).alias("mape"),
+    )
+    # in-sample (seasonal-)naive MAE on train — the MASE denominator
+    w_asc = Window.partitionBy(*ks).orderBy(ms.asc())
+    v = F.col(value_col).cast("double")
+    insample = train.select(
+        *ks, F.abs(v - F.lag(v, scale_m).over(w_asc)).alias("__q")
+    )
+    q = insample.groupBy(*ks).agg(F.avg("__q").alias("__Q"))
+    return err.join(q, ks).select(
+        *ks, method_col, "mae", "rmse", "mape",
+        # a flat training series has Q = 0 -> MASE undefined (null)
+        F.try_divide(F.col("mae"), F.col("__Q")).alias("mase"),
+    )

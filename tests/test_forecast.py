@@ -127,3 +127,77 @@ def test_forecast_plan_no_python(spark, daily):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "InPandas" not in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+# ------------------------------------------------------------ backtest_accuracy
+
+
+def _accuracy_oracle(pdf, test_steps, m):
+    from tablecloth_time_spark.operators.forecast import METHODS
+
+    rows = []
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values("ts", kind="stable")
+        y = g["v"].to_numpy()
+        train, test = y[:-test_steps], y[-test_steps:]
+        n = len(train)
+        q = np.abs(train[m:] - train[:-m]).mean()
+        fcs = {
+            "mean": np.full(test_steps, train.mean()),
+            "naive": np.full(test_steps, train[-1]),
+            "drift": train[-1]
+            + np.arange(1, test_steps + 1) * (train[-1] - train[0]) / (n - 1),
+            "snaive": np.array(
+                [
+                    train[n + h - m * ((h - 1) // m + 1) - 1]
+                    for h in range(1, test_steps + 1)
+                ]
+            ),
+        }
+        for meth in METHODS:
+            e = test - fcs[meth]
+            rows.append(
+                {
+                    "k": k,
+                    "method": meth,
+                    "mae": np.abs(e).mean(),
+                    "rmse": np.sqrt((e**2).mean()),
+                    "mape": np.abs(100 * e / test).mean(),
+                    "mase": np.abs(e).mean() / q,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def test_backtest_accuracy_matches_numpy(spark, daily):
+    from tablecloth_time_spark.operators.forecast import backtest_accuracy
+
+    df, pdf = daily
+    got = backtest_accuracy(
+        df, "k", "ts", "v", test_steps=14, interval=1, unit="day",
+        methods=("mean", "naive", "snaive", "drift"), season_length=7,
+    )
+    got = got.select(
+        "k", "method",
+        *[F.round(c, 9).alias(c) for c in ("mae", "rmse", "mape", "mase")],
+    )
+    exp = _accuracy_oracle(pdf, 14, 7)
+    for c in ("mae", "rmse", "mape", "mase"):
+        exp[c] = exp[c].round(9)
+    assert_frames_equal(got, exp, ["k", "method"])
+
+
+def test_backtest_accuracy_perfect_forecast(spark):
+    """A constant series: every method forecasts exactly -> zero error
+    (MASE 0/0 -> null because the in-sample naive MAE is zero)."""
+    from tablecloth_time_spark.operators.forecast import backtest_accuracy
+
+    rows = [("a", T0 + i * DAY, 5.0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = backtest_accuracy(
+        df, "k", "ts", "v", test_steps=5, interval=1, unit="day"
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["mae"] == 0.0 and r["rmse"] == 0.0 and r["mape"] == 0.0
+        assert r["mase"] is None  # 0/0 scale — undefined, surfaced as null
