@@ -24,6 +24,7 @@ from tablecloth_time_spark.operators.counters import (  # noqa: F401
     time_weighted_avg,
 )
 from tablecloth_time_spark.operators.intervals import (  # noqa: F401
+    interval_coverage,
     interval_join,
     merge_intervals,
 )

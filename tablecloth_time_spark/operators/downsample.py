@@ -122,9 +122,21 @@ def m4_downsample(
     result is reproducible and oracle-checkable.
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
+    bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
+    agg = df.groupBy(*ks, bucket).agg(
+        *m4_agg_exprs(ts_col, value_col, order_cols)
+    )
+    return agg.select(*ks, bucket_col, *m4_point_exprs())
+
+
+def m4_agg_exprs(
+    ts_col: str, value_col: str, order_cols: list[str] | None = None
+) -> list:
+    """The four mergeable struct aggregates behind M4 — shared by the
+    batch operator and the streaming window rollup (streaming/downsample).
+    The ORIGINAL timestamp is ordered/carried at full precision; only the
+    bucket floor (the caller's groupBy key) uses epoch-millis math."""
     oc = [F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols or [])]
-    # order/carry the ORIGINAL timestamp (full precision); only the bucket
-    # floor goes through epoch-millis arithmetic
     t = F.col(ts_col)
     v = F.col(value_col).cast("double")
     # (ts, order..., value): min = first point, max = last point
@@ -132,16 +144,17 @@ def m4_downsample(
     # (value, ts, order...): min = min-value point (earliest on ties),
     # max = max-value point (latest on ties) — mirrored in the oracle SQL
     by_value = F.struct(v.alias("v"), t.alias("t"), *oc)
-    bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
-    agg = df.groupBy(*ks, bucket).agg(
+    return [
         F.min(by_time).alias("__first"),
         F.max(by_time).alias("__last"),
         F.min(by_value).alias("__min"),
         F.max(by_value).alias("__max"),
-    )
-    out = agg.select(
-        *ks,
-        bucket_col,
+    ]
+
+
+def m4_point_exprs() -> list:
+    """Unpack the four aggregated structs into the (t_*, v_*) columns."""
+    return [
         F.col("__first.t").alias("t_first"),
         F.col("__first.v").alias("v_first"),
         F.col("__last.t").alias("t_last"),
@@ -150,5 +163,4 @@ def m4_downsample(
         F.col("__min.v").alias("v_min"),
         F.col("__max.t").alias("t_max"),
         F.col("__max.v").alias("v_max"),
-    )
-    return out
+    ]

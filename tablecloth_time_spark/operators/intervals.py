@@ -189,3 +189,63 @@ def merge_intervals(
         )
         .drop("__island")
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    keys: str | list[str],
+    start_col: str = "start",
+    end_col: str = "end",
+    interval: int = 1,
+    unit: str = "hour",
+    bucket_col: str = "bucket",
+    covered_col: str = "covered_ms",
+    fraction_col: str = "coverage",
+    merge_first: bool = True,
+) -> DataFrame:
+    """Per-(keys, time-bucket) covered milliseconds and coverage fraction —
+    the uptime/SLO view of an interval set (alert windows, session spans,
+    maintenance windows).
+
+    Each interval explodes to the buckets it overlaps (``sequence`` on the
+    floored bucket ids, executor-side like interval_join), its span is
+    clipped to each bucket's bounds, and a hash aggregate sums per
+    (keys, bucket) — all map-side combinable. Overlapping input intervals
+    would double-count, so by default the input is first run through
+    ``merge_intervals`` (one extra window Exchange); pass
+    ``merge_first=False`` when the caller already holds disjoint spans.
+
+    Buckets no interval touches are absent (coverage 0 rows are a grid
+    question — compose with resample_to_regular_grid's grid if needed).
+    Half-open [start, end) semantics throughout.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    if merge_first:
+        df = merge_intervals(
+            df, ks, start_col, end_col,
+            out_start=start_col, out_end=end_col,
+        )
+    width_ms = interval * milliseconds_in(normalize_unit(unit))
+    s_ms = to_epoch_millis(start_col)
+    e_ms = to_epoch_millis(end_col)
+    exploded = df.filter(e_ms > s_ms).select(
+        *ks,
+        s_ms.alias("__s"),
+        e_ms.alias("__e"),
+        F.explode(
+            F.sequence(
+                F.floor(s_ms / width_ms), F.floor((e_ms - 1) / width_ms)
+            )
+        ).alias("__b"),
+    )
+    b_lo = F.col("__b") * width_ms
+    covered = F.least(F.col("__e"), b_lo + width_ms) - F.greatest(
+        F.col("__s"), b_lo
+    )
+    return (
+        exploded.groupBy(*ks, F.timestamp_millis(b_lo).alias(bucket_col))
+        .agg(F.sum(covered).alias(covered_col))
+        .withColumn(
+            fraction_col, F.col(covered_col) / F.lit(float(width_ms))
+        )
+    )

@@ -13,3 +13,4 @@ __all__ = [
     "streaming_counter_rate",
     "streaming_dedup_exact",
 ]
+from tablecloth_time_spark.streaming.downsample import streaming_m4  # noqa: F401

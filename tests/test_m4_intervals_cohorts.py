@@ -349,3 +349,93 @@ def test_level_shift_plan_single_exchange(spark, series):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Python" not in plan and "InPandas" not in plan
+
+
+# ----------------------------------------------------------- interval_coverage
+
+
+def test_interval_coverage_goldens(spark):
+    """[00:30, 02:15) against 1-hour buckets: 30 min of hour 0, all of
+    hour 1, 15 min of hour 2."""
+    from tablecloth_time_spark.operators.intervals import interval_coverage
+
+    df = spark.createDataFrame(
+        [("a", T0 + dt.timedelta(minutes=30), T0 + dt.timedelta(minutes=135))],
+        ["k", "start", "end"],
+    )
+    got = {
+        r["bucket"]: (r["covered_ms"], r["coverage"])
+        for r in interval_coverage(df, "k", "start", "end", 1, "hour").collect()
+    }
+    assert got[T0] == (1_800_000, 0.5)
+    assert got[T0 + dt.timedelta(hours=1)] == (3_600_000, 1.0)
+    assert got[T0 + dt.timedelta(hours=2)] == (900_000, 0.25)
+
+
+def test_interval_coverage_overlaps_merge_first(spark):
+    """Two overlapping intervals in one bucket must not double-count."""
+    from tablecloth_time_spark.operators.intervals import interval_coverage
+
+    df = spark.createDataFrame(
+        [_iv(0, 20), _iv(10, 30)], ["k", "start", "end"]
+    )
+    rows = interval_coverage(df, "k", "start", "end", 1, "hour").collect()
+    assert len(rows) == 1
+    assert rows[0]["covered_ms"] == 30 * 60_000  # union, not 20+20 minutes
+    # and the unmerged path double-counts by design (documented)
+    raw = interval_coverage(
+        df, "k", "start", "end", 1, "hour", merge_first=False
+    ).collect()
+    assert raw[0]["covered_ms"] == 40 * 60_000
+
+
+def _coverage_oracle(pdf, width_ms):
+    ep = dt.datetime(1970, 1, 1)
+    cover: dict = {}
+    for _, r in pdf.iterrows():
+        s = int((r["start"] - ep).total_seconds() * 1000)
+        e = int((r["end"] - ep).total_seconds() * 1000)
+        b = (s // width_ms) * width_ms
+        while b < e:
+            got = min(e, b + width_ms) - max(s, b)
+            cover[(r["k"], b)] = cover.get((r["k"], b), 0) + got
+            b += width_ms
+    return pd.DataFrame(
+        [
+            {
+                "k": k,
+                "bucket": pd.to_datetime(b, unit="ms"),
+                "covered_ms": v,
+                "coverage": v / width_ms,
+            }
+            for (k, b), v in cover.items()
+        ]
+    )
+
+
+def test_interval_coverage_matches_pandas(spark):
+    from tablecloth_time_spark.operators.intervals import (
+        interval_coverage,
+        merge_intervals,
+    )
+
+    rng = np.random.default_rng(23)
+    start = np.cumsum(rng.integers(1, 90, 200))
+    length = rng.integers(1, 200, 200)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 200).astype("int64"),
+            "start": [T0 + dt.timedelta(minutes=int(s)) for s in start],
+            "end": [
+                T0 + dt.timedelta(minutes=int(s + d))
+                for s, d in zip(start, length)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = interval_coverage(df, "k", "start", "end", 1, "hour")
+    # oracle over the MERGED spans (the operator merges first)
+    merged = merge_intervals(df, "k", "start", "end").toPandas()
+    exp = _coverage_oracle(merged, 3_600_000)
+    exp["covered_ms"] = exp["covered_ms"].astype("int64")
+    assert_frames_equal(got, exp, ["k", "bucket"])

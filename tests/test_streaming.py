@@ -500,3 +500,68 @@ def test_streaming_dedup_suppresses_cross_run_duplicates(spark, tmp_path):
         [("The  Quick  Brown   Fox",), ("the quick brown fox",)], "text string"
     ).select(fingerprint_md5("text").alias("f")).collect()
     assert fp[0]["f"] == fp[1]["f"]
+
+
+def test_streaming_m4_matches_batch(spark, tmp_path):
+    """Streaming M4 (windowed struct aggregates, availableNow drain) must
+    equal the batch m4_downsample on the same closed input — the
+    streamed-tail == batch-backfill contract for the dashboard path."""
+    import datetime as dt
+
+    import numpy as np
+
+    from tablecloth_time_spark.operators.downsample import m4_downsample
+    from tablecloth_time_spark.streaming.downsample import streaming_m4
+
+    rng = np.random.default_rng(17)
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        (
+            f"k{int(k)}",
+            t0 + dt.timedelta(seconds=int(s)),
+            round(float(v), 3),
+        )
+        for k, s, v in zip(
+            rng.integers(0, 4, 400),
+            np.cumsum(rng.integers(1, 300, 400)),
+            rng.uniform(-50, 50, 400),
+        )
+    ]
+    # far-future sentinel closes every real bucket under append mode
+    rows.append(("__flush__", dt.datetime(2030, 1, 1), 0.0))
+    batch = spark.createDataFrame(rows, ["k", "ts", "v"])
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = streaming_m4(
+        stream, "k", "ts", "v", 15, "minute", watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("m4_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.table("m4_stream")
+        .filter("k <> '__flush__'")
+        .toPandas()
+        .sort_values(["k", "bucket"], kind="stable")
+        .reset_index(drop=True)
+    )
+    expected = (
+        m4_downsample(
+            batch.filter("k <> '__flush__'"), "k", "ts", "v", 15, "minute"
+        )
+        .toPandas()
+        .sort_values(["k", "bucket"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], expected[sorted(expected.columns)],
+        check_dtype=False,
+    )
