@@ -33,6 +33,7 @@ from tablecloth_time_spark.operators.stats import (  # noqa: F401
     level_shift_scores,
     percentile_rollup,
     topk_per_bucket,
+    trend_fit,
 )
 from tablecloth_time_spark.operators.downsample import (  # noqa: F401
     lttb_downsample,

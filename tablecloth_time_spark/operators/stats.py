@@ -172,3 +172,42 @@ def level_shift_scores(
     return df.select(
         "*", shift.alias(shift_col), score.alias(score_col)
     )
+
+
+def trend_fit(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    per: str = "day",
+    slope_col: str = "slope",
+    intercept_col: str = "intercept",
+    r2_col: str = "r2",
+) -> DataFrame:
+    """Per-series linear trend (fpp3 ch. 7's TSLM trend baseline): OLS of
+    value on time, one row per key with slope (units of value per ``per``),
+    intercept (fitted value at epoch 0 of the scaled time axis), r-squared
+    and the observation count.
+
+    Least squares over (time, value) needs only sum moments, so this is a
+    single map-side-combined hash aggregate (Spark's built-in regr_slope /
+    regr_intercept / regr_r2) — the same plan class as any rollup; no
+    window, no Python, no second pass. Time is scaled to ``per`` units so
+    the slope is readable ("+3.2 events/day") instead of per-millisecond.
+    """
+    from tablecloth_time_spark.functions.timeops import to_epoch_millis
+    from tablecloth_time_spark.functions.units import (
+        milliseconds_in,
+        normalize_unit,
+    )
+
+    x = to_epoch_millis(ts_col) / F.lit(
+        float(milliseconds_in(normalize_unit(per)))
+    )
+    y = F.col(value_col).cast("double")
+    return df.groupBy(*keys).agg(
+        F.regr_slope(y, x).alias(slope_col),
+        F.regr_intercept(y, x).alias(intercept_col),
+        F.regr_r2(y, x).alias(r2_col),
+        F.count(y).alias("n"),
+    )

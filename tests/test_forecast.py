@@ -201,3 +201,51 @@ def test_backtest_accuracy_perfect_forecast(spark):
     for r in out:
         assert r["mae"] == 0.0 and r["rmse"] == 0.0 and r["mape"] == 0.0
         assert r["mase"] is None  # 0/0 scale — undefined, surfaced as null
+
+
+# -------------------------------------------------------------------- trend_fit
+
+
+def test_trend_fit_exact_line(spark):
+    """y = 3x + 7 on a daily axis: slope 3/day, r2 = 1, intercept matches
+    the scaled-epoch axis value."""
+    from tablecloth_time_spark.operators.stats import trend_fit
+
+    rows = [("a", T0 + i * DAY, 7.0 + 3.0 * i) for i in range(30)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    r = trend_fit(df, ["k"], "ts", "v", per="day").collect()[0]
+    assert r["slope"] == pytest.approx(3.0)
+    assert r["r2"] == pytest.approx(1.0)
+    assert r["n"] == 30
+    # intercept is at scaled-epoch 0: value at T0 minus slope * days(T0)
+    days_t0 = (T0 - dt.datetime(1970, 1, 1)).days
+    assert r["intercept"] == pytest.approx(7.0 - 3.0 * days_t0)
+
+
+def test_trend_fit_matches_numpy(spark, daily):
+    from tablecloth_time_spark.operators.stats import trend_fit
+
+    df, pdf = daily
+    got = {
+        r["k"]: r for r in trend_fit(df, ["k"], "ts", "v", per="day").collect()
+    }
+    ep = dt.datetime(1970, 1, 1)
+    for k, g in pdf.groupby("k"):
+        x = np.array([(t - ep).total_seconds() / 86400 for t in g["ts"]])
+        y = g["v"].to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        assert got[k]["slope"] == pytest.approx(slope, rel=1e-9)
+        assert got[k]["intercept"] == pytest.approx(intercept, rel=1e-6)
+        assert got[k]["r2"] == pytest.approx(r * r, rel=1e-9)
+
+
+def test_trend_fit_plan_single_aggregate(spark, daily):
+    from tablecloth_time_spark.operators.stats import trend_fit
+
+    df, _ = daily
+    plan = trend_fit(df, ["k"], "ts", "v")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    assert "Python" not in plan and "InPandas" not in plan
