@@ -439,3 +439,101 @@ def test_interval_coverage_matches_pandas(spark):
     exp = _coverage_oracle(merged, 3_600_000)
     exp["covered_ms"] = exp["covered_ms"].astype("int64")
     assert_frames_equal(got, exp, ["k", "bucket"])
+
+
+# ------------------------------------------------------- algebraic invariants
+
+
+def test_merge_intervals_invariants(spark):
+    """Idempotence, disjointness, and count conservation on random data."""
+    from pyspark.sql import functions as SF
+
+    rng = np.random.default_rng(41)
+    start = np.cumsum(rng.integers(1, 40, 400))
+    length = rng.integers(1, 120, 400)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, 400).astype("int64"),
+                "start": [T0 + dt.timedelta(minutes=int(s)) for s in start],
+                "end": [
+                    T0 + dt.timedelta(minutes=int(s + d))
+                    for s, d in zip(start, length)
+                ],
+            }
+        )
+    )
+    merged = merge_intervals(df, "k", "start", "end").cache()
+    # count conservation: every input interval lands in exactly one span
+    assert (
+        merged.agg(SF.sum("n_merged")).collect()[0][0] == df.count()
+    )
+    # disjointness: within a key, next start strictly after previous end
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k").orderBy("start")
+    overlaps = (
+        merged.withColumn("prev_end", SF.lag("end").over(w))
+        .filter(SF.col("prev_end").isNotNull() & (SF.col("start") <= SF.col("prev_end")))
+        .count()
+    )
+    assert overlaps == 0
+    # idempotence: merging the merged spans changes nothing
+    twice = merge_intervals(merged.drop("n_merged"), "k", "start", "end")
+    assert twice.count() == merged.count()
+    a = merged.select("k", "start", "end").toPandas().sort_values(
+        ["k", "start"]).reset_index(drop=True)
+    b = twice.select("k", "start", "end").toPandas().sort_values(
+        ["k", "start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_m4_points_are_input_points(spark, series):
+    """Every emitted (t, v) pair must be an actual input observation, and
+    the value envelope must hold (v_min <= v_first, v_last <= v_max)."""
+    df, pdf = series
+    out = m4_downsample(df, "k", "ts", "v", 6, "hour").toPandas()
+    observed = set(zip(pdf["k"], pdf["ts"], pdf["v"]))
+    for _, r in out.iterrows():
+        for which in ("first", "last", "min", "max"):
+            assert (
+                r["k"], r[f"t_{which}"].to_pydatetime(), r[f"v_{which}"]
+            ) in observed
+        assert r["v_min"] <= min(r["v_first"], r["v_last"])
+        assert r["v_max"] >= max(r["v_first"], r["v_last"])
+
+
+def test_interval_coverage_conserves_span_length(spark):
+    """Sum of per-bucket covered ms == total merged span length, and every
+    fraction lies in (0, 1]."""
+    from pyspark.sql import functions as SF
+
+    from tablecloth_time_spark.operators.intervals import interval_coverage
+
+    rng = np.random.default_rng(43)
+    start = np.cumsum(rng.integers(1, 60, 300))
+    length = rng.integers(1, 240, 300)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 4, 300).astype("int64"),
+                "start": [T0 + dt.timedelta(minutes=int(s)) for s in start],
+                "end": [
+                    T0 + dt.timedelta(minutes=int(s + d))
+                    for s, d in zip(start, length)
+                ],
+            }
+        )
+    )
+    cov = interval_coverage(df, "k", "start", "end", 1, "hour").cache()
+    merged = merge_intervals(df, "k", "start", "end")
+    total_ms = merged.select(
+        SF.sum(
+            SF.unix_millis(SF.col("end")) - SF.unix_millis(SF.col("start"))
+        )
+    ).collect()[0][0]
+    assert cov.agg(SF.sum("covered_ms")).collect()[0][0] == total_ms
+    bad = cov.filter(
+        (SF.col("coverage") <= 0) | (SF.col("coverage") > 1)
+    ).count()
+    assert bad == 0
