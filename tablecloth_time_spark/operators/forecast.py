@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tablecloth_time_spark.functions.timeops import to_epoch_millis
-from tablecloth_time_spark.functions.units import milliseconds_in, normalize_unit
+from tablecloth_time_spark.functions.units import (
+    is_calendar_unit,
+    milliseconds_in,
+    normalize_unit,
+)
 
 METHODS = ("mean", "naive", "snaive", "drift")
 
@@ -56,12 +60,16 @@ def benchmark_forecast(
     """Forecast ``horizon`` future steps per key with the requested
     benchmark methods, long output: (keys..., method, h, ts, forecast).
 
-    ``interval``/``unit`` is the series' grid step (metric units only) and
-    steps the future timestamps from each key's last observation. SNAIVE
-    requires ``season_length`` (in steps); keys with fewer than
-    ``season_length`` observations forecast only the seasons they have
-    (missing season positions are absent, mirroring fpp3's NA behavior).
-    DRIFT needs >= 2 observations (null forecast otherwise).
+    ``interval``/``unit`` is the series' grid step and steps the future
+    timestamps from each key's last observation — metric units in
+    epoch-millis arithmetic, calendar units (month/quarter/year, the grain
+    of fpp3's own datasets) via ``add_months``, which assumes the series
+    sits on calendar-floor timestamps (midnight bucket starts — what
+    ``down_to_nearest``/``resample_to_regular_grid`` produce). SNAIVE requires
+    ``season_length`` (in steps); keys with fewer than ``season_length``
+    observations forecast only the seasons they have (missing season
+    positions are absent, mirroring fpp3's NA behavior). DRIFT needs >= 2
+    observations (null forecast otherwise).
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
     for m in methods:
@@ -69,7 +77,7 @@ def benchmark_forecast(
             raise ValueError(f"unknown method {m!r}; choose from {METHODS}")
     if "snaive" in methods and not season_length:
         raise ValueError("snaive requires season_length")
-    step_ms = interval * milliseconds_in(normalize_unit(unit))
+    u = normalize_unit(unit)
 
     v = F.col(value_col).cast("double")
     ms = to_epoch_millis(ts_col)
@@ -83,16 +91,25 @@ def benchmark_forecast(
     hs = stats.withColumn(
         h_col, F.explode(F.sequence(F.lit(1), F.lit(horizon)))
     )
-    future_ts = F.timestamp_millis(
-        F.col("__last.t") + F.col(h_col) * F.lit(step_ms)
-    ).alias(out_ts)
+    if is_calendar_unit(u):
+        months_per = {"month": 1, "quarter": 3, "year": 12}[u] * interval
+        future_ts = F.add_months(
+            F.timestamp_millis(F.col("__last.t")),
+            F.col(h_col) * F.lit(months_per),
+        ).cast("timestamp")
+    else:
+        step_ms = interval * milliseconds_in(u)
+        future_ts = F.timestamp_millis(
+            F.col("__last.t") + F.col(h_col) * F.lit(step_ms)
+        )
+    hs = hs.withColumn(out_ts, future_ts)
 
     def shaped(m: str, fc) -> DataFrame:
         return hs.select(
             *ks,
             F.lit(m).alias(method_col),
             F.col(h_col),
-            future_ts,
+            F.col(out_ts),
             fc.cast("double").alias(out_col),
         )
 
@@ -136,9 +153,7 @@ def benchmark_forecast(
                 *[hs[k] for k in ks],
                 F.lit("snaive").alias(method_col),
                 hs[h_col],
-                F.timestamp_millis(
-                    F.col("__last.t") + hs[h_col] * F.lit(step_ms)
-                ).alias(out_ts),
+                hs[out_ts],
                 F.col("__tv").cast("double").alias(out_col),
             )
         )

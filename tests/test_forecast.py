@@ -249,3 +249,25 @@ def test_trend_fit_plan_single_aggregate(spark, daily):
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
     assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_calendar_monthly_forecast(spark):
+    """Monthly grid (fpp3's native grain): future timestamps step by
+    calendar months (Jan 31 month-ends would clamp — series sit on month
+    floors), snaive repeats the final 12-month cycle."""
+    vals = [float(10 + m) for m in range(24)]  # 2 years monthly
+    rows = [
+        ("a", dt.datetime(2022 + i // 12, i % 12 + 1, 1), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = benchmark_forecast(
+        df, "k", "ts", "v", horizon=6, interval=1, unit="month",
+        methods=("naive", "snaive"), season_length=12,
+    )
+    got = {(r["method"], r["h"]): (r["ts"], r["forecast"]) for r in out.collect()}
+    for h in range(1, 7):
+        exp_ts = dt.datetime(2024, h, 1)
+        assert got[("naive", h)] == (exp_ts, 33.0)
+        # same month of the last observed year: value 22 + (h-1)
+        assert got[("snaive", h)] == (exp_ts, float(22 + h - 1))
