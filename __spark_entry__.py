@@ -1576,7 +1576,7 @@ WITH iv AS (
 ),
 m AS (
   SELECT user_id, s, e,
-         max(epoch_ms(e)) OVER (PARTITION BY user_id ORDER BY s, e
+         max(epoch_us(e)) OVER (PARTITION BY user_id ORDER BY s, e
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND 1 PRECEDING) AS prev_max_e
   FROM iv
@@ -1584,7 +1584,7 @@ m AS (
 isl AS (
   SELECT user_id, s, e,
          SUM(CASE WHEN prev_max_e IS NULL
-                    OR epoch_ms(s) > prev_max_e THEN 1 ELSE 0 END)
+                    OR epoch_us(s) > prev_max_e THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY s, e
                  ROWS UNBOUNDED PRECEDING) AS island
   FROM m

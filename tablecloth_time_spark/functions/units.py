@@ -73,3 +73,14 @@ def milliseconds_in(unit: str) -> int:
     if u not in UNIT_MS:
         raise ValueError(f"{unit!r} is a calendar unit with no fixed millisecond length")
     return UNIT_MS[u]
+
+
+MONTHS_PER: dict[str, int] = {"month": 1, "quarter": 3, "year": 12}
+
+
+def months_in(unit: str) -> int:
+    """Months per one canonical calendar unit; errors on metric units."""
+    u = normalize_unit(unit)
+    if u not in MONTHS_PER:
+        raise ValueError(f"{unit!r} is not a calendar unit")
+    return MONTHS_PER[u]

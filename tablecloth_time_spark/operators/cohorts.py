@@ -29,6 +29,7 @@ from tablecloth_time_spark.functions.timeops import down_to_nearest, to_epoch_mi
 from tablecloth_time_spark.functions.units import (
     is_calendar_unit,
     milliseconds_in,
+    months_in,
     normalize_unit,
 )
 
@@ -67,7 +68,7 @@ def cohort_retention(
     if is_calendar_unit(u):
         off = (
             F.months_between(F.col("__bucket"), F.col("__cohort"))
-            / {"month": 1, "quarter": 3, "year": 12}[u]
+            / months_in(u)
             / interval
         ).cast("long")
     else:

@@ -36,6 +36,7 @@ from tablecloth_time_spark.functions.timeops import to_epoch_millis
 from tablecloth_time_spark.functions.units import (
     is_calendar_unit,
     milliseconds_in,
+    months_in,
     normalize_unit,
 )
 
@@ -70,6 +71,11 @@ def benchmark_forecast(
     observations forecast only the seasons they have (missing season
     positions are absent, mirroring fpp3's NA behavior). DRIFT needs >= 2
     observations (null forecast otherwise).
+
+    Rows with a NULL value are ignored entirely (a gap-filled grid with
+    method='none' produces them): T, y_1, y_T, the mean, and the snaive
+    tail are all taken over the non-null observations, keeping every
+    method's numerator and denominator consistent.
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
     for m in methods:
@@ -79,6 +85,7 @@ def benchmark_forecast(
         raise ValueError("snaive requires season_length")
     u = normalize_unit(unit)
 
+    df = df.filter(F.col(value_col).isNotNull())
     v = F.col(value_col).cast("double")
     ms = to_epoch_millis(ts_col)
     ordered = F.struct(ms.alias("t"), v.alias("v"))
@@ -92,11 +99,18 @@ def benchmark_forecast(
         h_col, F.explode(F.sequence(F.lit(1), F.lit(horizon)))
     )
     if is_calendar_unit(u):
-        months_per = {"month": 1, "quarter": 3, "year": 12}[u] * interval
-        future_ts = F.add_months(
-            F.timestamp_millis(F.col("__last.t")),
+        months_per = months_in(u) * interval
+        # add_months returns DateType; re-attach the last observation's
+        # time-of-day so non-midnight calendar grids keep their clock time
+        # (and backtest_accuracy's timestamp equi-join keeps matching)
+        stepped_date = F.add_months(
+            F.timestamp_millis(F.col("__last.t")).cast("date"),
             F.col(h_col) * F.lit(months_per),
-        ).cast("timestamp")
+        )
+        future_ts = F.timestamp_millis(
+            F.unix_millis(stepped_date.cast("timestamp"))
+            + F.pmod(F.col("__last.t"), F.lit(86_400_000))
+        )
     else:
         step_ms = interval * milliseconds_in(u)
         future_ts = F.timestamp_millis(

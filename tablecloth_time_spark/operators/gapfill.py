@@ -37,7 +37,7 @@ from tablecloth_time_spark.functions.units import (
 FILL_METHODS = ("none", "ffill", "bfill", "zero", "linear", "nearest")
 
 # one calendar unit expressed in months (grid step for sequence())
-_MONTHS_PER = {"month": 1, "quarter": 3, "year": 12}
+from tablecloth_time_spark.functions.units import MONTHS_PER as _MONTHS_PER
 
 
 def resample_to_regular_grid(

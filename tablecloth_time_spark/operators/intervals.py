@@ -151,25 +151,28 @@ def merge_intervals(
     """
     from pyspark.sql.window import Window
 
-    ks = [keys] if isinstance(keys, str) else list(keys)
-    gap_ms = min_gap * milliseconds_in(normalize_unit(gap_unit))
-    s_ms = to_epoch_millis(start_col)
-    e_ms = to_epoch_millis(end_col)
+    from tablecloth_time_spark.functions.timeops import to_epoch_micros
 
-    # order by the ORIGINAL columns (full precision); epoch-millis is used
-    # only for the gap arithmetic, and the merged span carries the original
-    # values untouched (min/max of the inputs, no timestamp round-trip)
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    gap_us = 1000 * min_gap * milliseconds_in(normalize_unit(gap_unit))
+    # gap arithmetic at FULL timestamp precision (microseconds) — a
+    # millisecond pivot here would silently bridge sub-ms gaps
+    s_us = to_epoch_micros(start_col)
+    e_us = to_epoch_micros(end_col)
+
+    # order by the ORIGINAL columns, and the merged span carries the
+    # original values untouched (min/max of the inputs, no round-trip)
     w = Window.partitionBy(*ks).orderBy(
         F.col(start_col).asc(), F.col(end_col).asc()
     )
     # running max end over STRICTLY PRECEDING rows: null on each key's
     # first row -> always starts a new island
-    prev_max_end = F.max(e_ms).over(
+    prev_max_end = F.max(e_us).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
     new_island = (
         F.when(prev_max_end.isNull(), F.lit(1))
-        .when(s_ms > prev_max_end + F.lit(gap_ms), F.lit(1))
+        .when(s_us > prev_max_end + F.lit(gap_us), F.lit(1))
         .otherwise(F.lit(0))
     )
     marked = df.select(

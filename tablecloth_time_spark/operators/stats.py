@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tablecloth_time_spark.functions.timeops import down_to_nearest
+from tablecloth_time_spark.functions.timeops import down_to_nearest, to_epoch_millis
+from tablecloth_time_spark.functions.units import milliseconds_in, normalize_unit
 
 
 def percentile_rollup(
@@ -149,8 +150,6 @@ def level_shift_scores(
     Downstream picks changepoints by thresholding ``score_col`` (e.g.
     |score| > 3) and/or taking per-series top-k.
     """
-    from pyspark.sql.window import Window
-
     order = [F.col(ts_col).asc()] + [
         F.col(c).asc() for c in (order_cols or [])
     ]
@@ -195,12 +194,6 @@ def trend_fit(
     window, no Python, no second pass. Time is scaled to ``per`` units so
     the slope is readable ("+3.2 events/day") instead of per-millisecond.
     """
-    from tablecloth_time_spark.functions.timeops import to_epoch_millis
-    from tablecloth_time_spark.functions.units import (
-        milliseconds_in,
-        normalize_unit,
-    )
-
     x = to_epoch_millis(ts_col) / F.lit(
         float(milliseconds_in(normalize_unit(per)))
     )

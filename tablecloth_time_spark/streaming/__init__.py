@@ -5,6 +5,7 @@ from tablecloth_time_spark.streaming.rollup import (
 )
 from tablecloth_time_spark.streaming.stateful import streaming_counter_rate
 from tablecloth_time_spark.streaming.dedup import streaming_dedup_exact
+from tablecloth_time_spark.streaming.downsample import streaming_m4
 
 __all__ = [
     "streaming_rollup",
@@ -12,5 +13,5 @@ __all__ = [
     "streaming_sessionize",
     "streaming_counter_rate",
     "streaming_dedup_exact",
+    "streaming_m4",
 ]
-from tablecloth_time_spark.streaming.downsample import streaming_m4  # noqa: F401

@@ -271,3 +271,57 @@ def test_calendar_monthly_forecast(spark):
         assert got[("naive", h)] == (exp_ts, 33.0)
         # same month of the last observed year: value 22 + (h-1)
         assert got[("snaive", h)] == (exp_ts, float(22 + h - 1))
+
+
+def test_calendar_forecast_preserves_time_of_day(spark):
+    """Monthly grid at 09:00: forecasts step months but keep the clock
+    time, so backtest_accuracy's timestamp join matches (review fix)."""
+    from tablecloth_time_spark.operators.forecast import backtest_accuracy
+
+    rows = [
+        ("a", dt.datetime(2023, m, 1, 9, 0, 0), float(m)) for m in range(1, 13)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    fc = benchmark_forecast(
+        df, "k", "ts", "v", horizon=3, interval=1, unit="month",
+        methods=("naive",),
+    ).collect()
+    assert {r["ts"] for r in fc} == {
+        dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 2, 1, 9),
+        dt.datetime(2024, 3, 1, 9),
+    }
+    acc = backtest_accuracy(
+        df, "k", "ts", "v", test_steps=3, interval=1, unit="month",
+        methods=("naive",),
+    ).collect()
+    assert len(acc) == 1  # join matched — not silently empty
+    # naive from train (v=9 at Sep): errors |10-9|,|11-9|,|12-9| -> MAE 2
+    assert acc[0]["mae"] == pytest.approx(2.0)
+
+
+def test_forecast_ignores_null_values(spark):
+    """Null values (gap-filled grids with method='none') are excluded from
+    T, endpoints, mean, and the snaive tail (review fix)."""
+    rows = [
+        ("a", T0, 10.0),
+        ("a", T0 + 1 * DAY, None),
+        ("a", T0 + 2 * DAY, 30.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {
+        (r["method"], r["h"]): (r["forecast"], r["ts"])
+        for r in benchmark_forecast(
+            df, "k", "ts", "v", horizon=2, interval=1, unit="day",
+            methods=("mean", "naive", "drift", "snaive"), season_length=2,
+        ).collect()
+    }
+    # T=2 non-null obs: mean 20, naive 30, drift slope (30-10)/(2-1)=20
+    assert got[("mean", 1)][0] == 20.0
+    assert got[("naive", 1)][0] == 30.0
+    assert got[("drift", 1)][0] == pytest.approx(50.0)
+    assert got[("drift", 2)][0] == pytest.approx(70.0)
+    # snaive tail = last 2 NON-NULL observations [10, 30]
+    assert got[("snaive", 1)][0] == 10.0
+    assert got[("snaive", 2)][0] == 30.0
+    # horizons step from the last non-null observation's timestamp
+    assert got[("naive", 1)][1] == T0 + 3 * DAY

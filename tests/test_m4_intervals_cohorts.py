@@ -537,3 +537,19 @@ def test_interval_coverage_conserves_span_length(spark):
         (SF.col("coverage") <= 0) | (SF.col("coverage") > 1)
     ).count()
     assert bad == 0
+
+
+def test_merge_intervals_submillisecond_gap(spark):
+    """A 500-microsecond gap must NOT merge (full-precision island logic;
+    review fix — a millisecond pivot silently bridged sub-ms gaps)."""
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        ("a", T0 + 100 * us, T0 + 400 * us),
+        ("a", T0 + 900 * us, T0 + dt.timedelta(seconds=1)),
+        # and a genuinely touching pair still merges at full precision
+        ("b", T0, T0 + 250 * us),
+        ("b", T0 + 250 * us, T0 + 500 * us),
+    ]
+    df = spark.createDataFrame(rows, ["k", "start", "end"])
+    got = merge_intervals(df, "k", "start", "end").orderBy("k", "start").collect()
+    assert [(r["k"], r["n_merged"]) for r in got] == [("a", 1), ("a", 1), ("b", 2)]
