@@ -32,6 +32,7 @@ from tablecloth_time_spark.operators.stats import (  # noqa: F401
     distinct_rollup,
     level_shift_scores,
     percentile_rollup,
+    histogram_rollup,
     topk_per_bucket,
     trend_fit,
 )

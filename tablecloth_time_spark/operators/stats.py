@@ -204,3 +204,60 @@ def trend_fit(
         F.regr_r2(y, x).alias(r2_col),
         F.count(y).alias("n"),
     )
+
+
+def histogram_rollup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    interval: int,
+    unit: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    bucket_col: str = "bucket",
+    bin_col: str = "bin",
+    count_col: str = "n",
+    cumulative: bool = False,
+) -> DataFrame:
+    """Fixed-bin value histogram per (keys, time bucket) in long format
+    (one row per non-empty bin) — the Prometheus-histogram view of a
+    series, as ONE map-side-combined hash aggregate.
+
+    Bins split [lo, hi) into ``n_bins`` equal widths; out-of-range values
+    clamp into the edge bins (bin 0 / bin n_bins-1 act as -Inf / +Inf
+    catch-alls, like Prometheus' le=+Inf), nulls are dropped. Output adds
+    ``bin_lo``/``bin_hi`` edges for rendering. ``cumulative=True`` adds a
+    Prometheus-style less-or-equal running count per (keys, bucket) via a
+    window over the tiny histogram frame (rows ∝ groups x bins, not
+    events).
+
+    Counts are mergeable (sums), so histograms cascade across retention
+    tiers exactly like any rollup — and the same shape runs under
+    Structured Streaming if needed.
+    """
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_idx = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, bucket, bin_idx.alias(bin_col))
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .withColumn("bin_lo", F.lit(lo) + F.col(bin_col) * F.lit(width))
+        .withColumn("bin_hi", F.lit(lo) + (F.col(bin_col) + 1) * F.lit(width))
+    )
+    if cumulative:
+        w = (
+            Window.partitionBy(*keys, bucket_col)
+            .orderBy(bin_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        hist = hist.withColumn("cum_n", F.sum(count_col).over(w))
+    return hist

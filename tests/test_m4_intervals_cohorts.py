@@ -553,3 +553,45 @@ def test_merge_intervals_submillisecond_gap(spark):
     df = spark.createDataFrame(rows, ["k", "start", "end"])
     got = merge_intervals(df, "k", "start", "end").orderBy("k", "start").collect()
     assert [(r["k"], r["n_merged"]) for r in got] == [("a", 1), ("a", 1), ("b", 2)]
+
+
+# ------------------------------------------------------------ histogram_rollup
+
+
+def test_histogram_rollup_matches_numpy(spark, series):
+    from tablecloth_time_spark.operators.stats import histogram_rollup
+
+    df, pdf = series
+    got = histogram_rollup(
+        df, ["k"], "ts", "v", 1, "day", lo=-100.0, hi=100.0, n_bins=10,
+        cumulative=True,
+    ).toPandas()
+    p = pdf.copy()
+    p["bucket"] = p["ts"].dt.floor("D")
+    p["bin"] = np.clip(((p["v"] + 100) / 20).astype(int), 0, 9)
+    exp = (
+        p.groupby(["k", "bucket", "bin"]).size().rename("n").reset_index()
+    )
+    merged = got.merge(exp, on=["k", "bucket", "bin"], suffixes=("", "_exp"))
+    assert len(merged) == len(got) == len(exp)
+    assert (merged["n"] == merged["n_exp"]).all()
+    # per-group totals: the last cumulative count equals the group size
+    tail = got.sort_values("bin").groupby(["k", "bucket"]).last()
+    sizes = p.groupby(["k", "bucket"]).size()
+    assert (tail["cum_n"] == sizes.loc[tail.index]).all()
+    # bin edges are consistent
+    assert ((got["bin_hi"] - got["bin_lo"]) - 20.0).abs().max() < 1e-9
+
+
+def test_histogram_rollup_clamps_edges(spark):
+    from tablecloth_time_spark.operators.stats import histogram_rollup
+
+    df = spark.createDataFrame(
+        [("a", T0, -999.0), ("a", T0, 999.0), ("a", T0, None)],
+        ["k", "ts", "v"],
+    )
+    rows = histogram_rollup(
+        df, ["k"], "ts", "v", 1, "day", lo=0.0, hi=10.0, n_bins=5
+    ).collect()
+    got = {r["bin"]: r["n"] for r in rows}
+    assert got == {0: 1, 4: 1}  # out-of-range clamps, null dropped
