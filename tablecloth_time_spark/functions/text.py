@@ -386,3 +386,85 @@ def winnow_fingerprint_sets(
         "__id",
         F.coalesce("fp", F.array().cast("array<bigint>")).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + repetition metrics (training-data hygiene filters)
+# ---------------------------------------------------------------------------
+
+# deliberately conservative, documented patterns (data-hygiene defaults, not
+# a compliance product): emails, international-ish phone numbers, IPv4,
+# SSN-shaped and 13-19 digit card-shaped runs
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "card": r"\b\d{13,19}\b",
+    "phone": r"(?<![\d.])\+?\d[\d\s().\-]{7,14}\d(?![\d.])",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+# longest/most-specific first so e.g. an SSN is tagged <ssn>, not <phone>
+_PII_ORDER = ("email", "ssn", "card", "ipv4", "phone")
+
+
+def redact_pii(c: str | Column) -> Column:
+    """Replace PII-shaped substrings with ``<category>`` tags — chained
+    regexp_replace, pure codegen, one pass per category. Order is
+    most-specific-first so overlapping shapes (SSN vs phone) tag
+    deterministically."""
+    out = _col(c)
+    for name in _PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name}>")
+    return out
+
+
+def pii_counts(c: str | Column) -> Column:
+    """Struct of per-category PII match counts (regexp_count, JVM-side) —
+    the filter signal ('drop docs with > k emails') without redacting.
+    Counts follow the same most-specific-first masking as redact_pii so a
+    substring is attributed to exactly one category."""
+    masked = _col(c)
+    fields = []
+    for name in _PII_ORDER:
+        fields.append(
+            F.regexp_count(masked, F.lit(PII_PATTERNS[name])).alias(name)
+        )
+        masked = F.regexp_replace(masked, PII_PATTERNS[name], f"<{name}>")
+    return F.struct(*fields)
+
+
+def add_repetition_metrics(df, text_col: str = "text"):
+    """Append Gopher-style repetition quality signals (Rae et al. 2021,
+    'Scaling Language Models' §A1.1 quality heuristics), all as array
+    expressions over ONE split per axis — no explode, no shuffle:
+
+    - ``dup_line_frac``: 1 - distinct non-empty lines / non-empty lines
+    - ``dup_para_frac``: same over blank-line-separated paragraphs
+    - ``dup_word_frac``: 1 - distinct tokens / tokens (normalized)
+
+    Degenerate docs (no lines / no tokens) yield null fractions.
+    """
+    t = F.col(text_col)
+
+    def _dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0,
+            1.0 - F.size(F.array_distinct(arr)) / n.cast("double"),
+        )
+
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    paras = F.filter(
+        F.transform(F.split(t, r"\n{2,}"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    return (
+        df.withColumn("__words", tokens_ws(normalize_text(t)))
+        .withColumn("dup_line_frac", _dup_frac(lines))
+        .withColumn("dup_para_frac", _dup_frac(paras))
+        .withColumn("dup_word_frac", _dup_frac(F.col("__words")))
+        .drop("__words")
+    )

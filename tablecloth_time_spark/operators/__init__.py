@@ -47,6 +47,7 @@ from tablecloth_time_spark.operators.forecast import (  # noqa: F401
 )
 from tablecloth_time_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
+    ngram_overlap_flags,
     suppress_duplicate_events,
 )
 from tablecloth_time_spark.operators.asof import asof_join  # noqa: F401

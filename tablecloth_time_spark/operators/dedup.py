@@ -474,3 +474,60 @@ def suppress_duplicate_events(
     return df.withColumn(
         flag_col, F.coalesce(gap <= F.lit(window_ms), F.lit(False))
     )
+
+
+def ngram_overlap_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    ``min_hits`` distinct word n-grams with any benchmark/eval document —
+    the standard leakage filter training pipelines run before a model sees
+    the data (n=8..13 word grams is the published range, e.g. GPT-3
+    appendix C / PaLM / Llama decontamination).
+
+    Plan: both sides shingle through the single-tokenize builder
+    (functions/text.py:with_word_shingles), the benchmark's DISTINCT
+    shingle set equi-joins the corpus' exploded shingles — broadcast by
+    default (an eval suite is tiny next to a training corpus; set
+    ``broadcast_benchmark=False`` when it is not), then one count per doc
+    and a left join back so clean documents keep ``n_hits = 0``. The
+    corpus text never shuffles — only (id, shingle) pairs move.
+
+    Output: corpus ``id_col`` + ``n_hits`` (distinct contaminated n-grams)
+    + ``is_contaminated``.
+    """
+    from tablecloth_time_spark.functions.text import with_word_shingles
+
+    bench_set = (
+        with_word_shingles(benchmark, text_col, "__sh", n=n)
+        .select(F.explode("__sh").alias("__gram"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_set = F.broadcast(bench_set)
+    corpus_grams = (
+        with_word_shingles(corpus, text_col, "__sh", n=n)
+        .select(id_col, F.explode("__sh").alias("__gram"))
+    )
+    hits = (
+        corpus_grams.join(bench_set, "__gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias(
+                "is_contaminated"
+            ),
+        )
+    )
