@@ -80,3 +80,34 @@ def test_acf_multi_series(spark):
     assert got[("a", 1)] < -0.8 and got[("a", 2)] > 0.6
     # linear ramp: positive lag-1 autocorrelation
     assert got[("b", 1)] > 0.5
+
+
+def test_acf_beer_r_golden(spark):
+    """The reference notebook's R-derived ACF golden (reference
+    notebooks/chapter_02_time_series_graphics.clj:507-513): Australian
+    quarterly beer production 2000Q1-2010Q2 (fpp3 aus_production, year >=
+    2000) must give lag1 -0.053, lag2 -0.758, lag4 0.802, lag8 0.707."""
+    import datetime as dt
+
+    from tablecloth_time_spark.operators.acf import acf
+
+    beer = [
+        421.0, 402.0, 414.0, 500.0, 451.0, 380.0, 416.0, 492.0, 428.0,
+        408.0, 406.0, 506.0, 435.0, 380.0, 421.0, 490.0, 435.0, 390.0,
+        412.0, 454.0, 416.0, 403.0, 408.0, 482.0, 438.0, 386.0, 405.0,
+        491.0, 427.0, 383.0, 394.0, 473.0, 420.0, 390.0, 410.0, 488.0,
+        415.0, 398.0, 419.0, 488.0, 414.0, 374.0,
+    ]
+    rows = [
+        ("beer", dt.datetime(2000 + i // 4, (i % 4) * 3 + 1, 1), v)
+        for i, v in enumerate(beer)
+    ]
+    df = spark.createDataFrame(rows, ["series", "quarter", "y"])
+    got = {
+        r["lag"]: r["acf"]
+        for r in acf(df, ["series"], "quarter", "y", max_lag=9).collect()
+    }
+    assert round(got[1], 3) == -0.053
+    assert round(got[2], 3) == -0.758
+    assert round(got[4], 3) == 0.802
+    assert round(got[8], 3) == 0.707
