@@ -565,3 +565,70 @@ def test_streaming_m4_matches_batch(spark, tmp_path):
         got[sorted(got.columns)], expected[sorted(expected.columns)],
         check_dtype=False,
     )
+
+
+def test_streaming_histogram_matches_batch(spark, tmp_path):
+    """histogram_rollup's bin expression + count aggregate run unchanged
+    as a streaming windowed groupBy — PLANS.md claims histograms stream;
+    this pins it (availableNow drain == batch histogram)."""
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import functions as SF
+
+    from tablecloth_time_spark.operators.stats import histogram_rollup
+
+    rng = np.random.default_rng(29)
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        ("k%d" % int(k), t0 + dt.timedelta(seconds=int(s)), round(float(v), 3))
+        for k, s, v in zip(
+            rng.integers(0, 3, 300),
+            np.cumsum(rng.integers(1, 600, 300)),
+            rng.uniform(0, 100, 300),
+        )
+    ]
+    rows.append(("__flush__", dt.datetime(2030, 1, 1), 0.0))
+    batch = spark.createDataFrame(rows, ["k", "ts", "v"])
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+
+    lo, hi, n_bins, width = 0.0, 100.0, 10, 10.0
+    bin_idx = SF.least(
+        SF.lit(n_bins - 1),
+        SF.greatest(SF.lit(0), SF.floor((SF.col("v") - lo) / width)),
+    ).cast("int")
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("k", SF.window("ts", "1 hour").alias("__w"), bin_idx.alias("bin"))
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .select("k", SF.col("__w.start").alias("bucket"), "bin", "n")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hist_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.table("hist_stream")
+        .filter("k <> '__flush__'")
+        .toPandas()
+        .sort_values(["k", "bucket", "bin"], kind="stable")
+        .reset_index(drop=True)
+    )
+    expected = (
+        histogram_rollup(
+            batch.filter("k <> '__flush__'"), ["k"], "ts", "v", 1, "hour",
+            lo=lo, hi=hi, n_bins=n_bins,
+        )
+        .select("k", "bucket", "bin", "n")
+        .toPandas()
+        .sort_values(["k", "bucket", "bin"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
