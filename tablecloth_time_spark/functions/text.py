@@ -399,7 +399,13 @@ PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "card": r"\b\d{13,19}\b",
-    "phone": r"(?<![\d.])\+?\d[\d\s().\-]{7,14}\d(?![\d.])",
+    # date-shaped starts (2024-01-15 / 01-15) are excluded, the separator
+    # class has no newline, and a match cannot begin/end beside a '-' —
+    # ISO dates and datetimes in logs must survive redaction untouched
+    "phone": (
+        r"(?<![\d.\-])(?!\d{4}-\d{2}-\d{2})(?!\d{2}-\d{2})"
+        r"\+?\d[\d \t().\-]{7,14}\d(?![\d.\-])"
+    ),
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
 }
 
@@ -444,7 +450,13 @@ def add_repetition_metrics(df, text_col: str = "text"):
 
     Degenerate docs (no lines / no tokens) yield null fractions.
     """
-    t = F.col(text_col)
+    # normalize CRLF / bare-CR line endings once so the line/paragraph
+    # splits (and blank-line detection) behave identically on Windows-
+    # style web text; trim is whitespace-aware (tabs, stray \r)
+    t = F.regexp_replace(F.col(text_col), r"\r\n?", "\n")
+
+    def _ws_trim(s: Column) -> Column:
+        return F.regexp_replace(s, r"^\s+|\s+$", "")
 
     def _dup_frac(arr: Column) -> Column:
         n = F.size(arr)
@@ -454,11 +466,11 @@ def add_repetition_metrics(df, text_col: str = "text"):
         )
 
     lines = F.filter(
-        F.transform(F.split(t, r"\n"), lambda s: F.trim(s)),
+        F.transform(F.split(t, r"\n"), _ws_trim),
         lambda s: s != "",
     )
     paras = F.filter(
-        F.transform(F.split(t, r"\n{2,}"), lambda s: F.trim(s)),
+        F.transform(F.split(t, r"\n{2,}"), _ws_trim),
         lambda s: s != "",
     )
     return (

@@ -227,7 +227,8 @@ def histogram_rollup(
 
     Bins split [lo, hi) into ``n_bins`` equal widths; out-of-range values
     clamp into the edge bins (bin 0 / bin n_bins-1 act as -Inf / +Inf
-    catch-alls, like Prometheus' le=+Inf), nulls are dropped. Output adds
+    catch-alls, like Prometheus' le=+Inf), nulls AND NaNs are dropped
+    (floor(NaN) would land NaN in bin 0 as phantom samples). Output adds
     ``bin_lo``/``bin_hi`` edges for rendering. ``cumulative=True`` adds a
     Prometheus-style less-or-equal running count per (keys, bucket) via a
     window over the tiny histogram frame (rows ∝ groups x bins, not
@@ -247,7 +248,7 @@ def histogram_rollup(
     ).cast("int")
     bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
     hist = (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .groupBy(*keys, bucket, bin_idx.alias(bin_col))
         .agg(F.count(F.lit(1)).alias(count_col))
         .withColumn("bin_lo", F.lit(lo) + F.col(bin_col) * F.lit(width))

@@ -114,3 +114,46 @@ def test_ngram_overlap_plan_broadcasts(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_redact_pii_preserves_dates(spark):
+    """ISO dates and datetimes must survive redaction (review fix — the
+    phone pattern used to swallow them), while real phones still mask."""
+    cases = {
+        "on 2024-01-15 it rained": "on 2024-01-15 it rained",
+        "meeting on 2024-01-15 12:30 in room 4":
+            "meeting on 2024-01-15 12:30 in room 4",
+        "due 01-15 next": "due 01-15 next",
+        "call 415-555-0123 now": "call <phone> now",
+        "call +1 (415) 555-0123 today": "call <phone> today",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], ["text"])
+    got = {
+        r["text"]: r["red"]
+        for r in df.withColumn("red", redact_pii("text")).collect()
+    }
+    for src, exp in cases.items():
+        assert got[src] == exp, src
+    counts = (
+        spark.createDataFrame([("on 2024-01-15 12:30 call 415-555-0123",)], ["text"])
+        .select(pii_counts("text").alias("c"))
+        .collect()[0]["c"]
+    )
+    assert counts["phone"] == 1  # the date contributes nothing
+
+
+def test_repetition_metrics_crlf(spark):
+    """CRLF documents behave exactly like LF documents (review fix): the
+    \\r blank lines are not phantom duplicate lines, and \\r\\n\\r\\n
+    splits paragraphs."""
+    crlf = "alpha beta\r\n\r\ngamma delta\r\n\r\nalpha beta"
+    lf = crlf.replace("\r\n", "\n")
+    rows = (
+        add_repetition_metrics(
+            spark.createDataFrame([(crlf,), (lf,)], ["text"])
+        )
+        .collect()
+    )
+    a, b = rows
+    assert a["dup_line_frac"] == b["dup_line_frac"] == pytest.approx(1 / 3)
+    assert a["dup_para_frac"] == b["dup_para_frac"] == pytest.approx(1 / 3)

@@ -595,3 +595,17 @@ def test_histogram_rollup_clamps_edges(spark):
     ).collect()
     got = {r["bin"]: r["n"] for r in rows}
     assert got == {0: 1, 4: 1}  # out-of-range clamps, null dropped
+
+
+def test_histogram_rollup_drops_nan(spark):
+    """NaN values must not land in bin 0 as phantom samples (review fix:
+    floor(NaN) evaluates to 0 in Spark)."""
+    from tablecloth_time_spark.operators.stats import histogram_rollup
+
+    df = spark.createDataFrame(
+        [("a", T0, float("nan")), ("a", T0, 5.0)], ["k", "ts", "v"]
+    )
+    rows = histogram_rollup(
+        df, ["k"], "ts", "v", 1, "day", lo=0.0, hi=10.0, n_bins=5
+    ).collect()
+    assert {(r["bin"], r["n"]) for r in rows} == {(2, 1)}
