@@ -62,6 +62,7 @@ from tablecloth_time_spark.operators.validate import (  # noqa: F401
 from tablecloth_time_spark.operators.rolling import rolling, rolling_rows  # noqa: F401
 from tablecloth_time_spark.operators.decompose import (  # noqa: F401
     classical_decomposition,
+    decomposition_strength,
 )
 from tablecloth_time_spark.operators.sample import (  # noqa: F401
     assign_splits,

@@ -95,3 +95,42 @@ def classical_decomposition(
     return out.withColumn(
         remainder_col, y - F.col(trend_col) - F.col(seasonal_col)
     ).drop("__detrended")
+
+
+def decomposition_strength(
+    df: DataFrame,
+    keys: list[str],
+    trend_col: str = "trend",
+    seasonal_col: str = "seasonal",
+    remainder_col: str = "remainder",
+) -> DataFrame:
+    """fpp3 chapter-4 STL feature pair over a decomposed series (the
+    output of ``classical_decomposition``):
+
+        trend_strength    = max(0, 1 - Var(R) / Var(T + R))
+        seasonal_strength = max(0, 1 - Var(R) / Var(S + R))
+
+    Values near 1 mean the component dominates; near 0, noise does. One
+    map-side-combined hash aggregate per key (three var_samp moments over
+    rows where the components are defined — series edges with null trend
+    are excluded, matching feasts' complete-case computation). A
+    zero-variance denominator (constant series) yields null.
+    """
+    t, s, r = F.col(trend_col), F.col(seasonal_col), F.col(remainder_col)
+    defined = df.filter(t.isNotNull() & r.isNotNull())
+    agg = defined.groupBy(*keys).agg(
+        F.var_samp(r).alias("__vr"),
+        F.var_samp(t + r).alias("__vtr"),
+        F.var_samp(s + r).alias("__vsr"),
+        F.count(r).alias("n"),
+    )
+    return agg.select(
+        *keys,
+        F.greatest(
+            F.lit(0.0), 1.0 - F.try_divide(F.col("__vr"), F.col("__vtr"))
+        ).alias("trend_strength"),
+        F.greatest(
+            F.lit(0.0), 1.0 - F.try_divide(F.col("__vr"), F.col("__vsr"))
+        ).alias("seasonal_strength"),
+        "n",
+    )

@@ -113,3 +113,47 @@ def test_global_series_no_keys(spark):
     t_ref, s_ref, _ = ref_decompose(y, m)
     for i, row in enumerate(rows):
         assert row["seasonal"] == pytest.approx(s_ref[i], abs=1e-9)
+
+
+def test_decomposition_strength(spark):
+    """fpp3 ch.4 feature pair: a strongly seasonal sawtooth + linear trend
+    scores high on both; white noise scores near zero on both; numpy
+    re-derivation pins the exact values."""
+    from tablecloth_time_spark.operators.decompose import (
+        decomposition_strength,
+    )
+
+    rng = np.random.default_rng(13)
+    m, n = 7, 84
+    t0 = dt.datetime(2024, 1, 1)
+    season = np.tile(np.array([10, -4, -6, 2, 8, -12, 2], dtype=float), n // m)
+    structured = 0.5 * np.arange(n) + season + rng.normal(0, 0.3, n)
+    noise = rng.normal(0, 5, n)
+    rows = [
+        (k, t0 + dt.timedelta(days=i), float(v), i % m)
+        for k, series in (("structured", structured), ("noise", noise))
+        for i, v in enumerate(series)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "y", "season"])
+    dec = classical_decomposition(
+        df, ["k"], "ts", "y", m, season_col=F.col("season")
+    )
+    got = {
+        r["k"]: r
+        for r in decomposition_strength(dec, ["k"]).collect()
+    }
+    assert got["structured"]["trend_strength"] > 0.95
+    assert got["structured"]["seasonal_strength"] > 0.95
+    assert got["noise"]["trend_strength"] < 0.3
+    assert got["noise"]["seasonal_strength"] < 0.4
+
+    # exact pin vs numpy over the same complete-case rows
+    for key, series in (("structured", structured), ("noise", noise)):
+        tr, se, re_ = ref_decompose(series, m)
+        mask = ~np.isnan(tr)
+        vr = np.var(re_[mask], ddof=1)
+        ts_ = max(0.0, 1 - vr / np.var((tr + re_)[mask], ddof=1))
+        ss = max(0.0, 1 - vr / np.var((se + re_)[mask], ddof=1))
+        assert got[key]["trend_strength"] == pytest.approx(ts_, rel=1e-9)
+        assert got[key]["seasonal_strength"] == pytest.approx(ss, rel=1e-9)
+        assert got[key]["n"] == int(mask.sum())
