@@ -21,6 +21,7 @@ from tablecloth_time_spark.operators.counters import (  # noqa: F401
     counter_rate,
     detect_gaps,
     ewma,
+    state_durations,
     time_weighted_avg,
 )
 from tablecloth_time_spark.operators.intervals import (  # noqa: F401

@@ -237,3 +237,67 @@ def ewma(
     return grouped_apply_stream(
         base, ks, ["ts_ms", *order_cols], kernel, out_schema
     )
+
+
+def state_durations(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    state_col: str,
+    interval: int,
+    unit: str = "hour",
+    order_cols: list[str] | None = None,
+    bucket_col: str = "bucket",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Time spent in each state per (keys, time bucket) — the
+    TimescaleDB-``state_agg``-style view of a discrete status column
+    (transcript roles/tools, device states, job phases) under LOCF
+    semantics: a state holds from its sample until the key's next sample.
+
+    Construction is pure window + aggregate algebra:
+    1. ``lead(ts)`` per key over one sort gives each sample's half-open
+       segment [ts, next_ts) — the key's LAST sample has no successor and
+       contributes no duration (its state is still open);
+    2. each segment explodes to the buckets it overlaps (``sequence``,
+       executor-side, like interval_join) and clips to bucket bounds;
+    3. one map-side-combined hash aggregate sums per (keys, bucket, state).
+
+    Durations are additive (sums), so state tallies cascade across
+    retention tiers like any rollup. Null states are kept as a real state
+    value only if present in the data (group-by semantics drop null keys
+    into their own group per SQL). Per-bucket fractions = duration_ms /
+    sum over the bucket (a tiny window on the output if needed).
+    """
+    ks = _keys(keys)
+    oc = order_cols or []
+    width_ms = interval * milliseconds_in(normalize_unit(unit))
+    ms = to_epoch_millis(ts_col)
+    w = Window.partitionBy(*ks).orderBy(ms.asc(), *[F.col(c) for c in oc])
+    seg = df.select(
+        *ks,
+        F.col(state_col).alias("__state"),
+        ms.alias("__s"),
+        F.lead(ms).over(w).alias("__e"),
+    ).filter(F.col("__e").isNotNull() & (F.col("__e") > F.col("__s")))
+    exploded = seg.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__s") / width_ms),
+                F.floor((F.col("__e") - 1) / width_ms),
+            )
+        ),
+    )
+    b_lo = F.col("__b") * width_ms
+    covered = F.least(F.col("__e"), b_lo + width_ms) - F.greatest(
+        F.col("__s"), b_lo
+    )
+    return (
+        exploded.groupBy(
+            *ks,
+            F.timestamp_millis(b_lo).alias(bucket_col),
+            F.col("__state").alias(state_col),
+        )
+        .agg(F.sum(covered).alias(duration_col))
+    )

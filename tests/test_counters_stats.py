@@ -557,3 +557,73 @@ def test_distinct_rollup_all_null_group_survives(spark):
     [ex] = distinct_rollup(df, ["k"], "ts", "u", 1, "day").collect()
     [ap] = distinct_rollup(df, ["k"], "ts", "u", 1, "day", exact=False).collect()
     assert ex["n_distinct"] == 0 and ap["n_distinct"] == 0  # group kept
+
+
+# ------------------------------------------------------------- state_durations
+
+
+def test_state_durations_golden(spark):
+    """LOCF state segments clipped to hourly buckets: a state spanning a
+    bucket boundary splits its duration across both buckets; the last
+    sample's open state contributes nothing."""
+    from tablecloth_time_spark.operators.counters import state_durations
+
+    rows = [
+        ("c1", T0, "user"),                            # holds 40 min
+        ("c1", T0 + dt.timedelta(minutes=40), "tool"),  # holds 40 min (20+20)
+        ("c1", T0 + dt.timedelta(minutes=80), "user"),  # open -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["conv", "ts", "role"])
+    got = {
+        (r["bucket"], r["role"]): r["duration_ms"]
+        for r in state_durations(df, "conv", "ts", "role", 1, "hour").collect()
+    }
+    h0, h1 = T0, T0 + dt.timedelta(hours=1)
+    assert got == {
+        (h0, "user"): 40 * 60_000,
+        (h0, "tool"): 20 * 60_000,
+        (h1, "tool"): 20 * 60_000,
+    }
+
+
+def test_state_durations_matches_python(spark):
+    from tablecloth_time_spark.operators.counters import state_durations
+
+    rng = np.random.default_rng(31)
+    states = ["a", "b", "c"]
+    rows = []
+    for k in range(4):
+        t = T0
+        for _ in range(80):
+            t = t + dt.timedelta(seconds=int(rng.integers(30, 5400)))
+            rows.append((f"k{k}", t, states[int(rng.integers(0, 3))]))
+    df = spark.createDataFrame(rows, ["k", "ts", "state"])
+    got = {
+        (r["k"], r["bucket"], r["state"]): r["duration_ms"]
+        for r in state_durations(df, "k", "ts", "state", 1, "hour").collect()
+    }
+    # python oracle: segment -> bucket clipping
+    ep = dt.datetime(1970, 1, 1)
+    exp: dict = {}
+    by_k: dict = {}
+    for k, t, s in rows:
+        by_k.setdefault(k, []).append((t, s))
+    W = 3_600_000
+    for k, seq in by_k.items():
+        seq.sort()
+        for (t0_, s), (t1_, _) in zip(seq, seq[1:]):
+            s_ms = int((t0_ - ep).total_seconds() * 1000)
+            e_ms = int((t1_ - ep).total_seconds() * 1000)
+            b = (s_ms // W) * W
+            while b < e_ms:
+                dur = min(e_ms, b + W) - max(s_ms, b)
+                key = (k, ep + dt.timedelta(milliseconds=b), s)
+                exp[key] = exp.get(key, 0) + dur
+                b += W
+    assert got == exp
+    # conservation: total duration == sum of closed-segment lengths
+    assert sum(got.values()) == sum(
+        int((b[0] - a[0]).total_seconds() * 1000)
+        for seq in by_k.values()
+        for a, b in zip(sorted(seq), sorted(seq)[1:])
+    )
