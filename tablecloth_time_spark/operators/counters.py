@@ -1,5 +1,5 @@
 """Monitoring-style series math: counter rates, time-weighted means, EWMA,
-gap detection.
+gap detection, time-in-state tallies.
 
 These are the operators a metrics/observability user of the reference's
 resample recipe reaches for next (Prometheus ``rate``/``increase``,

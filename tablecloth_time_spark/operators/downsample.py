@@ -1,4 +1,5 @@
-"""Visual downsampling: LTTB (largest-triangle-three-buckets) per series.
+"""Visual downsampling: LTTB (sequential, shape-optimal) and M4
+(hash-aggregate, error-free per pixel bucket) per series.
 
 A dashboard cannot plot 10^8 points; it wants ~window-width points that
 preserve the SHAPE of the series (peaks, troughs, trend reversals) better

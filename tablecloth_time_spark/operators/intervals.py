@@ -1,4 +1,5 @@
-"""Interval (range) join: points x [start, end) intervals, bucketized.
+"""Interval algebra: bucketized range join, gaps-and-islands union
+(merge_intervals), and per-bucket coverage/uptime (interval_coverage).
 
 Spark has no native band/interval join; the naive form
 

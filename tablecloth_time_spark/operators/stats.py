@@ -1,9 +1,10 @@
-"""Distribution / ranking aggregates over time buckets.
+"""Distribution / ranking / fit aggregates over time buckets.
 
 Extends the reference's resample recipe (bucket -> group-by -> aggregate,
-README.md:20-36) with the two aggregate families it lacks: order
-statistics (percentiles) and per-bucket ranking (top-k heavy hitters).
-Both are single hash-aggregate / window plans — no Python.
+README.md:20-36) with the aggregate families it lacks: order statistics
+(percentiles), distinct counts, per-bucket ranking (top-k heavy hitters),
+fixed-bin histograms, changepoint scores, and OLS trend fits. All are
+single hash-aggregate / window plans — no Python.
 """
 
 from __future__ import annotations
