@@ -31,9 +31,10 @@ from tablecloth_time_spark.operators.intervals import (  # noqa: F401
 )
 from tablecloth_time_spark.operators.stats import (  # noqa: F401
     distinct_rollup,
+    histogram_rollup,
     level_shift_scores,
     percentile_rollup,
-    histogram_rollup,
+    series_correlations,
     topk_per_bucket,
     trend_fit,
 )

@@ -263,3 +263,57 @@ def histogram_rollup(
         )
         hist = hist.withColumn("cum_n", F.sum(count_col).over(w))
     return hist
+
+
+def series_correlations(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval: int,
+    unit: str = "hour",
+    agg: str = "avg",
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Pairwise Pearson correlation between every two series, computed
+    over their bucket-aligned values (fpp3 ch. 4's cross-series
+    relationships): bucket each series (``agg`` in avg|sum|count), align
+    pairs with a self equi-join on the bucket, and reduce each pair with
+    the built-in ``corr`` aggregate. Pairs sharing fewer than
+    ``min_overlap`` buckets are dropped (a 2-point correlation is always
+    ±1 — noise).
+
+    Output: (key_a, key_b, corr, n_overlap), key_a < key_b.
+
+    Scale note: output is O(k^2) in the number of SERIES (not rows) — the
+    bucketed frames are tiny next to the raw data, the self-join is a
+    plain shuffled equi-join on the bucket, and corr map-side-combines.
+    Meant for metric-dashboard cardinalities (k up to ~10^3, i.e. <=10^6
+    pairs); for document/embedding-scale similarity use the LSH family in
+    operators/similarity.py instead.
+    """
+    bucket = down_to_nearest(ts_col, interval, unit).alias("__b")
+    v = F.col(value_col).cast("double")
+    agg_expr = {
+        "avg": F.avg(v),
+        "sum": F.sum(v),
+        "count": F.count(v).cast("double"),
+    }[agg]
+    series = df.groupBy(F.col(key_col).alias("__k"), bucket).agg(
+        agg_expr.alias("__v")
+    )
+    a = series.select(
+        F.col("__k").alias("key_a"), F.col("__b"), F.col("__v").alias("__va")
+    )
+    b = series.select(
+        F.col("__k").alias("key_b"), F.col("__b"), F.col("__v").alias("__vb")
+    )
+    pairs = a.join(b, "__b").filter(F.col("key_a") < F.col("key_b"))
+    return (
+        pairs.groupBy("key_a", "key_b")
+        .agg(
+            F.corr("__va", "__vb").alias("corr"),
+            F.count(F.lit(1)).alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") >= min_overlap)
+    )

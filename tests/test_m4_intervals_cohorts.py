@@ -609,3 +609,56 @@ def test_histogram_rollup_drops_nan(spark):
         df, ["k"], "ts", "v", 1, "day", lo=0.0, hi=10.0, n_bins=5
     ).collect()
     assert {(r["bin"], r["n"]) for r in rows} == {(2, 1)}
+
+
+# --------------------------------------------------------- series_correlations
+
+
+def test_series_correlations_matches_numpy(spark):
+    from tablecloth_time_spark.operators.stats import series_correlations
+
+    rng = np.random.default_rng(37)
+    n = 240
+    ts = [T0 + dt.timedelta(minutes=30 * i) for i in range(n)]
+    base = rng.normal(0, 1, n)
+    frames = {
+        "a": base + rng.normal(0, 0.1, n),          # ~= base
+        "b": -base + rng.normal(0, 0.1, n),         # anti-correlated
+        "c": rng.normal(0, 1, n),                   # independent
+    }
+    rows = [
+        (k, t, float(v)) for k, vs in frames.items() for t, v in zip(ts, vs)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {
+        (r["key_a"], r["key_b"]): (r["corr"], r["n_overlap"])
+        for r in series_correlations(df, "k", "ts", "v", 1, "hour").collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # numpy oracle over the hourly-avg aligned series
+    import pandas as pd_
+
+    p = pd_.DataFrame(rows, columns=["k", "ts", "v"])
+    p["b"] = p["ts"].dt.floor("h")
+    al = p.pivot_table(index="b", columns="k", values="v", aggfunc="mean")
+    for (x, y), (c, n_ov) in got.items():
+        assert n_ov == len(al)
+        assert c == pytest.approx(np.corrcoef(al[x], al[y])[0, 1], rel=1e-9)
+    assert got[("a", "b")][0] < -0.95
+    assert abs(got[("a", "c")][0]) < 0.3
+
+
+def test_series_correlations_min_overlap(spark):
+    from tablecloth_time_spark.operators.stats import series_correlations
+
+    rows = [
+        ("a", T0, 1.0), ("a", T0 + dt.timedelta(hours=1), 2.0),
+        ("b", T0, 2.0), ("b", T0 + dt.timedelta(hours=1), 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    # only 2 shared buckets -> below default min_overlap, dropped
+    assert series_correlations(df, "k", "ts", "v", 1, "hour").count() == 0
+    kept = series_correlations(
+        df, "k", "ts", "v", 1, "hour", min_overlap=2
+    ).collect()
+    assert len(kept) == 1 and kept[0]["corr"] == pytest.approx(-1.0)
