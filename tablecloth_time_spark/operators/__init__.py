@@ -77,3 +77,4 @@ from tablecloth_time_spark.operators.pack import (  # noqa: F401
     pack_documents,
     packing_stats,
 )
+from tablecloth_time_spark.operators.acf import acf, pacf  # noqa: F401

@@ -76,3 +76,74 @@ def acf(
             F.col("__denom") > 0, F.col("kv.num") / F.col("__denom")
         ).alias("acf"),
     )
+
+
+def pacf(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Partial autocorrelation per series (the correlogram's companion in
+    fpp3 §9.5, used to pick AR orders): Durbin-Levinson recursion over the
+    ACF sequence.
+
+    The heavy work is ``acf`` (one shuffle + one sorted pass + one
+    aggregate over the raw series); the recursion itself runs in the
+    batched Arrow kernel over the TINY acf frame — max_lag rows per
+    series, so the Python cost is O(series x max_lag^2) scalars, never
+    touching raw data. Lags whose ACF is undefined (k >= n, zero
+    variance) and everything after them yield null.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from tablecloth_time_spark.operators._grouped import grouped_apply_stream
+
+    acf_df = acf(df, keys, order_col, value_col, max_lag)
+    key_fields = [f for f in acf_df.schema.fields if f.name in keys]
+    schema = StructType(
+        key_fields
+        + [StructField("lag", IntegerType()), StructField("pacf", DoubleType())]
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("lag")
+        r = g["acf"].to_numpy(dtype=np.float64)  # r[0] == acf at lag 1
+        m = len(r)
+        out = np.full(m, np.nan)
+        # valid prefix: stop at the first undefined acf
+        valid = m
+        for i in range(m):
+            if not np.isfinite(r[i]):
+                valid = i
+                break
+        if valid >= 1:
+            phi = np.zeros((valid + 1, valid + 1))
+            phi[1, 1] = r[0]
+            out[0] = r[0]
+            for k in range(2, valid + 1):
+                num = r[k - 1] - sum(
+                    phi[k - 1, j] * r[k - 1 - j] for j in range(1, k)
+                )
+                den = 1.0 - sum(
+                    phi[k - 1, j] * r[j - 1] for j in range(1, k)
+                )
+                if den == 0:
+                    break
+                phi[k, k] = num / den
+                for j in range(1, k):
+                    phi[k, j] = phi[k - 1, j] - phi[k, k] * phi[k - 1, k - j]
+                out[k - 1] = phi[k, k]
+        res = g[[*keys, "lag"]].copy()
+        res["pacf"] = [None if not np.isfinite(v) else float(v) for v in out]
+        return res
+
+    return grouped_apply_stream(acf_df, keys, ["lag"], kernel, schema)

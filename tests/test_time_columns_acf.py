@@ -111,3 +111,60 @@ def test_acf_beer_r_golden(spark):
     assert round(got[2], 3) == -0.758
     assert round(got[4], 3) == 0.802
     assert round(got[8], 3) == 0.707
+
+
+def test_pacf_matches_yule_walker(spark):
+    """PACF (Durbin-Levinson in the engine) vs an INDEPENDENT oracle:
+    solve the Yule-Walker Toeplitz system directly per lag with
+    np.linalg.solve — pacf_k is the k-th AR coefficient."""
+    import datetime as dt
+
+    import numpy as np
+
+    from tablecloth_time_spark.operators.acf import acf, pacf
+
+    rng = np.random.default_rng(19)
+    t0 = dt.datetime(2024, 1, 1)
+    # AR(2)-ish series: PACF should cut off after lag 2
+    n = 300
+    y = np.zeros(n)
+    e = rng.normal(0, 1, n)
+    for i in range(2, n):
+        y[i] = 0.6 * y[i - 1] - 0.3 * y[i - 2] + e[i]
+    rows = [("s", t0 + dt.timedelta(hours=i), float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, ["k", "ts", "y"])
+
+    max_lag = 8
+    got = {
+        r["lag"]: r["pacf"]
+        for r in pacf(df, ["k"], "ts", "y", max_lag).collect()
+    }
+    r_vals = {
+        r["lag"]: r["acf"] for r in acf(df, ["k"], "ts", "y", max_lag).collect()
+    }
+    r = np.array([r_vals[k] for k in range(1, max_lag + 1)])
+    for k in range(1, max_lag + 1):
+        R = np.empty((k, k))
+        for i in range(k):
+            for j in range(k):
+                d = abs(i - j)
+                R[i, j] = 1.0 if d == 0 else r[d - 1]
+        phi = np.linalg.solve(R, r[:k])
+        assert got[k] == pytest.approx(phi[-1], abs=1e-9), f"lag {k}"
+    assert got[1] == pytest.approx(r[0])
+    # AR(2) cutoff: |pacf| small beyond lag 2
+    assert all(abs(got[k]) < 0.15 for k in range(3, max_lag + 1))
+
+
+def test_pacf_undefined_tail(spark):
+    """A 4-point series: acf undefined for k >= n -> pacf null there."""
+    import datetime as dt
+
+    from tablecloth_time_spark.operators.acf import pacf
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("s", t0 + dt.timedelta(hours=i), float(v)) for i, v in enumerate([1, 3, 2, 5])]
+    df = spark.createDataFrame(rows, ["k", "ts", "y"])
+    got = {r["lag"]: r["pacf"] for r in pacf(df, ["k"], "ts", "y", 6).collect()}
+    assert got[1] is not None
+    assert got[5] is None and got[6] is None
