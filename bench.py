@@ -303,6 +303,23 @@ def main() -> None:
             methods=("mean", "naive", "snaive", "drift"), season_length=7,
         ).agg(F.sum("forecast")).collect(),
     )
+    from tablecloth_time_spark.operators.counters import state_durations
+    from tablecloth_time_spark.operators.stats import histogram_rollup
+
+    timed(
+        "histogram_hourly_events",
+        lambda: histogram_rollup(
+            events, ["event_type"], "ts", "value", 1, "hour",
+            lo=0.0, hi=1000.0, n_bins=20,
+        ).agg(F.sum("n")).collect(),
+    )
+    timed(
+        "state_durations_events",
+        lambda: state_durations(
+            events, "user_id", "ts", "event_type", 1, "hour",
+            order_cols=["event_id"],
+        ).agg(F.sum("duration_ms")).collect(),
+    )
 
     # training-data ops + compression (sf tables: documents / embeddings)
     from tablecloth_time_spark.operators.compress import compress_series
