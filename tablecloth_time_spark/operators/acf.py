@@ -95,6 +95,10 @@ def pacf(
     series, so the Python cost is O(series x max_lag^2) scalars, never
     touching raw data. Lags whose ACF is undefined (k >= n, zero
     variance) and everything after them yield null.
+
+    Output: (*keys string, lag int, pacf double) — key columns come back
+    as strings (inherited from ``acf``'s key normalization); cast before
+    joining to an int-keyed frame.
     """
     import numpy as np
     import pandas as pd

@@ -249,11 +249,24 @@ def state_durations(
     order_cols: list[str] | None = None,
     bucket_col: str = "bucket",
     duration_col: str = "duration_ms",
+    max_hold: int | None = None,
+    max_hold_unit: str = "hour",
 ) -> DataFrame:
     """Time spent in each state per (keys, time bucket) — the
     TimescaleDB-``state_agg``-style view of a discrete status column
     (transcript roles/tools, device states, job phases) under LOCF
     semantics: a state holds from its sample until the key's next sample.
+
+    ``max_hold`` caps how long one sample's state can be held: a key that
+    goes silent for months would otherwise tally its last state across the
+    whole gap AND explode that single segment into gap/interval bucket
+    rows (a 3-year gap at minute buckets is ~1.6M rows from one sample).
+    Pass the staleness horizon your domain trusts; None means unbounded.
+
+    Buckets use floor division on epoch millis — identical to
+    ``down_to_nearest`` for post-epoch timestamps (the engine's data
+    domain); pre-1970 buckets would floor toward -inf instead of
+    truncating toward zero.
 
     Construction is pure window + aggregate algebra:
     1. ``lead(ts)`` per key over one sort gives each sample's half-open
@@ -269,16 +282,24 @@ def state_durations(
     into their own group per SQL). Per-bucket fractions = duration_ms /
     sum over the bucket (a tiny window on the output if needed).
     """
+    if interval < 1:
+        raise ValueError(f"interval must be >= 1, got {interval}")
     ks = _keys(keys)
     oc = order_cols or []
     width_ms = interval * milliseconds_in(normalize_unit(unit))
     ms = to_epoch_millis(ts_col)
     w = Window.partitionBy(*ks).orderBy(ms.asc(), *[F.col(c) for c in oc])
+    end = F.lead(ms).over(w)
+    if max_hold is not None:
+        hold_ms = max_hold * milliseconds_in(normalize_unit(max_hold_unit))
+        # least() skips nulls — gate on the successor existing so the cap
+        # does not resurrect the key's OPEN final segment
+        end = F.when(end.isNotNull(), F.least(end, ms + F.lit(hold_ms)))
     seg = df.select(
         *ks,
         F.col(state_col).alias("__state"),
         ms.alias("__s"),
-        F.lead(ms).over(w).alias("__e"),
+        end.alias("__e"),
     ).filter(F.col("__e").isNotNull() & (F.col("__e") > F.col("__s")))
     exploded = seg.withColumn(
         "__b",

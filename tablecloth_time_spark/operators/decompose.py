@@ -112,25 +112,30 @@ def decomposition_strength(
 
     Values near 1 mean the component dominates; near 0, noise does. One
     map-side-combined hash aggregate per key (three var_samp moments over
-    rows where the components are defined — series edges with null trend
-    are excluded, matching feasts' complete-case computation). A
-    zero-variance denominator (constant series) yields null.
+    the complete-case rows — all three components non-null, so every
+    variance compares the same sample; classical_decomposition's series
+    edges with null trend are excluded, matching feasts). A zero-variance
+    denominator (constant series) or a single complete row yields null —
+    "undefined", never a fake 0.0.
     """
     t, s, r = F.col(trend_col), F.col(seasonal_col), F.col(remainder_col)
-    defined = df.filter(t.isNotNull() & r.isNotNull())
+    defined = df.filter(t.isNotNull() & s.isNotNull() & r.isNotNull())
     agg = defined.groupBy(*keys).agg(
         F.var_samp(r).alias("__vr"),
         F.var_samp(t + r).alias("__vtr"),
         F.var_samp(s + r).alias("__vsr"),
         F.count(r).alias("n"),
     )
+
+    def strength(den: str):
+        # greatest() skips nulls (would turn undefined into 0.0); gate on
+        # the ratio being defined first
+        ratio = 1.0 - F.try_divide(F.col("__vr"), F.col(den))
+        return F.when(ratio.isNotNull(), F.greatest(F.lit(0.0), ratio))
+
     return agg.select(
         *keys,
-        F.greatest(
-            F.lit(0.0), 1.0 - F.try_divide(F.col("__vr"), F.col("__vtr"))
-        ).alias("trend_strength"),
-        F.greatest(
-            F.lit(0.0), 1.0 - F.try_divide(F.col("__vr"), F.col("__vsr"))
-        ).alias("seasonal_strength"),
+        strength("__vtr").alias("trend_strength"),
+        strength("__vsr").alias("seasonal_strength"),
         "n",
     )

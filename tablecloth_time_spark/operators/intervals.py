@@ -221,8 +221,12 @@ def interval_coverage(
 
     Buckets no interval touches are absent (coverage 0 rows are a grid
     question — compose with resample_to_regular_grid's grid if needed).
-    Half-open [start, end) semantics throughout.
+    Half-open [start, end) semantics throughout. Buckets use floor
+    division on epoch millis — identical to ``down_to_nearest`` for
+    post-epoch timestamps (the engine's data domain).
     """
+    if interval < 1:
+        raise ValueError(f"interval must be >= 1, got {interval}")
     ks = [keys] if isinstance(keys, str) else list(keys)
     if merge_first:
         df = merge_intervals(

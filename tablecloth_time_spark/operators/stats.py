@@ -283,7 +283,12 @@ def series_correlations(
     ``min_overlap`` buckets are dropped (a 2-point correlation is always
     ±1 — noise).
 
-    Output: (key_a, key_b, corr, n_overlap), key_a < key_b.
+    Output: (key_a, key_b, corr, n_overlap), key_a < key_b. Null/NaN
+    values are dropped before bucketing (one NaN would poison corr for
+    every pair touching its bucket); ``n_overlap`` counts the buckets
+    corr actually consumed. Null-keyed rows are excluded — a null series
+    key cannot be ordered into a pair (documented deviation from the
+    null-key-is-a-group convention of the single-frame rollups).
 
     Scale note: output is O(k^2) in the number of SERIES (not rows) — the
     bucketed frames are tiny next to the raw data, the self-join is a
@@ -294,13 +299,19 @@ def series_correlations(
     """
     bucket = down_to_nearest(ts_col, interval, unit).alias("__b")
     v = F.col(value_col).cast("double")
-    agg_expr = {
-        "avg": F.avg(v),
-        "sum": F.sum(v),
-        "count": F.count(v).cast("double"),
-    }[agg]
-    series = df.groupBy(F.col(key_col).alias("__k"), bucket).agg(
-        agg_expr.alias("__v")
+    aggs = {
+        "avg": lambda: F.avg(v),
+        "sum": lambda: F.sum(v),
+        "count": lambda: F.count(v).cast("double"),
+    }
+    if agg not in aggs:
+        raise ValueError(f"agg must be one of {sorted(aggs)}, got {agg!r}")
+    series = (
+        df.filter(
+            F.col(key_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
+        )
+        .groupBy(F.col(key_col).alias("__k"), bucket)
+        .agg(aggs[agg]().alias("__v"))
     )
     a = series.select(
         F.col("__k").alias("key_a"), F.col("__b"), F.col("__v").alias("__va")
@@ -309,11 +320,13 @@ def series_correlations(
         F.col("__k").alias("key_b"), F.col("__b"), F.col("__v").alias("__vb")
     )
     pairs = a.join(b, "__b").filter(F.col("key_a") < F.col("key_b"))
+    both = F.col("__va").isNotNull() & F.col("__vb").isNotNull()
     return (
         pairs.groupBy("key_a", "key_b")
         .agg(
             F.corr("__va", "__vb").alias("corr"),
-            F.count(F.lit(1)).alias("n_overlap"),
+            # count what corr actually consumed, not raw joined rows
+            F.count(F.when(both, F.lit(1))).alias("n_overlap"),
         )
         .filter(F.col("n_overlap") >= min_overlap)
     )

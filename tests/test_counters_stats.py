@@ -627,3 +627,27 @@ def test_state_durations_matches_python(spark):
         for seq in by_k.values()
         for a, b in zip(sorted(seq), sorted(seq)[1:])
     )
+
+
+def test_state_durations_max_hold_and_validation(spark):
+    """A key that goes silent tallies at most max_hold of its last state
+    (review fix: unbounded LOCF hold exploded one stale sample across the
+    whole gap); interval=0 raises instead of returning an empty frame."""
+    from tablecloth_time_spark.operators.counters import state_durations
+
+    rows = [
+        ("c", T0, "busy"),
+        ("c", T0 + dt.timedelta(days=10), "idle"),  # 10-day silence
+        ("c", T0 + dt.timedelta(days=10, minutes=30), "busy"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "state"])
+    capped = state_durations(
+        df, "k", "ts", "state", 1, "hour", max_hold=2, max_hold_unit="hour"
+    )
+    got = capped.groupBy("state").sum("duration_ms").collect()
+    sums = {r["state"]: r["sum(duration_ms)"] for r in got}
+    assert sums["busy"] == 2 * 3_600_000      # capped, not 10 days
+    assert sums["idle"] == 30 * 60_000
+    assert capped.count() == 3  # 2 busy buckets + 1 idle bucket
+    with pytest.raises(ValueError, match="interval must be >= 1"):
+        state_durations(df, "k", "ts", "state", 0, "hour")

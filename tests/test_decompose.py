@@ -157,3 +157,24 @@ def test_decomposition_strength(spark):
         assert got[key]["trend_strength"] == pytest.approx(ts_, rel=1e-9)
         assert got[key]["seasonal_strength"] == pytest.approx(ss, rel=1e-9)
         assert got[key]["n"] == int(mask.sum())
+
+
+def test_decomposition_strength_undefined_is_null(spark):
+    """Constant series: zero-variance denominators must yield NULL
+    strengths, not 0.0 (review fix: greatest() skips nulls)."""
+    from tablecloth_time_spark.operators.decompose import (
+        decomposition_strength,
+    )
+
+    n, m = 28, 7
+    rows = [
+        ("const", dt.datetime(2024, 1, 1) + dt.timedelta(days=i), 5.0, i % m)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "y", "season"])
+    dec = classical_decomposition(
+        df, ["k"], "ts", "y", m, season_col=F.col("season")
+    )
+    r = decomposition_strength(dec, ["k"]).collect()[0]
+    assert r["trend_strength"] is None
+    assert r["seasonal_strength"] is None

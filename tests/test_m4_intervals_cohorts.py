@@ -662,3 +662,35 @@ def test_series_correlations_min_overlap(spark):
         df, "k", "ts", "v", 1, "hour", min_overlap=2
     ).collect()
     assert len(kept) == 1 and kept[0]["corr"] == pytest.approx(-1.0)
+
+
+def test_series_correlations_nan_and_null_counting(spark):
+    """Review fixes: a NaN sample must not poison corr for its series, and
+    n_overlap counts buckets corr actually consumed (not joined rows with
+    null values)."""
+    from tablecloth_time_spark.operators.stats import series_correlations
+
+    rows = []
+    for i in range(10):
+        t = T0 + dt.timedelta(hours=i)
+        rows.append(("a", t, float(i)))
+        # b mirrors a but has a NaN at i=3 and nulls at i in (0, 1)
+        v = float("nan") if i == 3 else (None if i < 2 else float(i))
+        rows.append(("b", t, v))
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = series_correlations(df, "k", "ts", "v", 1, "hour").collect()
+    assert len(got) == 1
+    r = got[0]
+    # buckets 0,1 (null) and 3 (NaN) dropped -> 7 consumed buckets
+    assert r["n_overlap"] == 7
+    assert r["corr"] == pytest.approx(1.0)  # identical on shared buckets
+    with pytest.raises(ValueError, match="agg must be one of"):
+        series_correlations(df, "k", "ts", "v", 1, "hour", agg="max")
+
+
+def test_interval_coverage_rejects_zero_interval(spark):
+    from tablecloth_time_spark.operators.intervals import interval_coverage
+
+    df = spark.createDataFrame([_iv(0, 10)], ["k", "start", "end"])
+    with pytest.raises(ValueError, match="interval must be >= 1"):
+        interval_coverage(df, "k", "start", "end", 0, "hour")
