@@ -190,13 +190,17 @@ class ContinuousAggregate:
             self._commit_manifest(m)
 
         inc = self.source.read_incremental(last, current)
-        if inc is None:
+        if inc is not None and self.prepare is not None:
+            inc = self.prepare(inc)
+        # a zero-row increment (no new files, or appended snapshots that
+        # carried no rows) is an operational no-op, not an error: complete
+        # the run and advance the snapshot cursor
+        if inc is None or inc.limit(1).count() == 0:
             run["status"] = "completed"
+            run["rows_in"] = 0
             m["last_snapshot"] = current
             self._commit_manifest(m)
             return run
-        if self.prepare is not None:
-            inc = self.prepare(inc)
         finest = self.tiers[0]
         finest_partial = partial_rollup(
             inc, self.keys, self.ts_col, finest.interval, finest.unit,

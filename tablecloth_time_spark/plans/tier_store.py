@@ -102,6 +102,16 @@ class ParquetTierStore:
         self, tier: str, merged: DataFrame, dirty: list[str], run_id: str
     ) -> dict:
         staged_path = self._tier_path(tier) + f".staging-{run_id}"
+        if not dirty:
+            # nothing to restate (empty increment): an empty staged dir has
+            # no parquet footers to read back, and commit over zero dirty
+            # partitions is already a no-op
+            return {
+                "staged_path": staged_path,
+                "dirty_partitions": [],
+                "partition_rows": {},
+                "rows_out": 0,
+            }
         merged.write.mode("overwrite").partitionBy(P_DATE).parquet(staged_path)
         # per-partition lineage from the staged files (one row per day)
         part_counts = {

@@ -352,3 +352,62 @@ def test_memory_store_blocks_dynamic_overwrite(spark):
         for r in store.read_blocks("minute").collect()
     }
     assert got == {("2024-01-01", 7), ("2024-01-02", 9)}
+
+
+def test_empty_increment_is_noop(spark, tmp_path):
+    """An appended snapshot carrying zero rows must complete a refresh
+    without touching tier state (empty increments are routine in
+    production ingestion; previously the staged empty parquet dir had no
+    footers and crashed the read-back)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as SF
+
+    from tablecloth_time_spark.plans.continuous import (
+        ContinuousAggregate,
+        TierSpec,
+    )
+    from tablecloth_time_spark.plans.snapshots import SnapshotTable
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    ca = ContinuousAggregate(
+        spark,
+        src,
+        str(tmp_path / "tiers"),
+        keys=["k"],
+        ts_col="ts",
+        aggs={"n": ("count", "v"), "s": ("sum", "v")},
+        tiers=(TierSpec("hour", 1, "hour"),),
+        order_cols=["ts"],
+    )
+    base = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0, 10), 1.0),
+         ("a", dt.datetime(2024, 1, 1, 0, 50), 2.0)],
+        ["k", "ts", "v"],
+    )
+    src.append(base)
+    ca.refresh()
+    before = {
+        (r["k"], r["bucket"]): (r["n"], r["s"])
+        for r in ca.read_tier("hour").collect()
+    }
+    # empty snapshot -> refresh must be a clean no-op that advances the
+    # cursor
+    src.append(base.filter(SF.lit(False)))
+    run = ca.refresh()
+    assert run["status"] == "completed"
+    assert run["rows_in"] == 0
+    after = {
+        (r["k"], r["bucket"]): (r["n"], r["s"])
+        for r in ca.read_tier("hour").collect()
+    }
+    assert after == before
+    # and a subsequent real increment still lands correctly
+    src.append(
+        spark.createDataFrame(
+            [("a", dt.datetime(2024, 1, 1, 0, 55), 4.0)], ["k", "ts", "v"]
+        )
+    )
+    ca.refresh()
+    final = ca.read_tier("hour").collect()
+    assert {(r["k"], r["n"], r["s"]) for r in final} == {("a", 3, 7.0)}
