@@ -12,6 +12,8 @@ Modes:
   incremental  fold unprocessed snapshots of a SnapshotTable into
                continuously-maintained tier state (resumable, manifest'd)
   expire       apply tier retention horizons as-of a date
+  status       print the checkpoint manifest summary (runs, snapshots,
+               per-tier rows, compression ratios) without starting a job
 
 Examples:
   spark-submit --py-files dist/tablecloth_time_spark.zip \\
@@ -50,7 +52,7 @@ DEFAULT_AGGS = {
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description="tablecloth_time_spark pipeline")
-    p.add_argument("mode", choices=["full", "incremental", "expire"])
+    p.add_argument("mode", choices=["full", "incremental", "expire", "status"])
     p.add_argument("--input", help="parquet dir of transcripts (full mode)")
     p.add_argument("--source-table", help="SnapshotTable root (incremental)")
     p.add_argument("--output", required=True, help="tier/aggregate root dir")
@@ -83,6 +85,52 @@ def _parse_retention(spec: str | None) -> dict[str, int]:
 
 def main(argv=None) -> None:
     args = parse_args(argv)
+
+    if args.mode == "status":
+        # manifest-only: no SparkSession, safe to run beside a live job
+        import os
+
+        path = os.path.join(args.output, "manifest.json")
+        if not os.path.exists(path):
+            raise SystemExit(f"no manifest at {path}")
+        with open(path) as f:
+            m = json.load(f)
+        runs = m.get("runs", [])
+        print(
+            json.dumps(
+                {
+                    "mode": "status",
+                    "last_snapshot": m.get("last_snapshot"),
+                    "n_runs": len(runs),
+                    "incomplete_runs": [
+                        r["run_id"] for r in runs
+                        if r.get("status") != "completed"
+                    ],
+                    "runs": [
+                        {
+                            "run_id": r.get("run_id"),
+                            "status": r.get("status"),
+                            "snapshots": [
+                                r.get("from_snapshot"), r.get("to_snapshot")
+                            ],
+                            "rows_in": r.get("rows_in"),
+                            "tiers": {
+                                t: {
+                                    "rows_out": i.get("rows_out"),
+                                    "dirty_partitions": len(
+                                        i.get("dirty_partitions", [])
+                                    ),
+                                }
+                                for t, i in r.get("tiers", {}).items()
+                            },
+                            "compression": r.get("compression"),
+                        }
+                        for r in runs
+                    ],
+                }
+            )
+        )
+        return
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F

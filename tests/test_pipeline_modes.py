@@ -95,3 +95,30 @@ def test_expire_mode(spark, snap_source, transcripts_df, capsys):
                 "--as-of", str(max_date),
             ]
         )
+
+
+def test_status_mode(spark, snap_source, capsys):
+    """status prints the manifest summary without a SparkSession and
+    errors clearly when no manifest exists."""
+    src, base = snap_source
+    pipeline_main(
+        [
+            "incremental",
+            "--source-table", src.root,
+            "--output", f"{base}/agg2",
+            "--tiers", "minute,hour",
+        ]
+    )
+    capsys.readouterr()
+    pipeline_main(["status", "--output", f"{base}/agg2"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["mode"] == "status"
+    assert report["n_runs"] == 1
+    assert report["incomplete_runs"] == []
+    run = report["runs"][0]
+    assert run["status"] == "completed"
+    assert run["tiers"]["minute"]["rows_out"] > run["tiers"]["hour"]["rows_out"]
+    assert run["tiers"]["minute"]["dirty_partitions"] > 0
+
+    with pytest.raises(SystemExit, match="no manifest"):
+        pipeline_main(["status", "--output", f"{base}/nowhere"])
