@@ -78,3 +78,8 @@ from tablecloth_time_spark.operators.pack import (  # noqa: F401
     packing_stats,
 )
 from tablecloth_time_spark.operators.acf import acf, pacf  # noqa: F401
+from tablecloth_time_spark.operators.compress import (  # noqa: F401
+    compress_series,
+    decompress_blocks,
+    read_blocks_slice,
+)

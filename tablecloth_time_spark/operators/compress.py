@@ -43,6 +43,7 @@ Spark row of the plan.
 
 from __future__ import annotations
 
+import datetime as dt
 import struct
 
 import numpy as np
@@ -60,6 +61,7 @@ from pyspark.sql.types import (
 )
 
 from tablecloth_time_spark.functions.timeops import down_to_nearest
+from tablecloth_time_spark.functions.units import milliseconds_in, normalize_unit
 
 _U64 = np.uint64
 _MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
@@ -686,3 +688,50 @@ def decompress_blocks(
 
     cols = ["conv_id", "ts_block"] + [f"{c}_block" for c in value_cols]
     return blocks.select(*cols).mapInPandas(expand, schema)
+
+
+def read_blocks_slice(
+    blocks: DataFrame,
+    value_cols: dict[str, str],
+    from_key,
+    to_key,
+    block_interval: int = 1,
+    block_unit: str = "day",
+) -> DataFrame:
+    """Serve a time slice FROM the compressed tier: prune whole blocks by
+    their [block_start, block_start + block length) extent, decode only
+    the survivors, then apply the exact inclusive [from, to] predicate
+    per point — the reference's slice semantics (slice_time) over the
+    Gorilla/DoD representation.
+
+    The block filter is a plain range predicate on ``block_start``, so
+    when block tables are written sorted/partitioned by block_start (the
+    tier layout run_pipeline.py uses for tiers) parquet min-max stats
+    skip non-overlapping files BEFORE any decode — a narrow slice of a
+    10^12-point compressed store decodes only the touched
+    conversation-days, never the archive.
+    """
+    from tablecloth_time_spark.operators.slice import parse_key
+
+    lo = parse_key(from_key)
+    hi = parse_key(to_key)
+    if isinstance(lo, dt.date) and not isinstance(lo, dt.datetime):
+        lo = dt.datetime(lo.year, lo.month, lo.day)
+    if isinstance(hi, dt.date) and not isinstance(hi, dt.datetime):
+        hi = dt.datetime(hi.year, hi.month, hi.day)
+    if lo > hi:
+        raise ValueError(f"slice bounds reversed: {from_key!r} > {to_key!r}")
+    block_ms = block_interval * milliseconds_in(normalize_unit(block_unit))
+    # block extent [start, start + block_ms) intersects [lo, hi];
+    # epoch millis computed TZ-free (naive datetimes are session-UTC wall
+    # clock — datetime.timestamp() would reinterpret them in the host TZ)
+    lo_ms = int((lo - dt.datetime(1970, 1, 1)).total_seconds() * 1000)
+    start_ms = F.unix_millis(F.col("block_start"))
+    pruned = blocks.filter(
+        (F.col("block_start") <= F.lit(hi))
+        & (start_ms + F.lit(block_ms) > F.lit(lo_ms))
+    )
+    points = decompress_blocks(pruned, value_cols)
+    return points.filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    )

@@ -180,3 +180,69 @@ def test_batched_encoders_byte_identical():
     got_f = encode_floats_xor_many(fv, starts, ends)
     for b, (s, e) in enumerate(zip(starts, ends)):
         assert got_f[b] == encode_floats_xor(fv[s:e]), f"float block {b} (n={e-s})"
+
+
+def test_read_blocks_slice_matches_raw_slice(spark):
+    """Serving a slice from the compressed tier: prune blocks by extent,
+    decode survivors, exact per-point predicate == slice_time on the raw
+    series; a narrow range decodes only the touched conversation-days."""
+    import datetime as dt
+
+    import numpy as np
+
+    from tablecloth_time_spark.operators.compress import (
+        compress_series,
+        read_blocks_slice,
+    )
+    from tablecloth_time_spark.operators.slice import slice_time
+
+    rng = np.random.default_rng(7)
+    t0 = dt.datetime(2024, 2, 1)
+    rows = []
+    for k in ("c1", "c2"):
+        offs = np.cumsum(rng.integers(600, 7200, 200))
+        for o in offs:
+            rows.append(
+                (k, t0 + dt.timedelta(seconds=int(o)),
+                 int(rng.integers(0, 50)), round(float(rng.normal()), 4))
+            )
+    raw = spark.createDataFrame(rows, ["conv_id", "ts", "n", "x"])
+    blocks = compress_series(
+        raw, ts_col="ts", value_cols={"n": "int", "x": "float"},
+        key_col="conv_id", block_unit="day",
+    ).cache()
+    total_blocks = blocks.count()
+
+    lo, hi = "2024-02-03", "2024-02-04 12:00:00"
+    got = (
+        read_blocks_slice(blocks, {"n": "int", "x": "float"}, lo, hi)
+        .toPandas()
+        .sort_values(["conv_id", "ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    exp = (
+        slice_time(raw, "ts", lo, hi)
+        .toPandas()
+        .sort_values(["conv_id", "ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    assert (got["ts"].to_numpy() == exp["ts"].to_numpy()).all()
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    # floats decode bit-exact (Gorilla XOR is lossless)
+    assert (got["x"].to_numpy() == exp["x"].to_numpy()).all()
+
+    # pruning really prunes: the 1.5-day window touches <= 2 days x 2 convs
+    block_ms = 86_400_000
+    from pyspark.sql import functions as SF
+
+    surviving = blocks.filter(
+        (SF.col("block_start") <= SF.lit(dt.datetime(2024, 2, 4, 12)))
+        & (SF.unix_millis("block_start") + block_ms
+           > int(dt.datetime(2024, 2, 3).timestamp() * 1000) )
+    ).count()
+    assert surviving < total_blocks
+    assert surviving <= 4
+
+    with pytest.raises(ValueError, match="reversed"):
+        read_blocks_slice(blocks, {"n": "int", "x": "float"}, hi, lo)
