@@ -88,9 +88,12 @@ def main(argv=None) -> None:
 
     if args.mode == "status":
         # manifest-only: no SparkSession, safe to run beside a live job
+        # (importing the plans module is side-effect-free)
         import os
 
-        path = os.path.join(args.output, "manifest.json")
+        from tablecloth_time_spark.plans.continuous import manifest_path
+
+        path = manifest_path(args.output)
         if not os.path.exists(path):
             raise SystemExit(f"no manifest at {path}")
         with open(path) as f:

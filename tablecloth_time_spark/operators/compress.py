@@ -61,7 +61,11 @@ from pyspark.sql.types import (
 )
 
 from tablecloth_time_spark.functions.timeops import down_to_nearest
-from tablecloth_time_spark.functions.units import milliseconds_in, normalize_unit
+from tablecloth_time_spark.functions.units import (
+    is_calendar_unit,
+    milliseconds_in,
+    normalize_unit,
+)
 
 _U64 = np.uint64
 _MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
@@ -710,26 +714,31 @@ def read_blocks_slice(
     skip non-overlapping files BEFORE any decode — a narrow slice of a
     10^12-point compressed store decodes only the touched
     conversation-days, never the archive.
-    """
-    from tablecloth_time_spark.operators.slice import parse_key
 
-    lo = parse_key(from_key)
-    hi = parse_key(to_key)
-    if isinstance(lo, dt.date) and not isinstance(lo, dt.datetime):
-        lo = dt.datetime(lo.year, lo.month, lo.day)
-    if isinstance(hi, dt.date) and not isinstance(hi, dt.datetime):
-        hi = dt.datetime(hi.year, hi.month, hi.day)
+    Calendar block units (month/quarter/year) prune with a conservative
+    fixed upper bound on the extent (31/92/366 days) — the exact
+    per-point predicate makes the over-approximation harmless.
+    """
+    from tablecloth_time_spark.operators.slice import _key_sort_value, parse_key
+
+    # same key normalization as slice_time: dates -> midnight, tz-aware
+    # datetimes -> naive UTC wall clock
+    lo = _key_sort_value(parse_key(from_key))
+    hi = _key_sort_value(parse_key(to_key))
     if lo > hi:
         raise ValueError(f"slice bounds reversed: {from_key!r} > {to_key!r}")
-    block_ms = block_interval * milliseconds_in(normalize_unit(block_unit))
-    # block extent [start, start + block_ms) intersects [lo, hi];
-    # epoch millis computed TZ-free (naive datetimes are session-UTC wall
-    # clock — datetime.timestamp() would reinterpret them in the host TZ)
-    lo_ms = int((lo - dt.datetime(1970, 1, 1)).total_seconds() * 1000)
-    start_ms = F.unix_millis(F.col("block_start"))
+    u = normalize_unit(block_unit)
+    if is_calendar_unit(u):
+        days = {"month": 31, "quarter": 92, "year": 366}[u]
+        block_ms = block_interval * days * 86_400_000
+    else:
+        block_ms = block_interval * milliseconds_in(u)
+    # block extent [start, start + block_ms) intersects [lo, hi] — pure
+    # wall-clock timestamp comparisons, so the prune and the per-point
+    # predicate agree regardless of the session time zone
     pruned = blocks.filter(
         (F.col("block_start") <= F.lit(hi))
-        & (start_ms + F.lit(block_ms) > F.lit(lo_ms))
+        & (F.col("block_start") > F.lit(lo - dt.timedelta(milliseconds=block_ms)))
     )
     points = decompress_blocks(pruned, value_cols)
     return points.filter(

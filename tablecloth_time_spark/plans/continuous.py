@@ -65,6 +65,13 @@ from tablecloth_time_spark.plans.tier_store import (
 BUCKET = "bucket"
 
 
+def manifest_path(root: str) -> str:
+    """Canonical location of a continuous aggregate's checkpoint manifest
+    under its root dir — the single owner of the filename convention
+    (run_pipeline.py's SparkSession-free status mode reads it too)."""
+    return os.path.join(root, "manifest.json")
+
+
 @dataclass(frozen=True)
 class TierSpec:
     name: str
@@ -125,7 +132,7 @@ class ContinuousAggregate:
     # -- manifest -----------------------------------------------------------
 
     def _manifest_path(self) -> str:
-        return os.path.join(self.root, "manifest.json")
+        return manifest_path(self.root)
 
     def manifest(self) -> dict:
         p = self._manifest_path()
@@ -192,10 +199,11 @@ class ContinuousAggregate:
         inc = self.source.read_incremental(last, current)
         if inc is not None and self.prepare is not None:
             inc = self.prepare(inc)
+        rows_in = 0 if inc is None else inc.count()
         # a zero-row increment (no new files, or appended snapshots that
         # carried no rows) is an operational no-op, not an error: complete
         # the run and advance the snapshot cursor
-        if inc is None or inc.limit(1).count() == 0:
+        if rows_in == 0:
             run["status"] = "completed"
             run["rows_in"] = 0
             m["last_snapshot"] = current
@@ -206,7 +214,6 @@ class ContinuousAggregate:
             inc, self.keys, self.ts_col, finest.interval, finest.unit,
             self.aggs, self.order_cols,
         ).cache()
-        rows_in = inc.count()
 
         for tier in self.tiers:
             info = run["tiers"].get(tier.name, {})

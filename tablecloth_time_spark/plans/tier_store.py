@@ -33,7 +33,10 @@ Contract details the engine relies on:
   info dict containing at least ``dirty_partitions``, ``partition_rows``
   (per-partition row counts — the lineage record), and ``rows_out``. Extra
   keys are the store's private commit token; the engine stores the dict in
-  the manifest verbatim and passes it back to ``commit``.
+  the manifest verbatim and passes it back to ``commit``. A store must
+  tolerate ``dirty == []`` (empty merged frame) by returning empty lineage
+  without writing — the engine's refresh early-exits on empty increments,
+  but direct callers may not.
 - ``commit(tier, info)`` must be IDEMPOTENT: replaying it after a crash
   (staged data already swapped in, token gone) must succeed as a no-op.
   Because staged content is absolute, a replayed commit can never

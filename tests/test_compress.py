@@ -232,14 +232,14 @@ def test_read_blocks_slice_matches_raw_slice(spark):
     # floats decode bit-exact (Gorilla XOR is lossless)
     assert (got["x"].to_numpy() == exp["x"].to_numpy()).all()
 
-    # pruning really prunes: the 1.5-day window touches <= 2 days x 2 convs
-    block_ms = 86_400_000
+    # pruning really prunes: the 1.5-day window touches <= 2 days x 2
+    # convs — wall-clock comparisons, TZ-free (mirrors the operator)
     from pyspark.sql import functions as SF
 
     surviving = blocks.filter(
         (SF.col("block_start") <= SF.lit(dt.datetime(2024, 2, 4, 12)))
-        & (SF.unix_millis("block_start") + block_ms
-           > int(dt.datetime(2024, 2, 3).timestamp() * 1000) )
+        & (SF.col("block_start")
+           > SF.lit(dt.datetime(2024, 2, 3) - dt.timedelta(days=1)))
     ).count()
     assert surviving < total_blocks
     assert surviving <= 4
