@@ -1250,7 +1250,9 @@ SELECT event_type, 'naive', h, last_day + h * INTERVAL 1 DAY,
 FROM hs
 UNION ALL
 SELECT event_type, 'drift', h, last_day + h * INTERVAL 1 DAY,
-       ROUND(y_last + h * (y_last - y_first) / (n - 1), 6)
+       -- parenthesized to match the engine's float association
+       -- (slope first, then x h): last-ULP parity for the exact hash
+       ROUND(y_last + h * ((y_last - y_first) / (n - 1)), 6)
 FROM hs
 UNION ALL
 SELECT hs.event_type, 'snaive', hs.h, hs.last_day + hs.h * INTERVAL 1 DAY,
