@@ -378,6 +378,7 @@ def down_to_nearest(
     unit: str,
     as_timestamp: bool = True,
     origin: str | None = None,
+    zone: str | None = None,
 ) -> Column:
     """Floor a timestamp to the lower multiple of (interval x unit).
 
@@ -395,12 +396,32 @@ def down_to_nearest(
     Calendar units (month/quarter/year): epoch-month/quarter/year integer
     flooring (see floor_to_* above); ``origin`` is not supported there.
 
+    ``zone`` floors in that time zone's LOCAL calendar and returns the UTC
+    instant of the local boundary (the reference's ``floor-to-*``
+    ``{:zone}`` option, reference column/api.clj:98-157): a Berlin daily
+    bucket starts at local midnight — 23:00 UTC in summer, 22:00 the day
+    DST ends — via the from/to_utc_timestamp sandwich around the normal
+    floor arithmetic. During the repeated DST fall-back hour Spark's
+    ``to_utc_timestamp`` resolves the ambiguous local boundary to its
+    standard-offset reading. Requires ``as_timestamp=True``.
+
     Returns TimestampType when ``as_timestamp`` (the engine's tier-bucket
     contract), else DateType for calendar floors.
     """
     u = normalize_unit(unit)
     if interval < 1:
         raise ValueError("interval must be >= 1")
+    if zone is not None:
+        if not as_timestamp:
+            raise ValueError(
+                "zone= returns the UTC instant of the local boundary; "
+                "as_timestamp=False is ambiguous — cast caller-side"
+            )
+        local = F.from_utc_timestamp(_c(col).cast("timestamp"), zone)
+        floored_local = down_to_nearest(
+            local, interval, u, as_timestamp=True, origin=origin
+        )
+        return F.to_utc_timestamp(floored_local, zone)
     if is_calendar_unit(u):
         if origin is not None:
             raise ValueError("origin= is only supported for metric units")

@@ -484,3 +484,68 @@ class TestOriginAnchoredBuckets:
     def test_origin_calendar_unit_raises(self, spark):
         with pytest.raises(ValueError, match="metric units"):
             T.down_to_nearest("ts", 1, "month", origin="2024-01-01")
+
+
+def test_down_to_nearest_zone_dst_goldens(spark):
+    """Zone-aware bucketing (reference floor-to-* {:zone}): local-calendar
+    boundaries across the Berlin DST transitions, verified against a
+    zoneinfo oracle."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    from tablecloth_time_spark.functions.timeops import down_to_nearest
+
+    berlin = ZoneInfo("Europe/Berlin")
+    utc_instants = [
+        dt.datetime(2024, 3, 31, 12, 0),   # DST spring-forward day (CEST)
+        dt.datetime(2024, 3, 30, 22, 30),  # 23:30 local, day before
+        dt.datetime(2024, 3, 31, 23, 30),  # 01:30 local APRIL 1 (CEST)
+        dt.datetime(2024, 10, 27, 12, 0),  # DST fall-back day (CET)
+        dt.datetime(2024, 6, 15, 8, 45),   # plain summer instant
+    ]
+    df = spark.createDataFrame([(t,) for t in utc_instants], ["ts"])
+    out = df.select(
+        "ts",
+        down_to_nearest("ts", 1, "day", zone="Europe/Berlin").alias("day_b"),
+        down_to_nearest("ts", 1, "month", zone="Europe/Berlin").alias("mon_b"),
+    ).collect()
+
+    def oracle(t_utc, unit):
+        loc = t_utc.replace(tzinfo=dt.timezone.utc).astimezone(berlin)
+        if unit == "day":
+            fl = loc.replace(hour=0, minute=0, second=0, microsecond=0)
+        else:
+            fl = loc.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+        # UTC instant of the local boundary (fold=0 = standard reading)
+        return fl.astimezone(dt.timezone.utc).replace(tzinfo=None)
+
+    for r in out:
+        assert r["day_b"] == oracle(r["ts"], "day"), r["ts"]
+        assert r["mon_b"] == oracle(r["ts"], "month"), r["ts"]
+    # spot goldens: Berlin local midnight is 23:00 UTC under CET,
+    # 22:00 UTC under CEST
+    got = {r["ts"]: (r["day_b"], r["mon_b"]) for r in out}
+    assert got[dt.datetime(2024, 6, 15, 8, 45)][0] == dt.datetime(2024, 6, 14, 22, 0)
+    assert got[dt.datetime(2024, 3, 31, 23, 30)][1] == dt.datetime(2024, 3, 31, 22, 0)
+    assert got[dt.datetime(2024, 3, 30, 22, 30)][0] == dt.datetime(2024, 3, 29, 23, 0)
+
+
+def test_down_to_nearest_zone_default_unchanged(spark):
+    """zone=None keeps the pinned-UTC behavior bit-for-bit, and zone='UTC'
+    equals it; as_timestamp=False with zone raises."""
+    import datetime as dt
+
+    from tablecloth_time_spark.functions.timeops import down_to_nearest
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 5, 7, 13, 29, 11),)], ["ts"]
+    )
+    r = df.select(
+        down_to_nearest("ts", 1, "day").alias("plain"),
+        down_to_nearest("ts", 1, "day", zone="UTC").alias("z_utc"),
+    ).collect()[0]
+    assert r["plain"] == r["z_utc"] == dt.datetime(2024, 5, 7)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="as_timestamp"):
+        down_to_nearest("ts", 1, "day", as_timestamp=False, zone="UTC")
