@@ -120,6 +120,7 @@ def rollup(
     order_cols: list[str] | None = None,
     salt: int = 0,
     bucket_col: str = BUCKET_COL,
+    zone: str | None = None,
 ) -> DataFrame:
     """Single-tier rollup: groupBy(keys + time bucket) with mergeable aggs.
 
@@ -127,10 +128,14 @@ def rollup(
     (keys, bucket, salt_id) computes partials, a second merges them — the
     mega-thread skew strategy. With salt=0 Spark's built-in partial/final
     hash aggregation handles the two phases implicitly.
+
+    ``zone`` buckets in that time zone's local calendar (DST-aware local
+    days/months; see down_to_nearest) — the bucket column still holds UTC
+    instants, so zoned tiers join/cascade like any other.
     """
     specs = _parse_aggs(aggs)
     order_cols = order_cols or [ts_col]
-    bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
+    bucket = down_to_nearest(ts_col, interval, unit, zone=zone).alias(bucket_col)
 
     partial_exprs = [e for s in specs for e in s.partial_exprs(order_cols)]
     if salt and salt > 1:

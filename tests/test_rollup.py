@@ -156,3 +156,27 @@ def test_first_last_stable_under_duplicate_ts(spark):
     assert len(out) == 1
     assert out[0]["first_text"] == "a"
     assert out[0]["last_text"] == "d"
+
+
+def test_rollup_zone_local_days(spark):
+    """Zoned daily rollup: two events in ONE Berlin local day but two UTC
+    days land in one bucket (the local-midnight UTC instant)."""
+    import datetime as dt
+
+    rows = [
+        # 2024-06-14 23:30 UTC = 01:30 June 15 Berlin (CEST)
+        ("a", dt.datetime(2024, 6, 14, 23, 30), 1),
+        # 2024-06-15 10:00 UTC = 12:00 June 15 Berlin
+        ("a", dt.datetime(2024, 6, 15, 10, 0), 1),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = rollup(
+        df, ["k"], "ts", 1, "day", {"n": ("count", "v")},
+        zone="Europe/Berlin",
+    ).collect()
+    assert len(got) == 1
+    # Berlin June 15 local midnight = June 14 22:00 UTC
+    assert got[0]["bucket"] == dt.datetime(2024, 6, 14, 22, 0)
+    assert got[0]["n"] == 2
+    # the UTC default splits the same pair across two buckets
+    assert rollup(df, ["k"], "ts", 1, "day", {"n": ("count", "v")}).count() == 2
