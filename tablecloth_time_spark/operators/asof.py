@@ -65,8 +65,15 @@ def asof_join(
     that ordering wins; without it, equal-timestamp right rows are picked
     nondeterministically.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, left_ts, right_ts, tolerance, unit,
+            right_prefix, right_order_cols,
+        )
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys and c != right_ts]
     collide = [
@@ -140,4 +147,52 @@ def asof_join(
         *[c for c in left.columns],
         mts.alias(right_prefix + "matched_ts"),
         *[v.alias(right_prefix + c) for c, v in zip(payload, vals)],
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance: int | None,
+    unit: str,
+    right_prefix: str,
+    right_order_cols: list[str] | None,
+) -> DataFrame:
+    """direction='nearest': the closer of the backward and forward matches
+    per left row (pandas merge_asof nearest semantics; an equal-distance
+    tie takes the BACKWARD match — documented, deterministic).
+
+    Composed from the two tested directional kernels — two union+window
+    passes (two Exchanges on the key), still linear and join-free; the
+    per-row pick is a pure conditional projection.
+    """
+    b = asof_join(
+        left, right, on, left_ts, right_ts, "backward", tolerance, unit,
+        right_prefix="__nb_", right_order_cols=right_order_cols,
+    )
+    bf = asof_join(
+        b, right, on, left_ts, right_ts, "forward", tolerance, unit,
+        right_prefix="__nf_", right_order_cols=right_order_cols,
+    )
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in keys and c != right_ts]
+    lms = to_epoch_millis(left_ts)
+    db = lms - to_epoch_millis(F.col("__nb_matched_ts"))
+    df_ = to_epoch_millis(F.col("__nf_matched_ts")) - lms
+    take_b = F.col("__nf_matched_ts").isNull() | (
+        F.col("__nb_matched_ts").isNotNull() & (db <= df_)
+    )
+
+    def pick(col: str) -> Column:
+        return F.when(take_b, F.col("__nb_" + col)).otherwise(
+            F.col("__nf_" + col)
+        )
+
+    return bf.select(
+        *left.columns,
+        pick("matched_ts").alias(right_prefix + "matched_ts"),
+        *[pick(c).alias(right_prefix + c) for c in payload],
     )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import datetime as dt
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -276,3 +278,79 @@ def test_asof_right_tiebreak_deterministic(spark):
     )
     [r] = asof_join(left, right, on="k", right_order_cols=["seq"]).collect()
     assert r["v"] == 30.0 and r["seq"] == 3
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """direction='nearest' against pandas merge_asof (the defining
+    implementation), plus the documented equal-distance -> backward tie."""
+    rng = np.random.default_rng(12)
+    t0 = dt.datetime(2024, 4, 1)
+    left_pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 120).astype("int64"),
+            "ts": [
+                t0 + dt.timedelta(seconds=int(s))
+                for s in np.sort(rng.integers(0, 100_000, 120))
+            ],
+        }
+    )
+    right_pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 60).astype("int64"),
+            "rts": [
+                t0 + dt.timedelta(seconds=int(s))
+                for s in np.sort(rng.integers(0, 100_000, 60))
+            ],
+            "price": np.round(rng.uniform(1, 9, 60), 3),
+        }
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left_pdf),
+            spark.createDataFrame(right_pdf),
+            on="k", left_ts="ts", right_ts="rts", direction="nearest",
+        )
+        .toPandas()
+        .sort_values(["k", "ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.merge_asof(
+            left_pdf.sort_values("ts"),
+            right_pdf.sort_values("rts"),
+            left_on="ts", right_on="rts", by="k", direction="nearest",
+        )
+        .sort_values(["k", "ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    # pandas keeps the matched right ts in 'rts'; engine calls it matched_ts
+    assert (
+        got["price"].fillna(-1).to_numpy() == exp["price"].fillna(-1).to_numpy()
+    ).all()
+    assert (
+        got["matched_ts"].fillna(t0).to_numpy()
+        == exp["rts"].fillna(t0).to_numpy()
+    ).all()
+
+
+def test_asof_nearest_tie_and_tolerance(spark):
+    t0 = dt.datetime(2024, 4, 1)
+    left = spark.createDataFrame([("a", t0 + dt.timedelta(minutes=10))], ["k", "ts"])
+    right = spark.createDataFrame(
+        [
+            ("a", t0 + dt.timedelta(minutes=5), 1.0),   # 5 min before
+            ("a", t0 + dt.timedelta(minutes=15), 2.0),  # 5 min after
+        ],
+        ["k", "rts", "v"],
+    )
+    r = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        direction="nearest",
+    ).collect()[0]
+    assert r["v"] == 1.0  # equal distance -> backward, documented
+    # tolerance nulls both-far matches
+    far = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        direction="nearest", tolerance=2, unit="minute",
+    ).collect()[0]
+    assert far["v"] is None and far["matched_ts"] is None
