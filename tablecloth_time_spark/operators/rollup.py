@@ -158,6 +158,7 @@ def ohlc(
     unit: str = "day",
     order_cols: list[str] | None = None,
     bucket_col: str = BUCKET_COL,
+    zone: str | None = None,
 ) -> DataFrame:
     """Open/high/low/close candles per (keys, bucket) — the finance
     resample, as a pure composition of :func:`rollup`'s mergeable
@@ -182,6 +183,7 @@ def ohlc(
         },
         order_cols=order_cols,
         bucket_col=bucket_col,
+        zone=zone,
     )
 
 
