@@ -402,8 +402,10 @@ def down_to_nearest(
     bucket starts at local midnight — 23:00 UTC in summer, 22:00 the day
     DST ends — via the from/to_utc_timestamp sandwich around the normal
     floor arithmetic. During the repeated DST fall-back hour Spark's
-    ``to_utc_timestamp`` resolves the ambiguous local boundary to its
-    standard-offset reading. Requires ``as_timestamp=True``.
+    ``to_utc_timestamp`` resolves an ambiguous local boundary to the
+    EARLIER offset (the daylight reading, java.time ``atZone`` semantics
+    — empirically pinned in test_timeops_golden). Requires
+    ``as_timestamp=True``.
 
     Returns TimestampType when ``as_timestamp`` (the engine's tier-bucket
     contract), else DateType for calendar floors.

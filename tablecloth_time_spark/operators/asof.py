@@ -161,38 +161,108 @@ def _asof_nearest(
     right_prefix: str,
     right_order_cols: list[str] | None,
 ) -> DataFrame:
-    """direction='nearest': the closer of the backward and forward matches
-    per left row (pandas merge_asof nearest semantics; an equal-distance
-    tie takes the BACKWARD match — documented, deterministic).
+    """direction='nearest': the closer of the predecessor and successor
+    matches per left row (pandas merge_asof nearest semantics; an
+    equal-distance tie takes the BACKWARD match — documented,
+    deterministic; distances compare at full microsecond precision).
 
-    Composed from the two tested directional kernels — two union+window
-    passes (two Exchanges on the key), still linear and join-free; the
-    per-row pick is a pure conditional projection.
+    Single union pass: ONE Exchange on the key, then two in-partition
+    sorts of the same partitioning — the backward carry over
+    (ts, right-first) ascending and the forward carry over a
+    (ts, left-first) ordering whose following frame sees equal-ts right
+    rows — so neither the right side nor the backward payload shuffles
+    twice. The per-row pick is a pure conditional projection.
     """
-    b = asof_join(
-        left, right, on, left_ts, right_ts, "backward", tolerance, unit,
-        right_prefix="__nb_", right_order_cols=right_order_cols,
-    )
-    bf = asof_join(
-        b, right, on, left_ts, right_ts, "forward", tolerance, unit,
-        right_prefix="__nf_", right_order_cols=right_order_cols,
-    )
+    from tablecloth_time_spark.functions.timeops import to_epoch_micros
+
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys and c != right_ts]
-    lms = to_epoch_millis(left_ts)
-    db = lms - to_epoch_millis(F.col("__nb_matched_ts"))
-    df_ = to_epoch_millis(F.col("__nf_matched_ts")) - lms
-    take_b = F.col("__nf_matched_ts").isNull() | (
-        F.col("__nb_matched_ts").isNotNull() & (db <= df_)
-    )
-
-    def pick(col: str) -> Column:
-        return F.when(take_b, F.col("__nb_" + col)).otherwise(
-            F.col("__nf_" + col)
+    collide = [
+        right_prefix + c
+        for c in payload + ["matched_ts"]
+        if right_prefix + c in left.columns
+    ]
+    if collide:
+        raise ValueError(
+            f"right columns {collide} collide with left; pass right_prefix="
         )
 
-    return bf.select(
+    tie = list(right_order_cols or [])
+    tie_names = [f"__asof_tie{i}" for i in range(len(tie))]
+    pay_struct = F.struct(
+        F.col(right_ts).alias("__mts"),
+        *[F.col(c).alias(f"__v{i}") for i, c in enumerate(payload)],
+    )
+    # order at FULL microsecond precision — the ms pivot would place a
+    # same-millisecond-but-earlier right row in the following frame and
+    # the distance comparison (also in us) would then disagree with the
+    # window's notion of before/after
+    lt = left.select(
         *left.columns,
-        pick("matched_ts").alias(right_prefix + "matched_ts"),
-        *[pick(c).alias(right_prefix + c) for c in payload],
+        to_epoch_micros(left_ts).alias(_ORD),
+        F.lit(1).alias(_SIDE),
+    )
+    rt = right.filter(F.col(right_ts).isNotNull()).select(
+        *keys,
+        to_epoch_micros(right_ts).alias(_ORD),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c).alias(n) for c, n in zip(tie, tie_names)],
+        pay_struct.alias(_RTS),
+    )
+    both = lt.unionByName(rt, allowMissingColumns=True)
+
+    # backward: right(0) sorts BEFORE left(1) at equal ts -> equal-ts right
+    # is inside the preceding frame (inclusive match); among equal-ts rights
+    # the LAST in tie order wins (same contract as the directional kernel)
+    w_b = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_ORD).asc(), F.col(_SIDE).asc(), *[F.col(n).asc() for n in tie_names])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: order left(1) BEFORE right(0) at equal ts so the following
+    # frame still sees an equal-ts right row; tie DESC makes first() pick
+    # the last-in-tie-order right among equals — mirroring the reversed
+    # directional kernel
+    w_f = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_ORD).asc(), F.col(_SIDE).desc(), *[F.col(n).desc() for n in tie_names])
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    b_match = F.last(_RTS, ignorenulls=True).over(w_b)
+    f_match = F.first(_RTS, ignorenulls=True).over(w_f)
+    out = both.select(
+        *left.columns,
+        F.col(_SIDE),
+        b_match.alias("__nb"),
+        f_match.alias("__nf"),
+    ).filter(F.col(_SIDE) == 1)
+
+    lus = to_epoch_micros(left_ts)
+    b_ts = F.col("__nb").getField("__mts")
+    f_ts = F.col("__nf").getField("__mts")
+    db = lus - to_epoch_micros(b_ts)
+    df_ = to_epoch_micros(f_ts) - lus
+    if tolerance is not None:
+        tol_us = 1000 * tolerance * milliseconds_in(normalize_unit(unit))
+        b_ok = b_ts.isNotNull() & (db <= tol_us)
+        f_ok = f_ts.isNotNull() & (df_ <= tol_us)
+    else:
+        b_ok = b_ts.isNotNull()
+        f_ok = f_ts.isNotNull()
+    take_b = b_ok & (~f_ok | (db <= df_))
+    take_f = f_ok & ~take_b
+
+    def pick(field: str) -> Column:
+        return (
+            F.when(take_b, F.col("__nb").getField(field))
+            .when(take_f, F.col("__nf").getField(field))
+        )
+
+    return out.select(
+        *left.columns,
+        pick("__mts").alias(right_prefix + "matched_ts"),
+        *[
+            pick(f"__v{i}").alias(right_prefix + c)
+            for i, c in enumerate(payload)
+        ],
     )

@@ -131,7 +131,12 @@ def rollup(
 
     ``zone`` buckets in that time zone's local calendar (DST-aware local
     days/months; see down_to_nearest) — the bucket column still holds UTC
-    instants, so zoned tiers join/cascade like any other.
+    instants, so zoned tiers JOIN like any other. They do NOT feed the
+    zone-less cascade paths (rollup_cascade / rollup_tiers_long /
+    merge_partials rebucket): re-flooring a local-midnight UTC instant in
+    the UTC calendar lands local days in the wrong coarser bucket —
+    compute each zoned grain from raw data with its own rollup(zone=...)
+    call instead.
     """
     specs = _parse_aggs(aggs)
     order_cols = order_cols or [ts_col]

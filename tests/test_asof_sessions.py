@@ -327,9 +327,10 @@ def test_asof_nearest_matches_pandas(spark):
     assert (
         got["price"].fillna(-1).to_numpy() == exp["price"].fillna(-1).to_numpy()
     ).all()
+    sentinel = t0 - dt.timedelta(days=1)  # outside the generated range
     assert (
-        got["matched_ts"].fillna(t0).to_numpy()
-        == exp["rts"].fillna(t0).to_numpy()
+        got["matched_ts"].fillna(sentinel).to_numpy()
+        == exp["rts"].fillna(sentinel).to_numpy()
     ).all()
 
 
@@ -354,3 +355,44 @@ def test_asof_nearest_tie_and_tolerance(spark):
         direction="nearest", tolerance=2, unit="minute",
     ).collect()[0]
     assert far["v"] is None and far["matched_ts"] is None
+
+
+def test_asof_nearest_single_exchange_and_microseconds(spark):
+    """The single-pass nearest plan shuffles once (two in-partition sorts
+    of the same partitioning), and distances compare at full microsecond
+    precision (review fix: millisecond floors picked the farther match)."""
+    t0 = dt.datetime(2024, 4, 1)
+    us = dt.timedelta(microseconds=1)
+    left = spark.createDataFrame([("a", t0 + 900 * us)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [("a", t0 + 100 * us, 1.0), ("a", t0 + 1000 * us, 2.0)],
+        ["k", "rts", "v"],
+    )
+    joined = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        direction="nearest",
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan  # still join-free
+    r = joined.collect()[0]
+    assert r["v"] == 2.0  # true dists: 800us back vs 100us forward
+
+
+def test_asof_nearest_collision_guard(spark):
+    """nearest enforces the same right/left name-collision guard as the
+    directional kernels (review fix: it used to emit duplicate columns)."""
+    t0 = dt.datetime(2024, 4, 1)
+    left = spark.createDataFrame([("a", t0, 9.0)], ["k", "ts", "price"])
+    right = spark.createDataFrame([("a", t0, 1.0)], ["k", "rts", "price"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            direction="nearest",
+        )
+    # right_prefix resolves it
+    r = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        direction="nearest", right_prefix="r_",
+    ).collect()[0]
+    assert r["price"] == 9.0 and r["r_price"] == 1.0

@@ -516,7 +516,9 @@ def test_down_to_nearest_zone_dst_goldens(spark):
             fl = loc.replace(hour=0, minute=0, second=0, microsecond=0)
         else:
             fl = loc.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
-        # UTC instant of the local boundary (fold=0 = standard reading)
+        # UTC instant of the local boundary; fold=0 = the EARLIER
+        # (daylight) occurrence of an ambiguous fall-back time —
+        # matching Spark's to_utc_timestamp (java.time atZone)
         return fl.astimezone(dt.timezone.utc).replace(tzinfo=None)
 
     for r in out:
@@ -549,3 +551,20 @@ def test_down_to_nearest_zone_default_unchanged(spark):
 
     with _pt.raises(ValueError, match="as_timestamp"):
         down_to_nearest("ts", 1, "day", as_timestamp=False, zone="UTC")
+
+
+def test_down_to_nearest_zone_ambiguous_boundary(spark):
+    """Hourly zoned bucket during the Berlin fall-back (2024-10-27): the
+    local 02:00 boundary is ambiguous; Spark resolves it to the EARLIER
+    (CEST, +02:00) offset, so the 01:30 UTC instant (= 02:30 CET, second
+    pass of the repeated hour) buckets to 00:00 UTC — pins the documented
+    earlier-offset contract."""
+    import datetime as dt
+
+    from tablecloth_time_spark.functions.timeops import down_to_nearest
+
+    df = spark.createDataFrame([(dt.datetime(2024, 10, 27, 1, 30),)], ["ts"])
+    r = df.select(
+        down_to_nearest("ts", 1, "hour", zone="Europe/Berlin").alias("b")
+    ).collect()[0]
+    assert r["b"] == dt.datetime(2024, 10, 27, 0, 0)
