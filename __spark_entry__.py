@@ -2077,7 +2077,99 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs_to_clusters(pairs)
 
 
+def _nz(fn: Callable[[SparkSession, str], DataFrame]):
+    """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
+
+    ROUND can land exactly on zero from either side of it, and the engines
+    then disagree on the sign bit (r3: one sf0.01 row where DuckDB's
+    ROUND(x, 6) kept -0.0 while Spark produced +0.0 — numerically equal,
+    but the driver's value hash is byte-level, so the single signed zero
+    flipped the whole level_shifts query red). ``x + 0.0`` is the IEEE-754
+    canonicalization identity: -0.0 + 0.0 = +0.0 under round-to-nearest,
+    while every other value (NaN and NULL included) passes through. The
+    oracle side applies the same rewrite (see _nz_sql), so both engines
+    converge on +0.0. Applied mechanically to EVERY float/double output
+    column of every query so future rounded columns can't reintroduce the
+    hazard (PLANS.md "negative-zero canonicalization").
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = fn(spark, sf_dir)
+        exprs = []
+        for c, t in df.dtypes:
+            col = F.col(c)
+            if t == "double":
+                exprs.append((col + F.lit(0.0)).alias(c))
+            elif t == "float":
+                exprs.append(
+                    (col.cast("double") + F.lit(0.0)).cast("float").alias(c)
+                )
+            else:
+                exprs.append(col)
+        return df.select(*exprs)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+# float/double output columns per oracle query, for the -0.0 rewrite on the
+# DuckDB side (mirror of _nz). Generated by scripts/gen_nz_cols.py from
+# DESCRIBE over the raw oracle SQL; tests/test_entry_contract.py asserts it
+# stays in sync, so add new queries there and regenerate.
+_NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
+    "slice_events": [("value", "DOUBLE")],
+    "rollup_hourly": [("sum_value", "DOUBLE"), ("min_value", "DOUBLE"), ("max_value", "DOUBLE"), ("avg_value", "DOUBLE")],
+    "rollup_15min_salted": [("sum_value", "DOUBLE")],
+    "calendar_floors": [("sum_price", "DOUBLE")],
+    "computed_fields": [("hour_frac", "DOUBLE"), ("daily_phase", "DOUBLE"), ("weekly_phase", "DOUBLE"), ("yearly_phase", "DOUBLE")],
+    "add_lags": [("value", "DOUBLE"), ("value_lag1", "DOUBLE"), ("value_lag2", "DOUBLE")],
+    "first_difference": [("diff", "DOUBLE"), ("run_sum", "DOUBLE"), ("run_peak", "DOUBLE"), ("drawdown", "DOUBLE")],
+    "resample_daily_mean": [("mean_value", "DOUBLE")],
+    "rolling_1h": [("roll_sum", "DOUBLE"), ("roll5_avg", "DOUBLE"), ("roll5_min", "DOUBLE")],
+    "gapfill_ffill": [("value", "DOUBLE")],
+    "acf_hourly": [("acf", "DOUBLE")],
+    "seasonal_decompose": [("trend", "DOUBLE"), ("seasonal", "DOUBLE"), ("remainder", "DOUBLE")],
+    "rollup_tiers_long": [("s", "DOUBLE")],
+    "asof_join_rates": [("hour_sum", "DOUBLE")],
+    "sessionize_events": [("sum_value", "DOUBLE")],
+    "counter_rate_events": [("delta", "DOUBLE"), ("rate_per_s", "DOUBLE"), ("ewma", "DOUBLE")],
+    "twa_daily": [("twa", "DOUBLE")],
+    "detect_gaps": [("gap_s", "DOUBLE")],
+    "ohlc_daily": [("open", "DOUBLE"), ("high", "DOUBLE"), ("low", "DOUBLE"), ("close", "DOUBLE"), ("p50", "DOUBLE"), ("p95", "DOUBLE"), ("p99", "DOUBLE")],
+    "window_features": [("value", "DOUBLE"), ("value_1h_ago", "DOUBLE"), ("zscore", "DOUBLE")],
+    "level_shifts": [("shift", "DOUBLE"), ("shift_score", "DOUBLE")],
+    "benchmark_forecast": [("forecast", "DOUBLE")],
+    "gapfill_monthly": [("avg_price", "DOUBLE")],
+    "continuous_hourly": [("s", "DOUBLE")],
+    "compress_roundtrip": [("s", "DOUBLE")],
+    "m4_downsample": [("v_first", "DOUBLE"), ("v_last", "DOUBLE"), ("v_min", "DOUBLE"), ("v_max", "DOUBLE")],
+    "cohort_retention": [("retention", "DOUBLE")],
+    "text_stats": [("punct_ratio", "DOUBLE"), ("stopword_ratio", "DOUBLE"), ("mean_word_len", "DOUBLE"), ("quality", "DOUBLE")],
+    "sample_splits": [("frac", "DOUBLE")],
+    "ngram_jaccard_pairs": [("jaccard_sim", "DOUBLE")],
+    "embedding_near_dup": [("cosine_sim", "DOUBLE")],
+    "embedding_topk": [("cosine_sim", "DOUBLE")],
+    "media_features": [("feature_sum", "DOUBLE")],
+}
+
+
+def _nz_sql(sql: str, float_cols: list[tuple[str, str]]) -> str:
+    """Wrap an oracle query so every float column is canonicalized via
+    ``CAST(col + 0 AS <type>)`` — the DuckDB half of the _nz contract."""
+    if not float_cols:
+        return sql
+    repl = ", ".join(
+        f'CAST("{c}" + 0 AS {t}) AS "{c}"' for c, t in float_cols
+    )
+    return f"SELECT * REPLACE ({repl}) FROM (\n{sql}\n) AS __nz"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _nz(fn) for name, fn in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "slice_events": q_slice_events,
         "rollup_hourly": q_rollup_hourly,
@@ -2133,6 +2225,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    raw = _raw_oracle_sql()
+    return {
+        name: _nz_sql(sql, _NZ_FLOAT_COLS.get(name, []))
+        for name, sql in raw.items()
+    }
+
+
+def _raw_oracle_sql() -> dict[str, str]:
     return {
         "slice_events": SQL_SLICE_EVENTS,
         "rollup_hourly": SQL_ROLLUP_HOURLY,

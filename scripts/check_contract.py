@@ -1,18 +1,27 @@
-"""Self-check mimicking the driver's correctness gate.
+"""Self-check mimicking the driver's correctness gate — BYTE-exact.
 
 Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
-on DuckDB over the same sf dir, then compares row count, column names, and
-order-insensitive values (sorted by all columns, compared cell-wise).
+on DuckDB over the same sf dir, then compares row count, column names,
+dtypes, and order-insensitive values (sorted by all columns).
+
+Float columns are compared at the BYTE level (IEEE-754 bit patterns via
+numpy views), with both-NaN as the only non-bitwise equality — the
+driver's value hash is byte-level, so a tolerance here can (and in r2/r3
+did) report green while the driver sees red: r3's level_shifts slipped
+through because the old cells_equal treated -0.0 == 0.0 and allowed a
+1e-12 tolerance. Numeric dtypes must match exactly (the r2 DECIMAL vs
+BIGINT gap); datetimes are canonicalized to datetime64[us] and compared
+as int64 with both-NaT equal.
 
 Usage: python scripts/check_contract.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
@@ -34,19 +43,48 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
-def cells_equal(a, b) -> bool:
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b or abs(a - b) < 1e-12
-    try:
-        if pd.isna(a) and pd.isna(b):
-            return True
-    except (TypeError, ValueError):
-        pass
-    return a == b
+def col_mismatch(g: pd.Series, w: pd.Series) -> str | None:
+    """First mismatch in a column pair, or None. Byte-exact for floats."""
+    gk, wk = g.dtype.kind, w.dtype.kind
+    if gk == "f" or wk == "f":
+        if g.dtype != w.dtype:
+            return f"float dtype mismatch: spark={g.dtype} duckdb={w.dtype}"
+        x, y = g.to_numpy(), w.to_numpy()
+        bits = {"float32": "uint32", "float64": "uint64"}[str(g.dtype)]
+        neq = (x.view(bits) != y.view(bits)) & ~(np.isnan(x) & np.isnan(y))
+        if neq.any():
+            i = int(np.argmax(neq))
+            return f"row={i}: spark={x[i]!r} duckdb={y[i]!r} (byte-level)"
+        return None
+    if gk in "iu" or wk in "iu":
+        if g.dtype != w.dtype:
+            return f"int dtype mismatch: spark={g.dtype} duckdb={w.dtype}"
+        neq = g.to_numpy() != w.to_numpy()
+        if neq.any():
+            i = int(np.argmax(neq))
+            return f"row={i}: spark={g.iloc[i]!r} duckdb={w.iloc[i]!r}"
+        return None
+    if gk == "M" or wk == "M":
+        if g.dtype != w.dtype:
+            return f"datetime dtype mismatch: spark={g.dtype} duckdb={w.dtype}"
+        x, y = g.to_numpy().view("int64"), w.to_numpy().view("int64")
+        neq = x != y
+        if neq.any():
+            i = int(np.argmax(neq))
+            return f"row={i}: spark={g.iloc[i]!r} duckdb={w.iloc[i]!r}"
+        return None
+    # object / bool / string columns: exact equality, both-null equal
+    for i, (a, b) in enumerate(zip(g.tolist(), w.tolist())):
+        if a is None and b is None:
+            continue
+        try:
+            if pd.isna(a) and pd.isna(b):
+                continue
+        except (TypeError, ValueError):
+            pass
+        if not (a == b):
+            return f"row={i}: spark={a!r} duckdb={b!r}"
+    return None
 
 
 def main() -> int:
@@ -90,17 +128,13 @@ def main() -> int:
             continue
         bad = None
         for c in got.columns:
-            ga, wa = got[c].tolist(), want[c].tolist()
-            for i, (x, y) in enumerate(zip(ga, wa)):
-                if not cells_equal(x, y):
-                    bad = (c, i, x, y)
-                    break
-            if bad:
+            msg = col_mismatch(got[c], want[c])
+            if msg:
+                bad = f"col={c} {msg}"
                 break
         if bad:
-            c, i, x, y = bad
-            failures.append((name, f"value mismatch col={c} row={i}: {x!r} != {y!r}"))
-            print(f"[FAIL] {name}: col={c} row={i}: spark={x!r} duckdb={y!r}")
+            failures.append((name, bad))
+            print(f"[FAIL] {name}: {bad}")
         else:
             print(f"[ OK ] {name}: {len(got)} rows, {len(got.columns)} cols")
 
