@@ -1952,18 +1952,79 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (no SQL oracle: approximate by
-    design; recall floor pinned in tests/test_training_ops.py)."""
+    """LSH-bucketed approximate top-k — FULL SQL oracle: the candidate set
+    is deterministic given the seed (random-hyperplane sign buckets from
+    default_rng planes shipped as double literals), so the DuckDB oracle
+    re-derives the identical buckets from the same plane literals via
+    list_inner_product and ranks on the same rounded cosine
+    (_sql_lsh_ann_topk). Recall floor additionally pinned in
+    tests/test_training_ops.py."""
     from tablecloth_time_spark.operators.similarity import lsh_ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = lsh_ann_topk(emb, queries_df, dim=64, k=10, n_planes=10, n_tables=4)
-    return out.select(
-        "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
-    )
+    return lsh_ann_topk(
+        emb, queries_df, dim=64, k=10, n_planes=10, n_tables=4, round_sim=6
+    ).select("query_id", "vec_id", "cosine_sim", "rank")
+
+
+_COSINE_SQL = (
+    "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a}))"
+    " * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+def _sql_lsh_ann_topk(n_planes: int = 10, n_tables: int = 4, seed: int = 42,
+                      dim: int = 64, k: int = 10) -> str:
+    """DuckDB re-derivation of q_lsh_ann_topk: same plane doubles (repr
+    round-trips exactly), same sign-bit buckets, same candidate join +
+    dedup, same rounded-cosine rank order. Engines agree bit-for-bit
+    because every per-element product and the left-to-right accumulation
+    are identical IEEE-754 double ops on both sides."""
+    import numpy as np
+
+    rows = []
+    for t in range(n_tables):
+        planes = np.random.default_rng(seed + 1000 * t).standard_normal(
+            (n_planes, dim)
+        )
+        for i in range(n_planes):
+            arr = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+            rows.append(f"({t}, {i}, {arr}::DOUBLE[])")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH planes(table_id, plane_id, p) AS (VALUES
+  {values}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT e.vec_id, pl.table_id,
+         CAST(SUM(CASE WHEN list_inner_product(e.v, pl.p) >= 0
+                       THEN 1::BIGINT << pl.plane_id ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.table_id
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+  FROM b cb JOIN (SELECT * FROM b WHERE vec_id < 5) qb
+    ON cb.table_id = qb.table_id AND cb.bucket = qb.bucket
+),
+s AS (
+  SELECT cand.query_id, cand.vec_id,
+         ROUND({_COSINE_SQL.format(a="q.v", b="e.v")}, 6) AS cosine_sim
+  FROM cand
+  JOIN e q ON cand.query_id = q.vec_id
+  JOIN e   ON cand.vec_id = e.vec_id
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS INT) AS rank
+FROM s
+QUALIFY rank <= {k}
+"""
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2051,19 +2112,87 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pinned IVF coarse-quantizer (the FAISS deployment shape: train offline,
+# ship the quantizer with the index). Trained Spark-independently — sf0.01
+# embeddings in vec_id order, spherical k-means, default_rng(42), 10
+# iterations — so both engines assign cells from the same double literals.
+# Regenerate with: python scripts/gen_ivf_centroids.py
+_IVF_CENTROIDS: list[list[float]] = [
+    [-0.008073977221426517, 0.11046624811022579, 0.061941012729819216, -0.012278720063783687, -0.02583019374319164, -0.05381187360644228, -0.10295402762515034, -0.14347375219851427, 0.13849790447486798, -0.20278437386693068, -0.025126303398913006, -0.19631552890383908, 0.07403777835131421, 0.02778968375969947, -0.014860945648155127, 0.19882456005001323, -0.10621451164703542, 0.10920656624320445, -0.08892057404945701, 0.09365907134962685, 0.07220341710416624, 0.04936042382620952, -0.051156660385481, -0.012217710469595801, -0.08345114415920836, -0.20800833650703274, -0.03378465818524856, -0.04096363869027477, -0.008661962049515543, 0.09635812494386058, 0.040029846954769806, -0.1712844714086875, 0.0962791185515832, 0.1849961772305726, -0.15465078821619474, 0.019545072740404387, 0.012531970949966349, -0.24329635453757756, -0.09862888141714964, -0.02861078533713825, 0.09420321276810927, -0.2054539521369874, 0.28349000731466734, 0.13693442842544967, -0.29142281783435425, 0.2648274199719685, -0.020315574524149418, -0.07319663510430052, 0.021701058276624264, -0.06960831939576703, -0.0845079834059337, 0.14570134803883333, -0.01134916507150254, 0.03486792450182369, 0.15801744554966765, 0.11344207127622542, 0.16950727013874237, 0.07703756371344785, -0.12723896351267788, -0.10198299584202646, -0.1780153451501375, -0.09849384834782793, 0.15522559503617378, 0.10736279355250845],
+    [0.05467669645147275, 0.04964665250115266, -0.20766685002258686, -0.041637456701315446, 0.06914899921457142, -0.0011559090383794271, -0.0036948781211392613, -0.05008414960701236, 0.005537441258183555, -0.2653421817477733, -0.05962273000929473, -0.037124511393041314, -0.032202991055122795, 0.1281760981401334, -0.04829247786430459, 0.01570266427490433, 0.04596414676895563, 0.22322291964374333, -0.029514411714421485, -0.18871804817966914, 0.21682238389222516, -0.023441528841343724, 0.19183897761190244, -0.3183158181834374, 0.10196375078184383, -0.061924817458308176, 0.016512373979858046, -0.10356873195308826, -0.16532244026217252, -0.04631296531593122, -0.0315285876567534, -0.03303224491640251, -0.048984230083820614, -0.12369693615776861, -0.004862123284987224, -0.051247753431135655, 0.1433320585616212, 0.11009761708109027, 0.05732754730556849, -0.10866202556195184, 0.16698784897413257, 0.23594883157542287, -0.11719333889381203, -0.3337941467458953, 0.11269800549549283, 0.02369329181602719, 0.08668413171823884, 0.09066864367842828, -0.05101332852731154, -0.21010700906893645, -0.177105706950137, -0.05173976088274024, 0.12991441199789255, -0.08517510142387802, 0.13631428780930716, -0.11651041593244503, -0.1605867930876336, -0.055003323584672595, 0.010881271386232728, 0.017998057034369616, -0.07713979084190392, 0.11983009836413577, 0.13686597423597496, 0.06974902027465958],
+    [0.05832274466176808, -0.13584841820893837, -0.05055573996392254, 0.0039960220996830866, -0.0655260348334434, -0.049904916493636826, 0.019406013697967683, 0.10787128408163785, 0.029423918886482096, -0.0002594061531093731, 0.26892498502161466, 0.0682041687901034, -0.11912914418990166, 0.031710715821878524, -0.23117366353618968, -0.14875856293493528, -0.05325288451995954, 0.1875440886738356, -0.01878632901999265, 0.028824377744361925, -0.21210913170333362, -0.030060310765974894, 0.05223769062394105, -0.2611056934991905, -0.15176432524793834, -0.028025145557669218, -0.10015505014888172, 0.11127052428775032, 0.05457668936107263, -0.014383564292810519, -0.11517094627627102, -0.16589489392166798, 0.13093390559768978, -0.012168447961899377, 0.00975260911120662, 0.12395915598018852, -0.15685059812903498, -0.11590146227630027, 0.22571617330114105, 0.14280685843027469, 0.11316603575774473, -0.08758098601828193, 0.036119669913234606, 0.08717935889642592, -0.14339897452405917, -0.0820876787482235, -0.011377546172180234, 0.06596813468018596, -0.07149862783685096, 0.21439505024627192, 0.1402608535771755, -0.13626108301054332, -0.01196455727368601, 0.00029533307741126766, 0.23725077737479847, -0.14675256464971298, -0.059703864517526344, 0.08149910860238531, 0.1566363341989309, -0.2524404747775576, 0.07441847532004836, 0.11107108422434757, -0.14224662550453093, -0.1866025843309617],
+    [-0.21611750178393468, 0.2641596474555694, 0.053430627559914665, 0.060215280634471506, -0.25743332727392787, 0.2306155992720585, -0.0762645767895164, -0.011610804465177395, -0.11913617803699603, 0.07065059845550208, -0.1596451104250608, 0.2779998253442983, -0.10120103010308854, -0.15171551955002055, -0.20310163342244925, -0.026675419631617982, 0.18169622047997558, -0.08905441075115184, 0.2910521112488808, -0.022787248267146714, -0.1987880817634995, 0.03105971408301482, 0.060968650645112296, 0.11628133567031966, 0.1060241511000898, 0.0007673802575668328, 0.16850222443963264, 0.035956352820368104, 0.03607216429665992, -0.09081885548854643, -0.001307473230161986, 0.06991611522688293, -0.1691828957106691, -0.12094803340050649, -0.023835307388853675, 0.1376215576803077, -0.1656726738424431, 0.05297701343725788, 0.019702296189247997, -0.14353457415325396, -0.1414249618331804, -0.019236312383386935, 0.0734037673429556, 0.08364060798816063, -0.13279339396537013, -0.002519569275595868, -0.05606642072567109, -0.006686676679742029, 0.017189467360428107, -0.1123011814182452, 0.08569892995041453, -0.07299039223399045, 0.12073131742018968, -0.10097947434699366, -0.15579862842713496, -0.01635377693755137, 0.14360504515718814, 0.08523392459007846, 0.04939118645485807, 0.10480822691144552, -0.1382102376231028, 0.10144098487181388, -0.009049035181507879, 0.04384543333064731],
+    [-0.01160199335573723, -0.22576563107941322, 0.00470834358570188, -0.0997212400723706, 0.18484873636026683, 0.16182956110525268, -0.3033353098267771, 0.04146545507830949, 0.20035737853683308, 0.051383806323904296, -0.022024761663222734, 0.014625294633900866, 0.018996930426787108, -0.18605298448410837, 0.18826534673604017, -0.04136885505194535, -0.003859903710386393, -0.1760315730004804, -0.08060730237522912, -0.017294084023083384, 0.03628090425255818, 0.22900581114591553, -0.08888746928869566, -0.017741563968516956, -0.11671028559609792, 0.2947242952629833, 0.24393704261292146, -0.009735320353774252, 0.10604165851335585, -0.07368384233404603, -0.030068419078908438, 0.19067834578133636, 0.02569152685034044, -0.05804818593690926, 0.11919356068684663, -0.2082931657234683, -0.031098590675966657, 0.17194778392967222, -0.047597835400149856, 0.046114918009801435, -0.12138295043940324, -0.15310223389639974, 0.056079801884874464, 0.011578356108430549, -0.07509304101683265, 0.07706554467259732, -0.10150267864163011, 0.09466418669411761, -0.08914575331492672, -0.0281733963539248, -0.0615155316359419, -0.012331860614017092, -0.06737325408207581, -0.139430565925292, -0.18062384628176112, 0.04266064224465811, -0.07299691309717435, 0.034568773323570154, -0.012856363504079864, 0.08402827748428371, -0.1896045798369224, 0.022964854365952178, 0.15548328797071212, -0.20269007883683213],
+    [-0.1076576305747659, -0.08307871667604155, 0.047960427055807775, -0.1613710105623436, 0.2059902732376325, 0.02969411283641824, 0.14053907789040165, -0.20435247001563303, 0.017921865494855048, 0.13283438686812613, 0.17088172404324534, -0.09509281939382512, -0.19516245069114302, 0.2739035383192528, 0.0020371584887779043, -0.033224627243649774, 0.17373176478461455, 0.30085841437204375, 0.07116864664753962, -0.05029808083692301, 0.050126371136323115, 0.012065377138009233, -0.1447949528936848, 0.2190559784312854, -0.10898657250126602, -0.030659102485040404, -0.1083353587342625, 0.14051339158368145, 0.12913022222314763, 0.05254264738507406, 0.19574299411942606, 0.005091483572706294, -0.03737710695560145, -0.05989209029253859, 0.016291449818294612, -0.027353722302014955, 0.035873874833845465, -0.007087278744798112, -0.029566832880667436, 0.15155593513928464, -0.23791788086163254, 0.10644123282482498, -0.007006503883625386, 0.02562387240397774, 0.16576036205569405, -0.10688120515455346, 0.18632741141155978, -0.00750987695174683, 0.04434455901367822, -0.07586007704474539, 0.07776095239701027, -0.03487433618577327, 0.11811981200306268, -0.0213711775214424, 0.1308669647211211, 0.23972729614699742, -0.16771856394025136, -0.16364216086463598, -0.05321130178036069, -0.044022582918681864, 0.13587654527220575, 0.01724569066773364, -0.11038147158019407, -0.08849872734249505],
+    [0.10907095306175092, -0.06774523265164757, 0.03068878399736515, -0.05623768812011917, -0.028550082394712063, -0.0011538443554462172, -0.08282286844790031, 0.041099174462954656, -0.12384235194114523, 0.20497582333427133, -0.015489577388768518, 0.09945273220728597, 0.25679626583362775, -0.11097502721834798, 0.2167661708117314, 0.11091583358858194, -0.049047241260183144, 0.004125051444329679, 0.18873136085882303, 0.129853320147977, 0.04224707498286927, -0.12751215162763954, -0.07577055574811453, -0.008882408397343368, 0.07252742260695552, 0.3472702495300053, -0.027195471851346614, 0.15337470773502238, -0.1902648256987405, 0.0030059744410134213, -0.15133341505828882, -0.029998454745891107, 0.2910067451671535, -0.08535932931408526, 0.1567714278985487, -0.08647982638067746, 0.03598951333429523, -0.14506833819019838, -0.09328303974889227, -0.21283976830106413, 0.11669204848269885, -0.1093605594784124, -0.08402860119120358, -0.08779997329529846, 0.18957601566367158, 0.000761629754129825, -0.027288086683017996, -0.10309447920350169, 0.09204069646389944, -0.06448800254565476, 0.0824662353262363, -0.033447655227751255, -0.009604421869738826, 0.04014970832434414, -0.06856401354486678, -0.04016325243375917, 0.19137748168489518, 0.054007819534813796, 0.01649449595478889, -0.12271697851254645, 0.22109534947936021, 0.08496307653906389, -0.21738536448647378, -0.035820400825151706],
+    [0.13781268902806498, -0.00890468195010051, 0.16323806291741225, 0.13443230042223955, 0.17862488602482837, -0.07343619475147657, -0.09214761877520532, 0.3842360216398057, -0.1945193509485755, -0.012080982338384444, 0.024694071021584805, -0.043653762868299306, 0.004094903447931085, 0.0711537999019902, 0.0609796479862129, 0.10438954801638566, -0.060022275212891774, -0.29773378912960125, -0.27993533164799744, 0.055370971197334605, -0.09446851764507702, -0.06810994015259253, 0.14189501570514126, 0.07363466292772126, 0.10801274032233599, 0.020210513040156513, -0.1925000084406702, 0.030041927194084564, 0.007694770152522893, 0.08579666179191839, 0.24908295480155873, -0.04533846195560318, -0.04617028758951829, 0.07424601258603908, 0.01012556722088616, 0.12060599449110584, -0.02148356234358722, 0.0886408343382319, -0.06899700467119044, 0.09931843200754038, -0.0533836221838074, -0.09443238304720679, -0.1793070234671331, 0.0630802459859582, -0.14423949445031695, -0.04358651027542135, -0.04412110967210511, 0.08229696087641597, -0.04928845250975716, 0.012818858383399273, 0.18505239604514737, 0.141509207113462, -0.014113191441907423, 0.13818483584700741, -0.08309011369132399, -0.12272627587940084, 0.09375900148759393, -0.17066098695833057, -0.17495394107580314, 0.0467103340331001, 0.12365198785669589, -0.18847760003322095, -0.003984548006292103, -0.06340938311364704],
+]
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (coarse quantizer + nprobe cells + re-rank);
-    approximate by design -> rows-only check, recall floor in tests."""
+    """IVF approximate top-k (coarse quantizer + nprobe cells + re-rank) —
+    FULL SQL oracle: the quantizer is the pinned offline-trained
+    _IVF_CENTROIDS, so cell assignment, the nprobe probe set, and the
+    rounded-cosine re-rank are all deterministic and re-derivable in
+    DuckDB (_sql_ivf_topk). Recall floor pinned in tests."""
+    import numpy as np
+
     from tablecloth_time_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = ivf_topk(emb, queries_df, dim=64, k=10, n_centroids=8, nprobe=4)
-    return out.select(
-        "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
-    )
+    return ivf_topk(
+        emb, queries_df, dim=64, k=10, nprobe=4,
+        centroids=np.array(_IVF_CENTROIDS, dtype=np.float64), round_sim=6,
+    ).select("query_id", "vec_id", "cosine_sim", "rank")
+
+
+def _sql_ivf_topk(nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB re-derivation of q_ivf_topk from the same pinned centroids.
+
+    Mirrors operators/similarity.py exactly: corpus cell = argmax dot
+    (ties broken toward the LARGER cell id — ivf_assign reverses an
+    ascending (sim, cell) struct sort), queries probe their nprobe top
+    cells, exact cosine re-rank on the rounded value."""
+    rows = []
+    for i, c in enumerate(_IVF_CENTROIDS):
+        arr = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        rows.append(f"({i}, {arr}::DOUBLE[])")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH cent(cell, p) AS (VALUES
+  {values}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, c.cell, list_inner_product(e.v, c.p) AS sim
+  FROM e CROSS JOIN cent c
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cell DESC) AS rn
+  FROM sims
+),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+qcells AS (SELECT vec_id AS query_id, cell FROM ranked
+           WHERE vec_id < 5 AND rn <= {nprobe}),
+s AS (
+  SELECT qc.query_id, a.vec_id,
+         ROUND({_COSINE_SQL.format(a="q.v", b="e.v")}, 6) AS cosine_sim
+  FROM assign a
+  JOIN qcells qc ON a.cell = qc.cell
+  JOIN e q ON qc.query_id = q.vec_id
+  JOIN e   ON a.vec_id = e.vec_id
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS INT) AS rank
+FROM s
+QUALIFY rank <= {k}
+"""
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2151,6 +2280,8 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "embedding_near_dup": [("cosine_sim", "DOUBLE")],
     "embedding_topk": [("cosine_sim", "DOUBLE")],
     "media_features": [("feature_sum", "DOUBLE")],
+    "lsh_ann_topk": [("cosine_sim", "DOUBLE")],
+    "ivf_topk": [("cosine_sim", "DOUBLE")],
 }
 
 
@@ -2279,7 +2410,11 @@ def _raw_oracle_sql() -> dict[str, str]:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "media_features": SQL_MEDIA_FEATURES,
-        # minhash_dedup / simhash_dedup / lsh_ann_topk:
-        # hash-seeded or approximate by design -> rows-only driver check;
-        # exact semantics pinned in tests/test_training_ops.py
+        "lsh_ann_topk": _sql_lsh_ann_topk(),
+        "ivf_topk": _sql_ivf_topk(),
+        # minhash_dedup / simhash_dedup / winnow_dedup: candidates are
+        # xxhash64-seeded (Spark-side hash, not reproducible in DuckDB
+        # SQL) -> rows-only driver check; exact semantics pinned against
+        # python oracles in tests/test_training_ops.py plus DuckDB
+        # soundness recomputation of the emitted pairs' similarities.
     }

@@ -112,12 +112,19 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    round_sim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table LSH candidates + exact re-rank.
 
     ``n_tables`` independent hash tables (different seeds) are unioned per
     row via explode, so one shuffle covers all tables; recall rises as
     1-(1-p)^n_tables. Candidates dedupe before the cosine re-rank.
+
+    ``round_sim`` rounds the cosine to that many decimals BEFORE ranking,
+    making the rank order independent of last-ULP summation differences —
+    set it when results must reproduce bit-for-bit across engines (the
+    driver's DuckDB oracle re-derives the same buckets from the same
+    plane literals and ranks on the same rounded value).
     """
     def with_buckets(df: DataFrame, vcol: str, idc: str, keep: list[str]) -> DataFrame:
         tables = F.array(
@@ -143,11 +150,10 @@ def lsh_ann_topk(
         .select(query_id_col, id_col, query_vec_col, vec_col)
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = cand.select(
-        query_id_col,
-        id_col,
-        cosine(F.col(query_vec_col), F.col(vec_col)).alias("cosine_sim"),
-    )
+    sim = cosine(F.col(query_vec_col), F.col(vec_col))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    scored = cand.select(query_id_col, id_col, sim.alias("cosine_sim"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
     )
@@ -238,6 +244,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    round_sim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize, probe nprobe cells, re-rank.
 
@@ -261,13 +268,14 @@ def ivf_topk(
             ivf_assign(query_vec_col, centroids, nprobe=nprobe)
         ).alias("cell"),
     )
+    sim = cosine(F.col(query_vec_col), F.col(vec_col))
+    if round_sim is not None:
+        # rounded-before-rank => ordering reproducible across engines
+        # (see lsh_ann_topk docstring)
+        sim = F.round(sim, round_sim)
     scored = (
         c.join(F.broadcast(q), on="cell")
-        .select(
-            query_id_col,
-            id_col,
-            cosine(F.col(query_vec_col), F.col(vec_col)).alias("cosine_sim"),
-        )
+        .select(query_id_col, id_col, sim.alias("cosine_sim"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
