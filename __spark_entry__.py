@@ -2086,10 +2086,14 @@ FROM (VALUES
 def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint near-dup pairs (rolling-hash sketch, MOSS
     style). xxhash-seeded -> rows-only driver check; semantics pinned
-    against a python oracle in tests."""
+    against a python oracle in tests, and the emitted pairs' true
+    char-5-gram similarity is soundness-checked in DuckDB
+    (tests/test_soundness_duckdb.py). Threshold 0.25 over the full
+    documents table yields a meaningful pair set (~61 rows at sf0.01)
+    instead of the single 0.35 outlier."""
     from tablecloth_time_spark.functions.text import jaccard, winnow_fingerprint_sets
 
-    docs = _t(spark, sf_dir, "documents").filter("doc_id < 400")
+    docs = _t(spark, sf_dir, "documents")
     fps = winnow_fingerprint_sets(docs, "text", "doc_id", 5, 4)
     g = docs.select("source", "doc_id").join(
         fps.withColumnRenamed("__id", "doc_id"), "doc_id"
@@ -2108,7 +2112,7 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             F.round(jaccard(F.col("a.fp"), F.col("b.fp")), 6).alias("fp_sim"),
         )
-        .filter(F.col("fp_sim") >= 0.35)
+        .filter(F.col("fp_sim") >= 0.25)
     )
 
 
