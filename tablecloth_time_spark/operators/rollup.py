@@ -271,9 +271,18 @@ def rollup_tiers_long(
     order_cols: list[str] | None = None,
     bucket_col: str = BUCKET_COL,
     tier_col: str = "tier",
+    zone: str | None = None,
 ) -> DataFrame:
     """ALL tiers in one Expand + ONE shuffle via GROUPING SETS, returned as
     a single long-format frame (tier, keys..., bucket, aggs...).
+
+    ``zone`` buckets every tier in that zone's LOCAL calendar (the
+    reference's ``floor-to-*`` ``{:zone}`` option) — safe HERE, unlike the
+    cascade: each tier's bucket expression is computed independently from
+    the raw ``ts_col`` inside the same Expand (no re-flooring of a coarser
+    tier from a finer tier's local-midnight UTC instant, which is the
+    misbucketing hazard that keeps ``rollup_cascade`` zone-less). Bucket
+    columns still hold UTC instants of the local boundaries.
 
     Each input row expands once per tier (with that tier's bucket column),
     then a single partial/final hash aggregate computes every tier
@@ -311,7 +320,7 @@ def rollup_tiers_long(
     withb = df.select(
         *needed,
         *[
-            down_to_nearest(ts_col, i, u).alias(b)
+            down_to_nearest(ts_col, i, u, zone=zone).alias(b)
             for b, (_, (i, u)) in zip(bnames, items)
         ],
     )
@@ -348,6 +357,7 @@ def rollup_multi(
     tiers: dict[str, tuple[int, str]] | None = None,
     order_cols: list[str] | None = None,
     bucket_col: str = BUCKET_COL,
+    zone: str | None = None,
 ) -> dict[str, DataFrame]:
     """Per-tier dict view over :func:`rollup_tiers_long`.
 
@@ -358,7 +368,8 @@ def rollup_multi(
     """
     tiers = tiers or DEFAULT_TIERS
     long_df = rollup_tiers_long(
-        df, keys, ts_col, aggs, tiers, order_cols, bucket_col, tier_col="__tier"
+        df, keys, ts_col, aggs, tiers, order_cols, bucket_col,
+        tier_col="__tier", zone=zone,
     )
     return {
         name: long_df.filter(F.col("__tier") == name).drop("__tier")

@@ -158,6 +158,63 @@ def test_first_last_stable_under_duplicate_ts(spark):
     assert out[0]["last_text"] == "d"
 
 
+def test_rollup_tiers_long_zone_dst_golden(spark):
+    """Zoned GROUPING-SETS tiers (all tiers, one pass, Europe/Berlin local
+    calendar) across the 2024 DST transitions: every tier of the long
+    frame must equal the independently-computed per-grain rollup(zone=...)
+    — safe because each tier's bucket is floored from raw ts inside the
+    Expand, never re-floored from a finer tier (the cascade hazard).
+    Extends the single-grain Berlin golden to the multi-tier frame."""
+    import datetime as dt
+
+    from tablecloth_time_spark.operators.rollup import rollup_tiers_long
+
+    rows = [
+        # around spring-forward (2024-03-31 02:00 local -> 03:00 CEST)
+        ("a", dt.datetime(2024, 3, 30, 22, 30), 1.0),  # 23:30 Mar 30 local
+        ("a", dt.datetime(2024, 3, 30, 23, 30), 2.0),  # 00:30 Mar 31 local
+        ("a", dt.datetime(2024, 3, 31, 12, 0), 3.0),   # 14:00 Mar 31 CEST
+        # around fall-back (2024-10-27)
+        ("a", dt.datetime(2024, 10, 26, 23, 30), 4.0),  # 01:30 Oct 27 CEST
+        ("a", dt.datetime(2024, 10, 27, 12, 0), 5.0),   # 13:00 Oct 27 CET
+        # plain summer instant, second key
+        ("b", dt.datetime(2024, 6, 14, 23, 30), 6.0),   # 01:30 Jun 15 local
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    tiers = {"hour": (1, "hour"), "day": (1, "day"), "month": (1, "month")}
+    aggs = {"n": ("count", "v"), "s": ("sum", "v")}
+
+    long_rows = rollup_tiers_long(
+        df, ["k"], "ts", aggs, tiers, zone="Europe/Berlin"
+    ).collect()
+    got = {
+        tier: {(r["k"], r["bucket"]): (r["n"], r["s"]) for r in long_rows
+               if r["tier"] == tier}
+        for tier in tiers
+    }
+    for tier, (i, u) in tiers.items():
+        want = {
+            (r["k"], r["bucket"]): (r["n"], r["s"])
+            for r in rollup(df, ["k"], "ts", i, u, aggs,
+                            zone="Europe/Berlin").collect()
+        }
+        assert got[tier] == want, tier
+
+    # spot goldens: Berlin local midnight is 23:00 UTC under CET, 22:00
+    # under CEST; both Mar 30 23:30 UTC events are in local day Mar 31
+    assert got["day"][("a", dt.datetime(2024, 3, 30, 23, 0))] == (2, 5.0)
+    # local month April/March boundary: March bucket = Feb 29 23:00 UTC
+    assert got["month"][("a", dt.datetime(2024, 2, 29, 23, 0))] == (3, 6.0)
+    # June 15 local day starts 22:00 UTC June 14 (CEST)
+    assert got["day"][("b", dt.datetime(2024, 6, 14, 22, 0))] == (1, 6.0)
+    # zone-less default differs (UTC days split the Mar 30/31 pair)
+    utc_day = {
+        (r["k"], r["bucket"])
+        for r in rollup(df, ["k"], "ts", 1, "day", aggs).collect()
+    }
+    assert ("a", dt.datetime(2024, 3, 30)) in utc_day
+
+
 def test_rollup_zone_local_days(spark):
     """Zoned daily rollup: two events in ONE Berlin local day but two UTC
     days land in one bucket (the local-midnight UTC instant)."""
