@@ -450,9 +450,16 @@ FROM orders
 
 
 def q_datetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Datetime descriptive stats computed in millis space (mean timestamp)."""
+    """Datetime descriptive stats computed in millis space (mean timestamp)
+    PLUS the per-series OLS trend fit (operators/stats.py:trend_fit —
+    slope per day / intercept / r-squared from the built-in regr_*
+    aggregates; fpp3 ch. 7's TSLM trend baseline), folded onto the same
+    per-event-type frame so both stay inside the driver's 50-query budget
+    (tiny 5-row frames, broadcast join)."""
+    from tablecloth_time_spark.operators.stats import trend_fit
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    stats = ev.groupBy("event_type").agg(
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
         # exact integer mean: sum div count in int64 space (double-precision
@@ -462,6 +469,13 @@ def q_datetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_ts"),
         F.count(F.lit(1)).alias("n"),
     )
+    trend = trend_fit(ev, ["event_type"], "ts", "value", per="day").select(
+        "event_type",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+    return stats.join(F.broadcast(trend), ["event_type"])
 
 
 SQL_DATETIME_STATS = """
@@ -469,7 +483,10 @@ SELECT event_type,
        MIN(ts) AS min_ts,
        MAX(ts) AS max_ts,
        make_timestamp(CAST(SUM(epoch_ms(ts)) // COUNT(*) AS BIGINT) * 1000) AS mean_ts,
-       COUNT(*) AS n
+       COUNT(*) AS n,
+       ROUND(regr_slope(value, epoch_ms(ts) / 86400000.0), 6) AS slope,
+       ROUND(regr_intercept(value, epoch_ms(ts) / 86400000.0), 6) AS intercept,
+       ROUND(regr_r2(value, epoch_ms(ts) / 86400000.0), 6) AS r2
 FROM events
 GROUP BY event_type
 """
@@ -955,14 +972,39 @@ FROM o JOIN rec ON o.user_id = rec.user_id AND o.rn = rec.rn
 def q_twa_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average (LOCF weighting over the observed span) per
     (user, day) — the irregular-sampling correction to a plain avg
-    (operators/counters.py:time_weighted_avg)."""
+    (operators/counters.py:time_weighted_avg) — PLUS the uptime/SLO view
+    on the same (user, day) grain: covered milliseconds and coverage
+    fraction of the user's 30-min-gap sessions
+    (operators/intervals.py:interval_coverage over
+    operators/sessions.py:session_stats spans; merge_first=False because
+    gap-based sessions are disjoint per key by construction). Folded to
+    stay inside the driver's 50-query budget; coverage is exact long
+    arithmetic / one exact division, so no rounding is needed."""
     from tablecloth_time_spark.operators.counters import time_weighted_avg
+    from tablecloth_time_spark.operators.intervals import interval_coverage
+    from tablecloth_time_spark.operators.sessions import session_stats
 
     ev = _t(spark, sf_dir, "events")
     out = time_weighted_avg(
         ev, "user_id", "ts", "value", 1, "day", order_cols=["event_id"]
     )
-    return out.select("user_id", "bucket", F.round("twa", 6).alias("twa"))
+    sess = session_stats(
+        ev, "user_id", "ts", 30, "minute", aggs={}, order_cols=["event_id"]
+    )
+    cov = interval_coverage(
+        sess, "user_id", "session_start", "session_end", 1, "day",
+        merge_first=False,
+    )
+    return (
+        out.join(cov, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.round("twa", 6).alias("twa"),
+            F.coalesce("covered_ms", F.lit(0)).alias("covered_ms"),
+            F.coalesce("coverage", F.lit(0.0)).alias("coverage"),
+        )
+    )
 
 
 SQL_TWA_DAILY = """
@@ -983,10 +1025,41 @@ a AS (
          SUM(value * w) AS num, SUM(w) AS den,
          (min(struct_pack(m := ms, o0 := event_id, v := value))).v AS first_v
   FROM o GROUP BY 1, 2
+),
+so AS (
+  SELECT user_id, ts, event_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+         lag(epoch_ms(CAST(ts AS TIMESTAMP)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+sg AS (
+  SELECT user_id, ms,
+         SUM(CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM so
+),
+sess AS (
+  SELECT user_id, MIN(ms) AS s, MAX(ms) AS e
+  FROM sg GROUP BY user_id, sid
+),
+ex AS (
+  SELECT user_id, s, e,
+         unnest(generate_series(s // 86400000, (e - 1) // 86400000)) AS b
+  FROM sess WHERE e > s
+),
+cov AS (
+  SELECT user_id, make_timestamp(b * 86400000 * 1000) AS bucket,
+         CAST(SUM(LEAST(e, (b + 1) * 86400000) - GREATEST(s, b * 86400000))
+           AS BIGINT) AS covered_ms
+  FROM ex GROUP BY 1, 2
 )
-SELECT user_id, bucket,
-       ROUND(CASE WHEN den > 0 THEN num / den ELSE first_v END, 6) AS twa
-FROM a
+SELECT a.user_id, a.bucket,
+       ROUND(CASE WHEN den > 0 THEN num / den ELSE first_v END, 6) AS twa,
+       COALESCE(cov.covered_ms, 0) AS covered_ms,
+       COALESCE(cov.covered_ms, 0) / 86400000.0 AS coverage
+FROM a LEFT JOIN cov ON a.user_id = cov.user_id AND a.bucket = cov.bucket
 """
 
 
@@ -1200,8 +1273,17 @@ def q_benchmark_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily event-count series per event type, 14 days ahead with a weekly
     season — mean/naive/drift from ONE per-key hash aggregate, snaive an
     equi-join against the last m observations; no Python
-    (operators/forecast.py:benchmark_forecast)."""
-    from tablecloth_time_spark.operators.forecast import benchmark_forecast
+    (operators/forecast.py:benchmark_forecast). PLUS the fpp3 §5.8
+    backtest: hold out each series' last 7 observations, forecast them
+    from the training prefix, and score MAE/RMSE/MAPE/MASE per
+    (series, method) (operators/forecast.py:backtest_accuracy) — folded
+    onto the forecast rows by a broadcast join on (event_type, method) to
+    stay inside the driver's 50-query budget; snaive keeps null metrics
+    (not backtested — 7 test steps is exactly one season)."""
+    from tablecloth_time_spark.operators.forecast import (
+        backtest_accuracy,
+        benchmark_forecast,
+    )
 
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -1211,12 +1293,23 @@ def q_benchmark_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, "event_type", "day", "y", horizon=14, interval=1, unit="day",
         methods=("mean", "naive", "snaive", "drift"), season_length=7,
     )
-    return out.select(
+    fc = out.select(
         "event_type", "method",
         F.col("h").cast("long").alias("h"),
         "ts",
         F.round("forecast", 6).alias("forecast"),
     )
+    acc = backtest_accuracy(
+        daily, "event_type", "day", "y", test_steps=7, interval=1,
+        unit="day", methods=("mean", "naive", "drift"),
+    ).select(
+        "event_type", "method",
+        F.round("mae", 6).alias("mae"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("mape", 6).alias("mape"),
+        F.round("mase", 6).alias("mase"),
+    )
+    return fc.join(F.broadcast(acc), ["event_type", "method"], "left")
 
 
 SQL_BENCHMARK_FORECAST = """
@@ -1240,25 +1333,90 @@ tail AS (
   SELECT event_type, y,
          row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rnd
   FROM d
+),
+fc AS (
+  SELECT event_type, 'mean' AS method, h, last_day + h * INTERVAL 1 DAY AS ts,
+         ROUND(mean_y, 6) AS forecast
+  FROM hs
+  UNION ALL
+  SELECT event_type, 'naive', h, last_day + h * INTERVAL 1 DAY,
+         ROUND(y_last, 6)
+  FROM hs
+  UNION ALL
+  SELECT event_type, 'drift', h, last_day + h * INTERVAL 1 DAY,
+         -- parenthesized to match the engine's float association
+         -- (slope first, then x h): last-ULP parity for the exact hash
+         ROUND(y_last + h * ((y_last - y_first) / (n - 1)), 6)
+  FROM hs
+  UNION ALL
+  SELECT hs.event_type, 'snaive', hs.h, hs.last_day + hs.h * INTERVAL 1 DAY,
+         ROUND(t.y, 6)
+  FROM hs JOIN tail t
+    ON t.event_type = hs.event_type AND t.rnd = 7 - (hs.h - 1) % 7
+),
+-- fpp3 5.8 backtest: hold out each series' last 7 days, forecast from
+-- the training prefix (mean/naive/drift), score vs the held-out actuals
+rk AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rnd
+  FROM d
+),
+train AS (SELECT event_type, day, y FROM rk WHERE rnd > 7),
+ts_ AS (
+  SELECT event_type, COUNT(*) AS n, AVG(y) AS mean_y,
+         arg_min(y, day) AS y_first, arg_max(y, day) AS y_last,
+         MAX(day) AS last_day
+  FROM train GROUP BY 1
+),
+ths AS (
+  SELECT event_type, n, mean_y, y_first, y_last, last_day,
+         unnest(generate_series(1, 7)) AS h
+  FROM ts_
+),
+bfc AS (
+  SELECT event_type, 'mean' AS method, last_day + h * INTERVAL 1 DAY AS fts,
+         mean_y AS fcv
+  FROM ths
+  UNION ALL
+  SELECT event_type, 'naive', last_day + h * INTERVAL 1 DAY, y_last
+  FROM ths
+  UNION ALL
+  SELECT event_type, 'drift', last_day + h * INTERVAL 1 DAY,
+         CASE WHEN n >= 2
+              THEN y_last + h * ((y_last - y_first) / (n - 1)) END
+  FROM ths
+),
+terr AS (
+  SELECT b.event_type, b.method, t.y - b.fcv AS e, t.y AS actual
+  FROM bfc b JOIN d t ON t.event_type = b.event_type AND t.day = b.fts
+),
+errs AS (
+  SELECT event_type, method,
+         AVG(ABS(e)) AS mae,
+         SQRT(AVG(e * e)) AS rmse,
+         -- MAPE skips zero actuals (engine: try_divide -> NULL -> avg)
+         AVG(CASE WHEN actual = 0 THEN NULL
+                  ELSE ABS(100 * e / actual) END) AS mape
+  FROM terr GROUP BY 1, 2
+),
+qd AS (
+  SELECT event_type, AVG(ABS(dy)) AS q
+  FROM (
+    SELECT event_type,
+           y - lag(y) OVER (PARTITION BY event_type ORDER BY day) AS dy
+    FROM train
+  ) GROUP BY 1
+),
+acc AS (
+  SELECT e.event_type, e.method,
+         ROUND(e.mae, 6) AS mae, ROUND(e.rmse, 6) AS rmse,
+         ROUND(e.mape, 6) AS mape,
+         ROUND(e.mae / NULLIF(qd.q, 0), 6) AS mase
+  FROM errs e JOIN qd ON e.event_type = qd.event_type
 )
-SELECT event_type, 'mean' AS method, h, last_day + h * INTERVAL 1 DAY AS ts,
-       ROUND(mean_y, 6) AS forecast
-FROM hs
-UNION ALL
-SELECT event_type, 'naive', h, last_day + h * INTERVAL 1 DAY,
-       ROUND(y_last, 6)
-FROM hs
-UNION ALL
-SELECT event_type, 'drift', h, last_day + h * INTERVAL 1 DAY,
-       -- parenthesized to match the engine's float association
-       -- (slope first, then x h): last-ULP parity for the exact hash
-       ROUND(y_last + h * ((y_last - y_first) / (n - 1)), 6)
-FROM hs
-UNION ALL
-SELECT hs.event_type, 'snaive', hs.h, hs.last_day + hs.h * INTERVAL 1 DAY,
-       ROUND(t.y, 6)
-FROM hs JOIN tail t
-  ON t.event_type = hs.event_type AND t.rnd = 7 - (hs.h - 1) % 7
+SELECT fc.*, acc.mae, acc.rmse, acc.mape, acc.mase
+FROM fc LEFT JOIN acc
+  ON fc.event_type = acc.event_type AND fc.method = acc.method
 """
 
 
@@ -2260,6 +2418,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "first_difference": [("diff", "DOUBLE"), ("run_sum", "DOUBLE"), ("run_peak", "DOUBLE"), ("drawdown", "DOUBLE")],
     "resample_daily_mean": [("mean_value", "DOUBLE")],
     "rolling_1h": [("roll_sum", "DOUBLE"), ("roll5_avg", "DOUBLE"), ("roll5_min", "DOUBLE")],
+    "datetime_stats": [("slope", "DOUBLE"), ("intercept", "DOUBLE"), ("r2", "DOUBLE")],
     "gapfill_ffill": [("value", "DOUBLE")],
     "acf_hourly": [("acf", "DOUBLE")],
     "seasonal_decompose": [("trend", "DOUBLE"), ("seasonal", "DOUBLE"), ("remainder", "DOUBLE")],
@@ -2267,12 +2426,12 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "asof_join_rates": [("hour_sum", "DOUBLE")],
     "sessionize_events": [("sum_value", "DOUBLE")],
     "counter_rate_events": [("delta", "DOUBLE"), ("rate_per_s", "DOUBLE"), ("ewma", "DOUBLE")],
-    "twa_daily": [("twa", "DOUBLE")],
+    "twa_daily": [("twa", "DOUBLE"), ("coverage", "DOUBLE")],
     "detect_gaps": [("gap_s", "DOUBLE")],
     "ohlc_daily": [("open", "DOUBLE"), ("high", "DOUBLE"), ("low", "DOUBLE"), ("close", "DOUBLE"), ("p50", "DOUBLE"), ("p95", "DOUBLE"), ("p99", "DOUBLE")],
     "window_features": [("value", "DOUBLE"), ("value_1h_ago", "DOUBLE"), ("zscore", "DOUBLE")],
     "level_shifts": [("shift", "DOUBLE"), ("shift_score", "DOUBLE")],
-    "benchmark_forecast": [("forecast", "DOUBLE")],
+    "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
     "continuous_hourly": [("s", "DOUBLE")],
     "compress_roundtrip": [("s", "DOUBLE")],

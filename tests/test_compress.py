@@ -142,6 +142,29 @@ def test_spark_compress_roundtrip(spark, transcripts_df):
     )
 
 
+def test_skew_split_layouts_identical(spark, transcripts_df):
+    """skew_split=False (key-only shuffle, the naive layout measured in
+    BENCH/SKEW.md) must produce byte-identical blocks to the default
+    (key, block) split — the layout only changes which task encodes a
+    block, never its bytes."""
+    from pyspark.sql import functions as F
+
+    src = transcripts_df.withColumn("text_len", F.length("text").cast("long"))
+    kwargs = dict(
+        ts_col="ts",
+        value_cols={"text_len": "int"},
+        key_col="conv_id",
+        block_unit="day",
+        order_cols=["ts", "turn_idx"],
+    )
+    split = compress_series(src, **kwargs).toPandas()
+    keyonly = compress_series(src, skew_split=False, **kwargs).toPandas()
+    for pdf in (split, keyonly):
+        pdf.sort_values(["conv_id", "block_start"], inplace=True, kind="stable")
+        pdf.reset_index(drop=True, inplace=True)
+    pd.testing.assert_frame_equal(split, keyonly)
+
+
 def test_batched_encoders_byte_identical():
     """*_many must produce output byte-identical to the per-block encoders
     for every block size including the 0/1/2-point header-only forms."""
