@@ -2088,25 +2088,37 @@ QUALIFY rank <= 10
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (exact-Jaccard verified). Hash-dependent
-    candidate set -> no SQL oracle; driver records a rows-only check, and
-    tests/test_training_ops.py pins semantics against a python oracle."""
+    """MinHash+LSH near-dup pairs (exact-Jaccard verified) — FULL SQL
+    oracle (r4): the driver runs the hash_fn='md5' variant, whose base
+    hash (text.hash64_md5: first 15 md5 hex chars as int) and band bucket
+    keys (md5 of the signature slice) DuckDB recomputes bit-for-bit, so
+    _sql_minhash_dedup re-derives the ENTIRE pipeline — shingles, 64
+    affine minhashes, 16-band buckets, candidate join, exact-Jaccard
+    verify. The xxhash64 default stays the scale path (bench.py measures
+    it); both are uniform hashes with identical sketch semantics."""
     from tablecloth_time_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, threshold=0.35, n_hashes=64, bands=16, shingle_words=2
+        docs, threshold=0.35, n_hashes=64, bands=16, shingle_words=2,
+        hash_fn="md5",
     ).select(
         "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim")
     )
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (no SQL oracle; see tests)."""
+    """SimHash banded near-dup pairs — FULL SQL oracle (r4) via the
+    hash_fn='md5' variant (64 signature bits from two 32-bit md5 halves);
+    _sql_simhash_dedup re-derives signatures, 16-bit band blocks, and the
+    bit_count(xor) hamming verify in DuckDB."""
     from tablecloth_time_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=6, shingle_words=2)
+    out = simhash_pairs(docs, max_hamming=6, shingle_words=2, hash_fn="md5")
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2243,16 +2255,17 @@ FROM (VALUES
 
 def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint near-dup pairs (rolling-hash sketch, MOSS
-    style). xxhash-seeded -> rows-only driver check; semantics pinned
-    against a python oracle in tests, and the emitted pairs' true
-    char-5-gram similarity is soundness-checked in DuckDB
+    style) — FULL SQL oracle (r4) via hash_fn='md5': SQL_WINNOW_DEDUP
+    re-derives the k-gram hashes, the w-window minima selection, and the
+    per-source pair Jaccard in DuckDB. The emitted pairs' true char-5-gram
+    similarity is additionally soundness-checked
     (tests/test_soundness_duckdb.py). Threshold 0.25 over the full
     documents table yields a meaningful pair set (~61 rows at sf0.01)
     instead of the single 0.35 outlier."""
     from tablecloth_time_spark.functions.text import jaccard, winnow_fingerprint_sets
 
     docs = _t(spark, sf_dir, "documents")
-    fps = winnow_fingerprint_sets(docs, "text", "doc_id", 5, 4)
+    fps = winnow_fingerprint_sets(docs, "text", "doc_id", 5, 4, hash_fn="md5")
     g = docs.select("source", "doc_id").join(
         fps.withColumnRenamed("__id", "doc_id"), "doc_id"
     )
@@ -2272,6 +2285,207 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("fp_sim") >= 0.25)
     )
+
+
+def _sql_word_shingle_ctes(n: int) -> str:
+    """Shared DuckDB CTE prefix: normalized text -> whitespace tokens ->
+    DISTINCT word n-shingles, mirroring functions/text.with_word_shingles
+    (lower + trim + collapse-\\s+, split on the collapsed single spaces,
+    concat_ws(' ') over each n-token window, set semantics)."""
+    shingle = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]"
+                                 for j in range(n))
+    return f"""norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split(t, ' ') END AS toks
+  FROM norm
+),
+sh AS (
+  SELECT DISTINCT doc_id, {shingle} AS s
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {n - 1})) AS i
+        FROM tok WHERE len(toks) >= {n})
+)"""
+
+
+def _sql_minhash_dedup(n_hashes: int = 64, bands: int = 16,
+                       shingle_words: int = 2, threshold: float = 0.35,
+                       seed: int = 42) -> str:
+    """DuckDB re-derivation of q_minhash_dedup (hash_fn='md5'): same
+    shingles, same 60-bit md5 base hash mod the Mersenne prime, the same
+    64 affine rehash min-aggregates (identical int64 arithmetic — a*h <
+    2^62, no overflow on either engine), md5 band-bucket keys over the
+    same comma-joined signature slices, candidate self-join with id_a <
+    id_b + dedup, exact-Jaccard verify from the shingle sets, and the
+    UNROUNDED threshold filter (the operator filters before the query
+    rounds — order preserved here)."""
+    from tablecloth_time_spark.operators.dedup import _MERSENNE, _minhash_coeffs
+
+    r = n_hashes // bands
+    coeffs = _minhash_coeffs(n_hashes, seed)
+    mins = ",\n         ".join(
+        f"MIN((({a} * h) % {_MERSENNE} + {b}) % {_MERSENNE}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, md5({c}) AS bh FROM sig".format(
+            b=b,
+            c=" || ',' || ".join(
+                f"CAST(m{i} AS VARCHAR)" for i in range(b * r, (b + 1) * r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_sql_word_shingle_ctes(shingle_words)},
+hb AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % {_MERSENNE} AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hb GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+iv AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       ROUND(COALESCE(iv.i, 0) / (ca.n + cb.n - COALESCE(iv.i, 0)), 6)
+         AS jaccard_sim
+FROM cand c
+JOIN card ca ON ca.doc_id = c.id_a
+JOIN card cb ON cb.doc_id = c.id_b
+LEFT JOIN iv ON iv.id_a = c.id_a AND iv.id_b = c.id_b
+WHERE COALESCE(iv.i, 0) / (ca.n + cb.n - COALESCE(iv.i, 0)) >= {threshold}
+"""
+
+
+def _sql_simhash_dedup(shingle_words: int = 2, bands: int = 4,
+                       max_hamming: int = 6) -> str:
+    """DuckDB re-derivation of q_simhash_dedup (hash_fn='md5'): 64 bit
+    sums from the two 32-bit md5 halves (bit i<32 from the low half,
+    i>=32 from the high — the exact operators/dedup.simhash_signatures
+    contract), two's-complement signature assembly (bit 63 = int64 min),
+    16-bit band blocking ((sim >> 16b) & 0xFFFF — arithmetic shift then
+    mask, identical on both engines), and bit_count(xor) hamming."""
+    bits_per = 64 // bands
+    sums = ",\n         ".join(
+        "SUM(CASE WHEN (({src} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END)"
+        " AS s{i}".format(
+            src="bl" if i < 32 else "bh", sh=i % 32, i=i
+        )
+        for i in range(64)
+    )
+    weights = "\n       | ".join(
+        "(CASE WHEN s{i} >= 0 THEN CAST({w} AS BIGINT) ELSE 0 END)".format(
+            i=i, w=(1 << i) if i < 63 else "-9223372036854775807 - 1"
+        )
+        for i in range(64)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sim, {b} AS band_id,"
+        f" (sim >> {b * bits_per}) & {(1 << bits_per) - 1} AS bv FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_sql_word_shingle_ctes(shingle_words)},
+hb AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS bh,
+         CAST(('0x' || substring(md5(s), 9, 8)) AS BIGINT) AS bl
+  FROM sh
+),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM hb GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         {weights} AS sim
+  FROM sums
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sim AS sim_a, b.sim AS sim_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+"""
+
+
+SQL_WINNOW_DEDUP = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substring(md5(substring(t, i, 5)), 1, 15)) AS BIGINT)
+           AS h
+  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+        FROM norm WHERE length(t) >= 5)
+),
+wm AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM g
+),
+-- keep window minima only for full windows (pos <= max(n-w+1, 1)); the
+-- 1-based i mirrors the engine's 0-based posexplode + 1
+kept AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE i <= GREATEST(n - 3, 1)),
+card AS (SELECT doc_id, COUNT(*) AS nfp FROM kept GROUP BY 1),
+d AS (
+  SELECT dd.doc_id, dd.source, COALESCE(card.nfp, 0) AS nfp
+  FROM documents dd LEFT JOIN card ON card.doc_id = dd.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nfp AS na, b.nfp AS nb
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+),
+iv AS (
+  SELECT ka.doc_id AS id_a, kb.doc_id AS id_b, COUNT(*) AS i
+  FROM kept ka JOIN kept kb
+    ON ka.wmin = kb.wmin AND ka.doc_id < kb.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         -- two empty fingerprint sets are jaccard-1.0 by the engine's
+         -- jaccard() contract (union = 0 branch)
+         ROUND(CASE WHEN p.na + p.nb - COALESCE(iv.i, 0) = 0 THEN 1.0
+                    ELSE COALESCE(iv.i, 0) / (p.na + p.nb - COALESCE(iv.i, 0))
+               END, 6) AS fp_sim
+  FROM pairs p LEFT JOIN iv ON iv.id_a = p.id_a AND iv.id_b = p.id_b
+)
+SELECT id_a, id_b, fp_sim FROM scored WHERE fp_sim >= 0.25
+"""
 
 
 # Pinned IVF coarse-quantizer (the FAISS deployment shape: train offline,
@@ -2445,6 +2659,8 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "media_features": [("feature_sum", "DOUBLE")],
     "lsh_ann_topk": [("cosine_sim", "DOUBLE")],
     "ivf_topk": [("cosine_sim", "DOUBLE")],
+    "minhash_dedup": [("jaccard_sim", "DOUBLE")],
+    "winnow_dedup": [("fp_sim", "DOUBLE")],
 }
 
 
@@ -2575,9 +2791,11 @@ def _raw_oracle_sql() -> dict[str, str]:
         "media_features": SQL_MEDIA_FEATURES,
         "lsh_ann_topk": _sql_lsh_ann_topk(),
         "ivf_topk": _sql_ivf_topk(),
-        # minhash_dedup / simhash_dedup / winnow_dedup: candidates are
-        # xxhash64-seeded (Spark-side hash, not reproducible in DuckDB
-        # SQL) -> rows-only driver check; exact semantics pinned against
-        # python oracles in tests/test_training_ops.py plus DuckDB
-        # soundness recomputation of the emitted pairs' similarities.
+        # r4: minhash/simhash/winnow driver queries run the hash_fn='md5'
+        # variant (cross-engine-reproducible base hash), so all three now
+        # carry FULL DuckDB pipeline re-derivations; the xxhash64 default
+        # remains the bench/scale path with python oracles in tests.
+        "minhash_dedup": _sql_minhash_dedup(),
+        "simhash_dedup": _sql_simhash_dedup(),
+        "winnow_dedup": SQL_WINNOW_DEDUP,
     }

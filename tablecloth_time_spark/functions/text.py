@@ -273,6 +273,19 @@ def fingerprint_xxhash(c: str | Column) -> Column:
     return F.xxhash64(normalize_text(c))
 
 
+def hash64_md5(c: str | Column) -> Column:
+    """Cross-engine 60-bit hash: integer of the first 15 hex chars of md5.
+
+    The verifiability twin of ``xxhash64`` for hash-seeded sketches
+    (minhash / simhash / winnowing): any engine with md5 recomputes it
+    bit-for-bit (DuckDB: ``CAST('0x' || substring(md5(x), 1, 15) AS
+    BIGINT)``), so a sketch built on it admits a FULL independent SQL
+    oracle instead of a rows-only check. 15 hex chars = 60 bits keeps the
+    value positive in a signed int64 on both engines. xxhash64 stays the
+    throughput default at scale — one JVM hash vs a full md5 digest."""
+    return F.conv(F.substring(F.md5(_col(c)), 1, 15), 16, 10).cast("long")
+
+
 def simhash64(c: str | Column, shingle_words: int = 2) -> Column:
     """64-bit SimHash of word shingles — pure higher-order array exprs.
 
@@ -332,6 +345,7 @@ def winnow_fingerprint_sets(
     id_col: str = "doc_id",
     k: int = 5,
     w: int = 4,
+    hash_fn: str = "xxhash64",
 ):
     """Winnowing document fingerprints (rolling-hash selection), df-level.
 
@@ -342,6 +356,9 @@ def winnow_fingerprint_sets(
     the standard near-copy detection sketch (MOSS). Selectivity ~2/(w+1).
 
     Returns ``(__id, fp: sorted array<bigint>)``; empty docs get ``fp=[]``.
+    ``hash_fn`` selects the k-gram hash: ``'xxhash64'`` (default, fastest)
+    or ``'md5'`` (``hash64_md5`` — cross-engine reproducible, the variant
+    the driver contract's full DuckDB oracle runs).
 
     Shape note: the sliding minima are a SQL window function over
     posexploded k-gram hashes (one shuffle + in-partition sort), NOT a
@@ -362,11 +379,14 @@ def winnow_fingerprint_sets(
         .rowsBetween(Window.currentRow, w - 1)
     )
     total = Window.partitionBy("__id")
+    gram_hash = (
+        F.xxhash64("__g") if hash_fn == "xxhash64" else hash64_md5(F.col("__g"))
+    )
     h = exploded.select(
         "__id",
         "__pos",
         F.when(F.col("__g").isNull(), F.lit(None).cast("long"))
-        .otherwise(F.xxhash64("__g"))
+        .otherwise(gram_hash)
         .alias("__h"),
     ).select(
         "__id",

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from tablecloth_time_spark.functions.text import (
     fingerprint_md5,
+    hash64_md5,
     jaccard,
     with_char_ngrams,
     with_word_shingles,
@@ -90,8 +91,16 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_words: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(__id, __sig: array<long>) — one minhash signature row per document.
+
+    ``hash_fn`` picks the per-shingle base hash: ``'xxhash64'`` (default —
+    one JVM hash, the 100 TB path) or ``'md5'`` (``text.hash64_md5`` —
+    bit-for-bit recomputable in any md5-capable engine, which is what lets
+    the driver contract run a FULL DuckDB oracle over the LSH pipeline).
+    Both are uniform 64/60-bit hashes; the sketch semantics are identical,
+    only the concrete candidate sets differ.
 
     Shape matters here: a pure column expression for the signature would be
     re-inlined by Catalyst's project collapsing into EVERY one of the
@@ -109,11 +118,12 @@ def minhash_signatures(
         text_col, "__wsh", n=shingle_words,
     )
     exploded = sh_df.select("__id", F.explode_outer("__wsh").alias("__s"))
+    raw = F.xxhash64("__s") if hash_fn == "xxhash64" else hash64_md5(F.col("__s"))
     base = exploded.select(
         "__id",
         F.when(
             F.col("__s").isNull(), F.lit(None).cast("long")
-        ).otherwise(F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE))).alias("__h"),
+        ).otherwise(F.pmod(raw, F.lit(_MERSENNE))).alias("__h"),
     )
     mins = [
         F.min(
@@ -145,6 +155,7 @@ def minhash_lsh_pairs(
     shingle_words: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs with exact-Jaccard verification.
 
@@ -153,12 +164,19 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b, jaccard_sim from
     the EXACT shingle sets (false positives filtered; output is exact
     given the candidate set).
+
+    ``hash_fn='md5'`` switches the base hash to the cross-engine
+    ``text.hash64_md5`` AND the band bucket key from xxhash64 to md5 of
+    the band's signature slice, making the whole candidate pipeline
+    recomputable in DuckDB (the bucket key only needs equality semantics,
+    so any injective-enough digest works; md5 keeps shuffle bytes at
+    32 B/band like the 64-bit hash's 8 B — same join shape).
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
 
     sig = minhash_signatures(
-        df, text_col, id_col, n_hashes, shingle_words, seed
+        df, text_col, id_col, n_hashes, shingle_words, seed, hash_fn
     )
     # docs with NO shingles (shorter than the shingle size) all share the
     # sentinel signature: banding them would collapse every short doc into
@@ -169,6 +187,7 @@ def minhash_lsh_pairs(
 
     # band join carries ONLY (id, band key): candidate volume is ids, never
     # shingle arrays (16 bands would otherwise ship every shingle set 16x)
+    band_key = F.xxhash64 if hash_fn == "xxhash64" else F.md5
     banded = sig.select(
         "__id",
         F.explode(
@@ -176,7 +195,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
+                        band_key(
                             F.concat_ws(",", F.slice("__sig", b * r + 1, r))
                         ).alias("band_hash"),
                     )
@@ -227,6 +246,7 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_words: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(__id, __sim: long) — SimHash64 per document via explode + groupBy.
 
@@ -235,16 +255,42 @@ def simhash_signatures(
     with ONE xxhash per shingle and 64 sum-aggregates in a single
     hash-aggregation pass — the df-level shape that avoids Catalyst
     re-inlining the shingle pipeline into every bit position (see
-    minhash_signatures)."""
+    minhash_signatures).
+
+    ``hash_fn='md5'`` draws the 64 bits from the md5 digest instead — two
+    32-bit halves of the first 16 hex chars, materialized as attributes so
+    the 64 bit tests reference cheap column refs (bit i<32 from the low
+    half, i>=32 from the high) — which DuckDB reproduces exactly, enabling
+    the driver contract's full SQL oracle."""
     exploded = with_word_shingles(
         df.select(F.col(id_col).alias("__id"), text_col),
         text_col, "__wsh", n=shingle_words,
     ).select("__id", F.explode_outer("__wsh").alias("__s"))
-    h = F.xxhash64("__s")
+    if hash_fn == "md5":
+        hexd = F.md5("__s")
+        exploded = exploded.select(
+            "__id",
+            "__s",
+            F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long").alias("__bh"),
+            F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long").alias("__bl"),
+        )
+
+        def bit_set(i: int):
+            src = F.col("__bl") if i < 32 else F.col("__bh")
+            return (
+                F.shiftright(src, i % 32).bitwiseAND(F.lit(1).cast("long")) == 1
+            )
+
+    else:
+        h = F.xxhash64("__s")
+
+        def bit_set(i: int):
+            return F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) == 1
+
     sums = [
         F.sum(
             F.when(F.col("__s").isNull(), F.lit(0))
-            .when(F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) == 1, 1)
+            .when(bit_set(i), 1)
             .otherwise(-1)
         ).alias(f"__b{i}")
         for i in range(64)
@@ -271,18 +317,21 @@ def simhash_pairs(
     max_hamming: int = 8,
     shingle_words: int = 2,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: banded blocking + exact hamming verify.
 
     With 4 bands of 16 bits, any pair within hamming distance 3 shares at
     least one exact band (pigeonhole); larger max_hamming trades recall.
+    ``hash_fn`` as in ``simhash_signatures`` ('md5' = the cross-engine
+    oracle-checkable variant).
     """
     bits_per = 64 // bands
     # shingle-less docs share the degenerate all-ones signature; banding
     # them would pair every short doc with every other (see minhash note)
-    sigs = simhash_signatures(df, text_col, id_col, shingle_words).filter(
-        F.col("__n_shingles") > 0
-    )
+    sigs = simhash_signatures(
+        df, text_col, id_col, shingle_words, hash_fn
+    ).filter(F.col("__n_shingles") > 0)
     banded = sigs.select(
         "__id",
         "__sim",

@@ -1,10 +1,13 @@
 """DuckDB soundness oracles for the hash-seeded pair queries.
 
-minhash/simhash/winnow candidates come from Spark xxhash64 (not
-reproducible in DuckDB SQL), so the driver runs them rows-only. These
-tests close the gap the judge flagged: the CANDIDATE SET stays
-hash-dependent, but the emitted pairs' similarity VALUES are recomputed
-independently in DuckDB from the raw text:
+Since r4 the driver queries run the hash_fn='md5' variant and carry FULL
+DuckDB pipeline oracles (__spark_entry__._sql_minhash_dedup /
+_sql_simhash_dedup / SQL_WINNOW_DEDUP), so the candidate sets themselves
+are cross-checked. These tests remain as an INDEPENDENT soundness layer
+with different failure modes: the emitted pairs' similarity VALUES are
+recomputed from the raw text via SQL string ops (no hashing at all), so
+a bug that corrupted both engines' hash pipelines identically would
+still be caught here:
 
 - minhash_dedup: the emitted jaccard_sim must EQUAL the exact word-2-
   shingle jaccard recomputed in SQL (the operator verifies candidates

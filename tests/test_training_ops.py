@@ -315,6 +315,174 @@ def test_winnow_fingerprints(spark, docs_df):
     assert rows[7] == []
 
 
+# ---------------------------------------------------------------------------
+# hash_fn='md5' variants (the driver contract's cross-engine oracle path)
+# vs a FULLY independent hashlib oracle — unlike the xxhash64 tests above,
+# nothing here round-trips through Spark to obtain the hash values
+# ---------------------------------------------------------------------------
+
+_MERS = (1 << 31) - 1
+
+
+def _py_h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _py_h32_halves(s: str) -> tuple[int, int]:
+    import hashlib
+
+    d = hashlib.md5(s.encode("utf-8")).hexdigest()
+    return int(d[:8], 16), int(d[8:16], 16)
+
+
+def _py_shingles(s: str, n: int) -> set[str]:
+    t = _py_norm(s).split()
+    return {" ".join(t[i : i + n]) for i in range(max(len(t) - n + 1, 0))}
+
+
+def test_minhash_md5_signatures_match_hashlib(spark, docs_df):
+    coeffs = DD._minhash_coeffs(64, 42)
+    got = {
+        r["__id"]: list(r["__sig"])
+        for r in DD.minhash_signatures(
+            docs_df, n_hashes=64, shingle_words=2, hash_fn="md5"
+        ).collect()
+    }
+    for doc_id, text in DOCS:
+        sh = _py_shingles(text, 2)
+        if not sh:
+            assert got[doc_id] == [-1] * 64
+            continue
+        hs = [_py_h60(s) % _MERS for s in sh]
+        expected = [
+            min((a * h % _MERS + b) % _MERS for h in hs) for a, b in coeffs
+        ]
+        assert got[doc_id] == expected, doc_id
+
+
+def test_minhash_md5_pairs_match_full_python_pipeline(spark, docs_df):
+    """End-to-end python re-derivation of the md5-variant LSH pipeline:
+    signatures -> 16 band buckets -> candidates -> exact jaccard ->
+    threshold. The same contract SQL_* re-derives in DuckDB for the
+    driver; here the oracle is hashlib + pure python."""
+    import hashlib
+
+    coeffs = DD._minhash_coeffs(64, 42)
+    sigs, shsets = {}, {}
+    for doc_id, text in DOCS:
+        sh = _py_shingles(text, 2)
+        shsets[doc_id] = sh
+        if not sh:
+            continue
+        hs = [_py_h60(s) % _MERS for s in sh]
+        sigs[doc_id] = [
+            min((a * h % _MERS + b) % _MERS for h in hs) for a, b in coeffs
+        ]
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for b in range(16):
+            key = ",".join(str(v) for v in sig[b * 4 : (b + 1) * 4])
+            bh = hashlib.md5(key.encode()).hexdigest()
+            buckets.setdefault((b, bh), []).append(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                cand.add((min(a, b), max(a, b)))
+    expected = {}
+    for a, b in sorted(cand):
+        inter = len(shsets[a] & shsets[b])
+        union = len(shsets[a] | shsets[b])
+        j = 1.0 if union == 0 else inter / union
+        if j >= 0.35:
+            expected[(a, b)] = j
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in DD.minhash_lsh_pairs(
+            docs_df, threshold=0.35, n_hashes=64, bands=16,
+            shingle_words=2, hash_fn="md5",
+        ).collect()
+    }
+    assert got == expected
+
+
+def _py_simhash_md5(text: str, n: int) -> int | None:
+    sh = _py_shingles(text, n)
+    if not sh:
+        return None
+    sums = [0] * 64
+    for s in sh:
+        hi, lo = _py_h32_halves(s)
+        for i in range(64):
+            bit = (lo >> i) & 1 if i < 32 else (hi >> (i - 32)) & 1
+            sums[i] += 1 if bit else -1
+    v = 0
+    for i in range(64):
+        if sums[i] >= 0:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash_md5_signatures_match_hashlib(spark, docs_df):
+    got = {
+        r["__id"]: r["__sim"]
+        for r in DD.simhash_signatures(
+            docs_df, shingle_words=2, hash_fn="md5"
+        ).collect()
+    }
+    for doc_id, text in DOCS:
+        expected = _py_simhash_md5(text, 2)
+        if expected is not None:
+            assert got[doc_id] == expected, doc_id
+
+
+def test_simhash_md5_pairs_match_hashlib(spark, docs_df):
+    sigs = {
+        d: _py_simhash_md5(t, 2) for d, t in DOCS if _py_simhash_md5(t, 2) is not None
+    }
+    expected = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sigs[a] & ((1 << 64) - 1), sigs[b] & ((1 << 64) - 1)
+            # candidate iff some 16-bit band agrees (the blocking contract)
+            if any(
+                (sa >> (16 * k)) & 0xFFFF == (sb >> (16 * k)) & 0xFFFF
+                for k in range(4)
+            ):
+                ham = bin(sa ^ sb).count("1")
+                if ham <= 6:
+                    expected[(a, b)] = ham
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_pairs(
+            docs_df, max_hamming=6, shingle_words=2, hash_fn="md5"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_winnow_md5_fingerprints_match_hashlib(spark, docs_df):
+    got = {
+        r["__id"]: list(r["fp"])
+        for r in TX.winnow_fingerprint_sets(
+            docs_df, "text", "doc_id", 5, 4, hash_fn="md5"
+        ).collect()
+    }
+    for doc_id, text in DOCS:
+        s = _py_norm(text)
+        grams = [s[i : i + 5] for i in range(len(s) - 4)]
+        if not grams:
+            assert got[doc_id] == []
+            continue
+        h = [_py_h60(g) for g in grams]
+        n_win = max(len(h) - 3, 1)
+        expected = sorted({min(h[i : i + 4]) for i in range(n_win)})
+        assert got[doc_id] == expected, doc_id
+
+
 def test_ivf_topk_recall(spark, vectors):
     df, pdf = vectors
     queries = spark.createDataFrame(
