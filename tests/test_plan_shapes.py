@@ -327,6 +327,25 @@ def test_decomposition_seasonal_join_broadcasts(events):
     assert "SortMergeJoin" not in p, p
 
 
+def test_minhash_md5_variant_same_plan_shape(spark):
+    """The hash_fn='md5' verifiability variant must keep the xxhash64
+    path's plan shape: ONE hash-aggregate signature pass (partial+final
+    over the exploded shingles) and no Python anywhere — md5/conv are
+    codegen expressions, so switching the hash must not add stages."""
+    from tablecloth_time_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plans = {
+        fn: _plan(minhash_signatures(docs, shingle_words=2, hash_fn=fn))
+        for fn in ("xxhash64", "md5")
+    }
+    for fn, p in plans.items():
+        assert p.count("Exchange") == 1, (fn, p)
+        assert "MapInPandas" not in p and "BatchEvalPython" not in p, fn
+        # partial + final over the exploded shingle scan
+        assert p.count("HashAggregate") == 2, (fn, p)
+
+
 def test_gapfill_linear_has_no_python(events):
     """linear/nearest gap-fill compile to window exprs over one sort —
     NO Arrow kernel (r3: the Arrow interp kernel was replaced by
