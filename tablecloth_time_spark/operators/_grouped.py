@@ -45,9 +45,18 @@ def grouped_apply_stream(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     schema,
     npartitions: int | None = None,
+    whole_batch: bool = False,
 ) -> DataFrame:
     """Apply ``fn`` once per (group_cols) group; rows arrive sorted by
-    ``sort_cols`` within each group. ``schema`` is the output schema."""
+    ``sort_cols`` within each group. ``schema`` is the output schema.
+
+    ``whole_batch=True`` hands ``fn`` a slab of COMPLETE groups at once
+    (group-contiguous, each group internally sorted) instead of one group
+    per call. A kernel that can vectorize across groups — e.g. pandas'
+    Cython ``groupby(...).ewm`` — avoids the per-group Python call and
+    the many-small-frame concat, which dominate when groups are small
+    and plentiful. The slab-boundary guarantee is identical: no group is
+    ever split across two ``fn`` calls."""
     spark = df.sparkSession
     nparts = stream_nparts(spark, npartitions)
     part = df.repartition(nparts, *group_cols).sortWithinPartitions(
@@ -55,6 +64,9 @@ def grouped_apply_stream(
     )
 
     def apply_groups(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        if whole_batch:
+            out = fn(pdf)
+            return out if out is not None and len(out) else None
         # dropna=False: a null group key is a real group (Spark groupBy /
         # window semantics); the default would silently drop its rows
         outs = [
