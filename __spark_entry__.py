@@ -749,6 +749,131 @@ SELECT node AS id, MIN(reach) AS cluster_id FROM walk GROUP BY node
 """
 
 
+def q_time_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged time-literal printing + parse-back — the engine's analog of
+    the reference's time-literals wiring (src/tablecloth/time/
+    time_literals.clj:1-17, which registers the juxt time-literals EDN
+    readers/printers). Payloads follow java.time toString exactly
+    (JDK-17-probe goldens in tests/test_time_literals.py), so the DuckDB
+    oracle re-derives every literal with CASE/strftime/epoch arithmetic;
+    the events table's microsecond timestamps exercise both fraction
+    groups (.123 / .123456) and the seconds-omission rule."""
+    from tablecloth_time_spark.functions import literals as L
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    ts = F.col("ts").cast("timestamp")
+    ntz = F.col("ts").cast("timestamp_ntz")
+    tod_ms = F.pmod(F.unix_micros(ts), F.lit(86_400_000_000)) / 1000
+    dur_ms = (tod_ms.cast("long") - F.lit(43_200_000)).cast("long")
+    per = F.struct(
+        (F.year(ts) - 2024).cast("int").alias("years"),
+        (F.month(ts) - 6).cast("int").alias("months"),
+        (F.dayofmonth(ts) - 15).cast("int").alias("days"),
+    )
+    out = ev.select(
+        "event_id",
+        L.to_time_literal(ts, "date").alias("lit_date"),
+        L.to_time_literal(ts, "instant").alias("lit_instant"),
+        L.to_time_literal(ntz, "date-time").alias("lit_datetime"),
+        L.to_time_literal(ntz, "time").alias("lit_time"),
+        L.to_time_literal(ts, "year").alias("lit_year"),
+        L.to_time_literal(ts, "year-month").alias("lit_year_month"),
+        L.to_time_literal(ts, "month").alias("lit_month"),
+        L.to_time_literal(ts, "day-of-week").alias("lit_dow"),
+        L.to_time_literal(dur_ms, "duration").alias("lit_duration"),
+        L.to_time_literal(per, "period").alias("lit_period"),
+        L.to_time_literal(
+            ts, "zoned-date-time", zone=F.lit("Europe/Berlin")
+        ).alias("lit_zoned"),
+    )
+    return out.select(
+        "*",
+        # DATE surfaces as object in pandas — compare as midnight timestamp
+        L.parse_time_literal("lit_date", "date")
+        .cast("timestamp_ntz")
+        .alias("rt_date"),
+        L.parse_time_literal("lit_time", "time").alias("rt_time_ms"),
+        L.parse_time_literal("lit_duration", "duration").alias("rt_dur_ms"),
+    )
+
+
+SQL_TIME_LITERALS = """
+WITH b AS (
+  SELECT event_id,
+         CAST(ts AS TIMESTAMP) AS tss,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events WHERE event_id < 3000
+), c AS (
+  SELECT event_id, tss, us,
+         ((us % 1000000) + 1000000) % 1000000 AS fr,
+         ((us % 86400000000) + 86400000000) % 86400000000 // 1000 AS tod_ms,
+         timezone('Europe/Berlin', timezone('UTC', tss)) AS bl
+  FROM b
+), d AS (
+  SELECT *,
+         CASE WHEN fr = 0 THEN ''
+              WHEN fr % 1000 = 0
+                THEN '.' || lpad(CAST(fr // 1000 AS VARCHAR), 3, '0')
+              ELSE '.' || lpad(CAST(fr AS VARCHAR), 6, '0') END AS frac,
+         CASE WHEN strftime(tss, '%S') = '00' AND fr = 0 THEN ''
+              ELSE ':' || strftime(tss, '%S') END AS opt_sec,
+         tod_ms - 43200000 AS dms,
+         CAST(EXTRACT(year FROM tss) AS INT) - 2024 AS py,
+         CAST(EXTRACT(month FROM tss) AS INT) - 6 AS pm,
+         CAST(EXTRACT(day FROM tss) AS INT) - 15 AS pd,
+         (epoch_ms(bl) - epoch_ms(tss)) // 60000 AS om
+  FROM c
+), e AS (
+  SELECT *,
+         CASE WHEN dms < 0 THEN '-' ELSE '' END AS dsign,
+         abs(dms) // 3600000 AS dh,
+         (abs(dms) % 3600000) // 60000 AS dmi,
+         abs(dms) % 60000 AS dsms
+  FROM d
+)
+SELECT event_id,
+       '#time/date "' || strftime(tss, '%Y-%m-%d') || '"' AS lit_date,
+       '#time/instant "' || strftime(tss, '%Y-%m-%dT%H:%M:%S') || frac || 'Z"'
+         AS lit_instant,
+       '#time/date-time "' || strftime(tss, '%Y-%m-%dT%H:%M') || opt_sec || frac || '"'
+         AS lit_datetime,
+       '#time/time "' || strftime(tss, '%H:%M') || opt_sec || frac || '"' AS lit_time,
+       '#time/year "' || CAST(CAST(EXTRACT(year FROM tss) AS INT) AS VARCHAR) || '"'
+         AS lit_year,
+       '#time/year-month "' || strftime(tss, '%Y-%m') || '"' AS lit_year_month,
+       '#time/month "' || upper(monthname(tss)) || '"' AS lit_month,
+       '#time/day-of-week "' || upper(dayname(tss)) || '"' AS lit_dow,
+       '#time/duration "PT'
+         || CASE WHEN dh > 0 THEN dsign || CAST(dh AS VARCHAR) || 'H' ELSE '' END
+         || CASE WHEN dmi > 0 THEN dsign || CAST(dmi AS VARCHAR) || 'M' ELSE '' END
+         || CASE WHEN dsms > 0 OR (dh = 0 AND dmi = 0)
+                 THEN dsign || CAST(dsms // 1000 AS VARCHAR)
+                      || CASE WHEN dsms % 1000 = 0 THEN ''
+                              ELSE '.' || rtrim(lpad(CAST(dsms % 1000 AS VARCHAR), 3, '0'), '0')
+                         END || 'S'
+                 ELSE '' END
+         || '"' AS lit_duration,
+       '#time/period "'
+         || CASE WHEN py = 0 AND pm = 0 AND pd = 0 THEN 'P0D'
+                 ELSE 'P'
+                      || CASE WHEN py <> 0 THEN CAST(py AS VARCHAR) || 'Y' ELSE '' END
+                      || CASE WHEN pm <> 0 THEN CAST(pm AS VARCHAR) || 'M' ELSE '' END
+                      || CASE WHEN pd <> 0 THEN CAST(pd AS VARCHAR) || 'D' ELSE '' END
+            END
+         || '"' AS lit_period,
+       '#time/zoned-date-time "' || strftime(bl, '%Y-%m-%dT%H:%M') || opt_sec || frac
+         || CASE WHEN om = 0 THEN 'Z'
+                 ELSE CASE WHEN om < 0 THEN '-' ELSE '+' END
+                      || lpad(CAST(abs(om) // 60 AS VARCHAR), 2, '0') || ':'
+                      || lpad(CAST(abs(om) % 60 AS VARCHAR), 2, '0') END
+         || '[Europe/Berlin]"' AS lit_zoned,
+       CAST(CAST(tss AS DATE) AS TIMESTAMP) AS rt_date,
+       CAST(tod_ms AS BIGINT) AS rt_time_ms,
+       CAST(dms AS BIGINT) AS rt_dur_ms
+FROM e
+"""
+
+
 def q_rollup_tiers_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four retention tiers in ONE grouping-sets pass (Expand + one
     shuffle) as a long-format frame — the engine's all-tiers-in-one-action
@@ -2698,6 +2823,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "timeops_misc": q_timeops_misc,
         "convert_time_units": q_convert_time_units,
+        "time_literals": q_time_literals,
         "rollup_tiers_long": q_rollup_tiers_long,
         "asof_join_rates": q_asof_join_rates,
         "sessionize_events": q_sessionize_events,
@@ -2761,6 +2887,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
         "timeops_misc": SQL_TIMEOPS_MISC,
         "convert_time_units": SQL_CONVERT_TIME_UNITS,
+        "time_literals": SQL_TIME_LITERALS,
         "rollup_tiers_long": SQL_ROLLUP_TIERS_LONG,
         "asof_join_rates": SQL_ASOF_JOIN_RATES,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,

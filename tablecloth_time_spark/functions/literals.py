@@ -1,0 +1,397 @@
+"""Tagged time-literal printing and parsing — the engine's analog of the
+reference's time-literals wiring (``src/tablecloth/time/time_literals.clj:1-17``,
+which registers the public juxt ``time-literals`` EDN readers/printers so
+java.time values round-trip as ``#time/date "2024-05-05"`` etc.).
+
+A distributed engine has no REPL printer to install, so the same surface
+is exposed as COLUMN functions: ``to_time_literal`` renders a typed
+column into its tagged-literal string and ``parse_time_literal`` turns a
+tagged-literal string column back into the typed value. Payload strings
+follow java.time ``toString`` exactly (golden-tested against a JDK 17
+probe), so literals produced here are readable by the reference's EDN
+readers and vice versa:
+
+- ``date``            2024-05-05                      <-> DateType
+- ``instant``         2024-05-05T10:15:00Z            <-> TimestampType
+  (seconds always printed; fraction trimmed in 3-digit groups)
+- ``date-time``       2024-05-05T10:15[:30[.123]]     <-> TimestampNTZ
+  (``:ss`` omitted when zero and no fraction — LocalDateTime.toString)
+- ``time``            10:15[:30[.120]]                <-> BIGINT millis-of-day
+  (Spark 4.1's TIME type is still flag-gated, so the engine's carrier
+  is millis-of-day; fraction beyond millis is truncated on parse)
+- ``year``            2024                            <-> INT
+- ``year-month``      2024-05                         <-> DateType (1st of month)
+- ``month``           JUNE                            <-> INT 1-12
+- ``day-of-week``     MONDAY                          <-> INT ISO 1-7
+- ``duration``        PT25H1M1.123S                   <-> BIGINT millis
+  (normalized to H/M/S with per-component sign — Duration.toString)
+- ``period``          P1Y2M3D / P0D                   <-> STRUCT<years,months,days>
+  (components kept as-is, not normalized — Period.toString)
+- ``zone``            Europe/Berlin                   <-> STRING
+- ``zoned-date-time`` 2024-05-05T10:15+02:00[Europe/Berlin]
+                                      <-> STRUCT<instant timestamp, zone string>
+
+Everything is built from codegen expressions (regexp / conditional
+concat / integer arithmetic) — no UDFs, so literal rendering of a
+trillion-row column is whole-stage-codegen all the way down. Instants
+assume the engine's pinned UTC session (``session.py``); malformed
+payloads parse to null (``try_cast`` semantics), never raise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "TAGS",
+    "to_time_literal",
+    "parse_time_literal",
+    "literal_tag",
+    "literal_payload",
+    "fmt_duration_iso",
+    "fmt_period_iso",
+    "parse_duration_iso",
+    "parse_period_iso",
+]
+
+TAGS = (
+    "date",
+    "instant",
+    "date-time",
+    "time",
+    "year",
+    "year-month",
+    "month",
+    "day-of-week",
+    "duration",
+    "period",
+    "zone",
+    "zoned-date-time",
+)
+
+_MONTHS = [
+    "JANUARY", "FEBRUARY", "MARCH", "APRIL", "MAY", "JUNE", "JULY",
+    "AUGUST", "SEPTEMBER", "OCTOBER", "NOVEMBER", "DECEMBER",
+]
+_DOWS = [
+    "MONDAY", "TUESDAY", "WEDNESDAY", "THURSDAY", "FRIDAY",
+    "SATURDAY", "SUNDAY",
+]
+
+
+def _tagged(tag: str, payload: Column) -> Column:
+    return F.when(
+        payload.isNotNull(), F.concat(F.lit(f'#time/{tag} "'), payload, F.lit('"'))
+    )
+
+
+def _frac_str(micros: Column) -> Column:
+    """'.123' / '.123456' / '' from a 0-999999 micros-of-second column —
+    java.time trims the fraction in 3-digit groups."""
+    ms = F.lpad((micros / 1000).cast("long").cast("string"), 3, "0")
+    us6 = F.lpad(micros.cast("string"), 6, "0")
+    return (
+        F.when(micros == 0, F.lit(""))
+        .when(micros % 1000 == 0, F.concat(F.lit("."), ms))
+        .otherwise(F.concat(F.lit("."), us6))
+    )
+
+
+def _micros_of_second(ts: Column) -> Column:
+    # date_format 'SSSSSS' would render in the session zone; fraction of
+    # second is zone-invariant, so take it from the micros remainder
+    # (pmod: pre-epoch instants must still yield 0..999999)
+    return F.pmod(F.unix_micros(ts.cast("timestamp")), F.lit(1_000_000))
+
+
+def _hm(ts: Column) -> Column:
+    return F.date_format(ts, "HH:mm")
+
+
+def _opt_seconds(ts: Column) -> Column:
+    """':ss[.frac]' when nonzero, else '' (LocalDateTime/LocalTime rule)."""
+    micros = _micros_of_second(ts)
+    sec = F.second(ts)
+    return F.when(
+        (sec == 0) & (micros == 0), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), F.date_format(ts, "ss"), _frac_str(micros)))
+
+
+def _fmt_date(c: Column) -> Column:
+    return F.date_format(c, "yyyy-MM-dd")
+
+
+def _fmt_local_dt(c: Column) -> Column:
+    return F.concat(_fmt_date(c), F.lit("T"), _hm(c), _opt_seconds(c))
+
+
+def _fmt_instant(c: Column) -> Column:
+    # Instant.toString always prints seconds; UTC session pinned
+    ts = c.cast("timestamp")
+    return F.concat(
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
+        _frac_str(_micros_of_second(ts)),
+        F.lit("Z"),
+    )
+
+
+def _fmt_time(c: Column) -> Column:
+    return F.concat(_hm(c), _opt_seconds(c))
+
+
+def _trim_frac(ms: Column) -> Column:
+    """'.5' / '.12' / '.123' / '' from 0-999 millis — trailing zeros cut."""
+    p = F.lpad(ms.cast("string"), 3, "0")
+    return (
+        F.when(ms == 0, F.lit(""))
+        .when(ms % 100 == 0, F.concat(F.lit("."), p.substr(1, 1)))
+        .when(ms % 10 == 0, F.concat(F.lit("."), p.substr(1, 2)))
+        .otherwise(F.concat(F.lit("."), p))
+    )
+
+
+def fmt_duration_iso(millis: Column | str) -> Column:
+    """java.time ``Duration.toString``: normalized to H/M/S, zero -> PT0S,
+    negative totals put the sign on every printed component
+    (-3661s -> PT-1H-1M-1S)."""
+    m = F.col(millis) if isinstance(millis, str) else millis
+    m = m.cast("long")
+    sign = F.when(m < 0, F.lit("-")).otherwise(F.lit(""))
+    a = F.abs(m)
+    h = (a / 3_600_000).cast("long")
+    mi = (a % 3_600_000 / 60_000).cast("long")
+    sms = a % 60_000
+    s_int = (sms / 1000).cast("long")
+    s_part = F.concat(sign, s_int.cast("string"), _trim_frac(sms % 1000), F.lit("S"))
+    return F.concat(
+        F.lit("PT"),
+        F.when(h > 0, F.concat(sign, h.cast("string"), F.lit("H"))).otherwise(F.lit("")),
+        F.when(mi > 0, F.concat(sign, mi.cast("string"), F.lit("M"))).otherwise(F.lit("")),
+        F.when((sms > 0) | ((h == 0) & (mi == 0)), s_part).otherwise(F.lit("")),
+    )
+
+
+def fmt_period_iso(years: Column, months: Column, days: Column) -> Column:
+    """java.time ``Period.toString``: components as stored (never
+    normalized), all-zero -> P0D."""
+    y, mo, d = (c.cast("int") for c in (years, months, days))
+    zero = (y == 0) & (mo == 0) & (d == 0)
+    part = lambda c, u: F.when(  # noqa: E731
+        c != 0, F.concat(c.cast("string"), F.lit(u))
+    ).otherwise(F.lit(""))
+    return F.when(zero, F.lit("P0D")).otherwise(
+        F.concat(F.lit("P"), part(y, "Y"), part(mo, "M"), part(d, "D"))
+    )
+
+
+def _fmt_offset(offset_min: Column) -> Column:
+    return F.when(offset_min == 0, F.lit("Z")).otherwise(
+        F.concat(
+            F.when(offset_min < 0, F.lit("-")).otherwise(F.lit("+")),
+            F.lpad((F.abs(offset_min) / 60).cast("long").cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad((F.abs(offset_min) % 60).cast("string"), 2, "0"),
+        )
+    )
+
+
+def _fmt_zoned(ts: Column, zone: Column) -> Column:
+    """ZonedDateTime.toString from a UTC instant + zone-id string: local
+    wall time + offset ('Z' at zero) + '[zone]' for region ids (no
+    bracket when the zone IS an offset like '+02:00' or 'Z')."""
+    utc_ntz = ts.cast("timestamp").cast("timestamp_ntz")
+    local = F.convert_timezone(F.lit("UTC"), zone, utc_ntz)
+    offset_min = (
+        (local.cast("timestamp").cast("long") - utc_ntz.cast("timestamp").cast("long"))
+        / 60
+    ).cast("long")
+    is_offset_zone = zone.rlike(r"^[+\-Z]")
+    return F.concat(
+        _fmt_local_dt(local),
+        _fmt_offset(offset_min),
+        F.when(is_offset_zone, F.lit("")).otherwise(
+            F.concat(F.lit("["), zone, F.lit("]"))
+        ),
+    )
+
+
+def to_time_literal(col: Column | str, tag: str, zone: Column | str | None = None) -> Column:
+    """Render a typed column as its ``#time/<tag> "<payload>"`` literal.
+
+    Expected input per tag: date-ish for ``date``/``year-month``/``year``/
+    ``month``/``day-of-week``; timestamp for ``instant`` (UTC) and
+    ``zoned-date-time`` (plus ``zone``); timestamp_ntz for ``date-time``/
+    ``time``; BIGINT millis for ``duration``; STRUCT<years,months,days>
+    for ``period``; STRING for ``zone``."""
+    c = F.col(col) if isinstance(col, str) else col
+    z = F.col(zone) if isinstance(zone, str) else zone
+    if tag == "date":
+        payload = _fmt_date(c)
+    elif tag == "instant":
+        payload = _fmt_instant(c)
+    elif tag == "date-time":
+        payload = _fmt_local_dt(c)
+    elif tag == "time":
+        payload = _fmt_time(c)
+    elif tag == "year":
+        # date-ish input; for a bare int year use F.lit/cast + _tagged
+        payload = F.year(c).cast("string")
+    elif tag == "year-month":
+        payload = F.date_format(c, "yyyy-MM")
+    elif tag == "month":
+        payload = F.element_at(F.lit(_MONTHS), F.month(c).cast("int"))
+    elif tag == "day-of-week":
+        payload = F.element_at(F.lit(_DOWS), (F.dayofweek(c) + 5) % 7 + 1)
+    elif tag == "duration":
+        payload = fmt_duration_iso(c)
+    elif tag == "period":
+        payload = fmt_period_iso(c["years"], c["months"], c["days"])
+    elif tag == "zone":
+        payload = c
+    elif tag == "zoned-date-time":
+        if z is None:
+            raise ValueError("zoned-date-time literal needs zone=")
+        payload = _fmt_zoned(c, z)
+    else:
+        raise ValueError(f"unknown time-literal tag {tag!r}; one of {TAGS}")
+    return _tagged(tag, payload)
+
+
+_LIT_RE = r'^#time/([a-z-]+) "(.*)"$'
+
+
+def literal_tag(lit: Column | str) -> Column:
+    """The tag name of a tagged literal string (null when not a literal)."""
+    c = F.col(lit) if isinstance(lit, str) else lit
+    t = F.regexp_extract(c, _LIT_RE, 1)
+    return F.when(t != "", t)
+
+
+def literal_payload(lit: Column | str) -> Column:
+    c = F.col(lit) if isinstance(lit, str) else lit
+    p = F.regexp_extract(c, _LIT_RE, 2)
+    return F.when(literal_tag(c).isNotNull(), p)
+
+
+def _with_seconds(p: Column) -> Column:
+    """Insert ':00' seconds into 'yyyy-MM-ddTHH:mm'-prefixed payloads so
+    Spark's string->timestamp cast (which requires seconds) accepts the
+    seconds-omitted java.time prints."""
+    return F.regexp_replace(
+        p, r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2})(?=$|[Z+\-.\[])", r"$1:00"
+    )
+
+
+def _try_ts(p: Column, target: str) -> Column:
+    return _with_seconds(p).try_cast(target)
+
+
+def parse_duration_iso(p: Column) -> Column:
+    """ISO-8601 duration string -> BIGINT millis (null when malformed).
+    Accepts the full Duration.parse surface: optional leading '-',
+    optional D component, per-component signs, fractional seconds
+    (truncated to millis)."""
+    rx = (
+        r"^(-?)P(?:(-?\d+)D)?(?:T(?:(-?\d+)H)?(?:(-?\d+)M)?"
+        r"(?:(-?\d+)(?:\.(\d{1,9}))?S)?)?$"
+    )
+    ok = p.rlike(rx) & (p != "P") & ~p.rlike(r"T$") & (p != "-P")
+    g = lambda i: F.regexp_extract(p, rx, i)  # noqa: E731
+    num = lambda i: F.coalesce(g(i).try_cast("long"), F.lit(0))  # noqa: E731
+    frac_ms = F.coalesce(
+        F.rpad(g(6), 3, "0").substr(1, 3).try_cast("long"), F.lit(0)
+    )
+    # fraction sign follows the seconds component's sign (PT-1.5S)
+    sec_neg = g(5).startswith("-")
+    total = (
+        num(2) * 86_400_000
+        + num(3) * 3_600_000
+        + num(4) * 60_000
+        + num(5) * 1000
+        + F.when(sec_neg, -frac_ms).otherwise(frac_ms)
+    )
+    total = F.when(g(1) == "-", -total).otherwise(total)
+    return F.when(ok, total)
+
+
+def parse_period_iso(p: Column) -> Column:
+    """ISO-8601 period string -> STRUCT<years,months,days> (weeks folded
+    into days exactly as ``Period.parse``; null when malformed)."""
+    rx = r"^(-?)P(?:(-?\d+)Y)?(?:(-?\d+)M)?(?:(-?\d+)W)?(?:(-?\d+)D)?$"
+    ok = p.rlike(rx) & (p != "P") & (p != "-P")
+    g = lambda i: F.regexp_extract(p, rx, i)  # noqa: E731
+    num = lambda i: F.coalesce(g(i).try_cast("int"), F.lit(0))  # noqa: E731
+    neg = g(1) == "-"
+    flip = lambda c: F.when(neg, -c).otherwise(c)  # noqa: E731
+    return F.when(
+        ok,
+        F.struct(
+            flip(num(2)).alias("years"),
+            flip(num(3)).alias("months"),
+            flip(num(4) * 7 + num(5)).alias("days"),
+        ),
+    )
+
+
+def _parse_time_millis(p: Column) -> Column:
+    rx = r"^(\d{2}):(\d{2})(?::(\d{2}))?(?:\.(\d{1,9}))?$"
+    ok = p.rlike(rx)
+    g = lambda i: F.regexp_extract(p, rx, i)  # noqa: E731
+    num = lambda i: F.coalesce(g(i).try_cast("long"), F.lit(0))  # noqa: E731
+    frac_ms = F.coalesce(F.rpad(g(4), 3, "0").substr(1, 3).try_cast("long"), F.lit(0))
+    millis = num(1) * 3_600_000 + num(2) * 60_000 + num(3) * 1000 + frac_ms
+    return F.when(ok & (num(1) < 24) & (num(2) < 60) & (num(3) < 60), millis)
+
+
+def _parse_zoned(p: Column) -> Column:
+    rx = (
+        r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(?::\d{2}(?:\.\d{1,9})?)?)"
+        r"(Z|[+\-]\d{2}:\d{2})(?:\[([^\]]+)\])?$"
+    )
+    local = F.regexp_extract(p, rx, 1)
+    off = F.regexp_extract(p, rx, 2)
+    zone = F.regexp_extract(p, rx, 3)
+    instant = _try_ts(F.concat(local, off), "timestamp")
+    return F.when(
+        p.rlike(rx),
+        F.struct(
+            instant.alias("instant"),
+            F.when(zone != "", zone).otherwise(off).alias("zone"),
+        ),
+    )
+
+
+def parse_time_literal(lit: Column | str, tag: str) -> Column:
+    """Parse a ``#time/<tag> "..."`` literal string into the typed value
+    for ``tag`` (see module table). Null when the string is not a
+    literal, carries a different tag, or the payload is malformed."""
+    c = F.col(lit) if isinstance(lit, str) else lit
+    p = F.when(literal_tag(c) == tag, literal_payload(c))
+    if tag == "date":
+        return p.try_cast("date")
+    if tag == "instant":
+        return _try_ts(p, "timestamp")
+    if tag == "date-time":
+        return _try_ts(p, "timestamp_ntz")
+    if tag == "time":
+        return _parse_time_millis(p)
+    if tag == "year":
+        return F.when(p.rlike(r"^-?\d{1,9}$"), p.try_cast("int"))
+    if tag == "year-month":
+        return F.when(
+            p.rlike(r"^\d{4}-\d{2}$"), F.concat(p, F.lit("-01")).try_cast("date")
+        )
+    if tag == "month":
+        return F.nullif(F.array_position(F.lit(_MONTHS), p).try_cast("int"), F.lit(0))
+    if tag == "day-of-week":
+        return F.nullif(F.array_position(F.lit(_DOWS), p).try_cast("int"), F.lit(0))
+    if tag == "duration":
+        return parse_duration_iso(p)
+    if tag == "period":
+        return parse_period_iso(p)
+    if tag == "zone":
+        return p
+    if tag == "zoned-date-time":
+        return _parse_zoned(p)
+    raise ValueError(f"unknown time-literal tag {tag!r}; one of {TAGS}")
