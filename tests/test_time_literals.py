@@ -265,6 +265,51 @@ def test_round_trip_duration_and_period(spark):
     assert bad == 0
 
 
+def test_randomized_cross_check_vs_python_isoformat(spark):
+    """2000 stratified random timestamps (zero-fraction / millis-only /
+    zero-second strata forced) — the Spark literal strings must equal an
+    independent Python reference built from datetime.isoformat timespec
+    selection, and random large signed durations must round-trip."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    us = rng.integers(0, 4 * 10**15, 2000)  # ~127 years of post-epoch micros
+    us[::4] -= us[::4] % 1_000_000  # whole seconds
+    us[1::4] -= us[1::4] % 1000  # exact millis
+    us[2::4] -= us[2::4] % 60_000_000  # :00 seconds (omission rule)
+    dur = rng.integers(-(10**12), 10**12, 2000)
+    rows = [(int(a), int(b)) for a, b in zip(us, dur)]
+    df = spark.createDataFrame(rows, "us long, dur long")
+    ts = F.timestamp_micros("us")
+    got = df.select(
+        "us",
+        "dur",
+        literal_payload(to_time_literal(ts, "instant")).alias("i"),
+        literal_payload(
+            to_time_literal(ts.cast("timestamp_ntz"), "date-time")
+        ).alias("d"),
+        literal_payload(to_time_literal(ts.cast("timestamp_ntz"), "time")).alias(
+            "t"
+        ),
+        parse_duration_iso(fmt_duration_iso(F.col("dur"))).alias("rt"),
+    ).collect()
+    for r in got:
+        x = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=r["us"])
+        if x.microsecond == 0:
+            spec = "seconds"
+        elif x.microsecond % 1000 == 0:
+            spec = "milliseconds"
+        else:
+            spec = "microseconds"
+        assert r["i"] == x.isoformat(timespec=spec) + "Z", r
+        dt_spec = (
+            "minutes" if x.second == 0 and x.microsecond == 0 else spec
+        )
+        assert r["d"] == x.isoformat(timespec=dt_spec), r
+        assert r["t"] == x.time().isoformat(timespec=dt_spec), r
+        assert r["rt"] == r["dur"], r
+
+
 def test_all_tags_enumerated():
     assert len(TAGS) == 12
     for t in TAGS:
