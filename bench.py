@@ -321,6 +321,25 @@ def main() -> None:
         ).agg(F.sum("duration_ms")).collect(),
     )
 
+    from tablecloth_time_spark.functions import literals as LIT
+
+    timed(
+        "time_literals_events",
+        lambda: events.select(
+            LIT.to_time_literal(F.col("ts").cast("timestamp"), "instant").alias("i"),
+            LIT.to_time_literal(
+                F.col("ts").cast("timestamp_ntz"), "date-time"
+            ).alias("d"),
+            LIT.to_time_literal(
+                F.col("ts").cast("timestamp"),
+                "zoned-date-time",
+                zone=F.lit("Europe/Berlin"),
+            ).alias("z"),
+        )
+        .agg(F.sum(F.length("i") + F.length("d") + F.length("z")))
+        .collect(),
+    )
+
     # training-data ops + compression (sf tables: documents / embeddings)
     from tablecloth_time_spark.operators.compress import compress_series
     from tablecloth_time_spark.operators.dedup import minhash_lsh_pairs
