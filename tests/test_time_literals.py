@@ -310,6 +310,54 @@ def test_randomized_cross_check_vs_python_isoformat(spark):
         assert r["rt"] == r["dur"], r
 
 
+def test_zoned_literal_random_instants_vs_zoneinfo(spark):
+    """600 random instants — 200 clustered inside +/-3h of each 2024
+    Berlin DST transition, 200 spread over the year — must render the
+    zoned literal exactly as Python's zoneinfo derives it (offset sign,
+    DST fold side, seconds omission)."""
+    import numpy as np
+    from zoneinfo import ZoneInfo
+
+    rng = np.random.default_rng(7)
+    spring = int(dt.datetime(2024, 3, 31, 1, 0).timestamp() * 1000)
+    fall = int(dt.datetime(2024, 10, 27, 1, 0).timestamp() * 1000)
+    ms = np.concatenate(
+        [
+            spring + rng.integers(-3 * 3600_000, 3 * 3600_000, 200),
+            fall + rng.integers(-3 * 3600_000, 3 * 3600_000, 200),
+            rng.integers(
+                int(dt.datetime(2024, 1, 1).timestamp() * 1000),
+                int(dt.datetime(2025, 1, 1).timestamp() * 1000),
+                200,
+            ),
+        ]
+    )
+    df = spark.createDataFrame([(int(x),) for x in ms], "ms long")
+    got = df.select(
+        "ms",
+        literal_payload(
+            to_time_literal(
+                F.timestamp_millis("ms"), "zoned-date-time", zone=F.lit("Europe/Berlin")
+            )
+        ).alias("z"),
+    ).collect()
+    tz = ZoneInfo("Europe/Berlin")
+    for r in got:
+        loc = dt.datetime.fromtimestamp(r["ms"] / 1000, dt.timezone.utc).astimezone(tz)
+        spec = "minutes" if loc.second == 0 and loc.microsecond == 0 else (
+            "milliseconds" if loc.microsecond else "seconds"
+        )
+        off = loc.utcoffset()
+        total_min = int(off.total_seconds()) // 60
+        if total_min == 0:
+            off_s = "Z"
+        else:
+            sign = "-" if total_min < 0 else "+"
+            off_s = f"{sign}{abs(total_min) // 60:02d}:{abs(total_min) % 60:02d}"
+        exp = loc.replace(tzinfo=None).isoformat(timespec=spec) + off_s + "[Europe/Berlin]"
+        assert r["z"] == exp, (r, exp)
+
+
 def test_all_tags_enumerated():
     assert len(TAGS) == 12
     for t in TAGS:
