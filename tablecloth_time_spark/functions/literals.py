@@ -284,7 +284,10 @@ def _with_seconds(p: Column) -> Column:
 
 
 def _try_ts(p: Column, target: str) -> Column:
-    return _with_seconds(p).try_cast(target)
+    # a JVM-printed literal may carry a 7-9 digit (nano) fraction, which
+    # Spark's string->timestamp cast rejects — truncate to micros first
+    trimmed = F.regexp_replace(_with_seconds(p), r"(\.\d{6})\d+", r"$1")
+    return trimmed.try_cast(target)
 
 
 def parse_duration_iso(p: Column) -> Column:

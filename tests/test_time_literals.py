@@ -161,6 +161,17 @@ def test_tag_and_payload_extraction(spark):
     assert _one(spark, literal_tag(F.lit("not a literal"))) is None
 
 
+def test_parse_nano_fraction_truncates_to_micros(spark):
+    # a JVM Instant can print 9 fraction digits; parse keeps micros
+    got = _one(
+        spark,
+        parse_time_literal(
+            F.lit('#time/instant "2024-05-05T10:15:30.123456789Z"'), "instant"
+        ),
+    )
+    assert got == dt.datetime(2024, 5, 5, 10, 15, 30, 123456)
+
+
 def test_parse_wrong_tag_is_null(spark):
     lit = F.lit('#time/date "2024-05-05"')
     assert _one(spark, parse_time_literal(lit, "instant")) is None
