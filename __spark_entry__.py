@@ -785,6 +785,13 @@ def q_time_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
         L.to_time_literal(
             ts, "zoned-date-time", zone=F.lit("Europe/Berlin")
         ).alias("lit_zoned"),
+        L.to_time_literal(ts, "month-day").alias("lit_month_day"),
+        L.to_time_literal(
+            ts, "offset-date-time", offset_min=F.lit(330)
+        ).alias("lit_offset_dt"),
+        L.to_time_literal(
+            ntz, "offset-time", offset_min=F.lit(-270)
+        ).alias("lit_offset_time"),
     )
     return out.select(
         "*",
@@ -867,6 +874,12 @@ SELECT event_id,
                       || lpad(CAST(abs(om) // 60 AS VARCHAR), 2, '0') || ':'
                       || lpad(CAST(abs(om) % 60 AS VARCHAR), 2, '0') END
          || '[Europe/Berlin]"' AS lit_zoned,
+       '#time/month-day "--' || strftime(tss, '%m-%d') || '"' AS lit_month_day,
+       '#time/offset-date-time "'
+         || strftime(tss + INTERVAL 330 MINUTE, '%Y-%m-%dT%H:%M') || opt_sec || frac
+         || '+05:30"' AS lit_offset_dt,
+       '#time/offset-time "' || strftime(tss, '%H:%M') || opt_sec || frac
+         || '-04:30"' AS lit_offset_time,
        CAST(CAST(tss AS DATE) AS TIMESTAMP) AS rt_date,
        CAST(tod_ms AS BIGINT) AS rt_time_ms,
        CAST(dms AS BIGINT) AS rt_dur_ms
@@ -949,6 +962,64 @@ SELECT e.event_id, e.user_id, e.ts,
        r.rts AS matched_ts, r.hour_sum
 FROM events e ASOF LEFT JOIN r
   ON e.user_id = r.user_id AND CAST(e.ts AS TIMESTAMP) >= r.rts
+"""
+
+
+def q_asof_nearest_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join direction='nearest' (pandas merge_asof semantics, ties
+    -> backward): each event matched to the CLOSER of the preceding and
+    following hourly rollup point. Oracle: two native DuckDB ASOF joins
+    (>= and <=) with the distance/tie pick re-derived in SQL — exact
+    because the right side is unique per (user_id, rts)."""
+    from tablecloth_time_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id",
+        (T.down_to_nearest("ts", 1, "hour") + F.expr("INTERVAL 1 HOUR")).alias(
+            "rts"
+        ),
+    ).agg(F.round(F.sum("value"), 6).alias("hour_sum"))
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        hourly,
+        on="user_id",
+        left_ts="ts",
+        right_ts="rts",
+        direction="nearest",
+    )
+    return out.select("event_id", "user_id", "ts", "matched_ts", "hour_sum")
+
+
+SQL_ASOF_NEAREST_RATES = """
+WITH r AS (
+  SELECT user_id,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS rts,
+         ROUND(SUM(value), 6) AS hour_sum
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT e.event_id, r.rts AS b_ts, r.hour_sum AS b_sum
+  FROM events e ASOF LEFT JOIN r
+    ON e.user_id = r.user_id AND CAST(e.ts AS TIMESTAMP) >= r.rts
+), f AS (
+  SELECT e.event_id, r.rts AS f_ts, r.hour_sum AS f_sum
+  FROM events e ASOF LEFT JOIN r
+    ON e.user_id = r.user_id AND CAST(e.ts AS TIMESTAMP) <= r.rts
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN f.f_ts IS NULL THEN b.b_ts
+            WHEN b.b_ts IS NULL THEN f.f_ts
+            WHEN epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(b.b_ts)
+                 <= epoch_us(f.f_ts) - epoch_us(CAST(e.ts AS TIMESTAMP))
+              THEN b.b_ts ELSE f.f_ts END AS matched_ts,
+       CASE WHEN f.f_ts IS NULL THEN b.b_sum
+            WHEN b.b_ts IS NULL THEN f.f_sum
+            WHEN epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(b.b_ts)
+                 <= epoch_us(f.f_ts) - epoch_us(CAST(e.ts AS TIMESTAMP))
+              THEN b.b_sum ELSE f.f_sum END AS hour_sum
+FROM events e
+JOIN b ON b.event_id = e.event_id
+JOIN f ON f.event_id = e.event_id
 """
 
 
@@ -2763,6 +2834,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "seasonal_decompose": [("trend", "DOUBLE"), ("seasonal", "DOUBLE"), ("remainder", "DOUBLE")],
     "rollup_tiers_long": [("s", "DOUBLE")],
     "asof_join_rates": [("hour_sum", "DOUBLE")],
+    "asof_nearest_rates": [("hour_sum", "DOUBLE")],
     "sessionize_events": [("sum_value", "DOUBLE")],
     "counter_rate_events": [("delta", "DOUBLE"), ("rate_per_s", "DOUBLE"), ("ewma", "DOUBLE")],
     "twa_daily": [("twa", "DOUBLE"), ("coverage", "DOUBLE")],
@@ -2826,6 +2898,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_literals": q_time_literals,
         "rollup_tiers_long": q_rollup_tiers_long,
         "asof_join_rates": q_asof_join_rates,
+        "asof_nearest_rates": q_asof_nearest_rates,
         "sessionize_events": q_sessionize_events,
         "counter_rate_events": q_counter_rate_events,
         "twa_daily": q_twa_daily,
@@ -2890,6 +2963,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "time_literals": SQL_TIME_LITERALS,
         "rollup_tiers_long": SQL_ROLLUP_TIERS_LONG,
         "asof_join_rates": SQL_ASOF_JOIN_RATES,
+        "asof_nearest_rates": SQL_ASOF_NEAREST_RATES,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "counter_rate_events": SQL_COUNTER_RATE_EVENTS,
         "twa_daily": SQL_TWA_DAILY,

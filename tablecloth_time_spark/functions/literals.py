@@ -27,9 +27,13 @@ readers and vice versa:
   (normalized to H/M/S with per-component sign — Duration.toString)
 - ``period``          P1Y2M3D / P0D                   <-> STRUCT<years,months,days>
   (components kept as-is, not normalized — Period.toString)
+- ``month-day``       --12-03                         <-> STRUCT<month,day>
 - ``zone``            Europe/Berlin                   <-> STRING
 - ``zoned-date-time`` 2024-05-05T10:15+02:00[Europe/Berlin]
                                       <-> STRUCT<instant timestamp, zone string>
+- ``offset-date-time`` 2024-05-05T10:15:30-05:30 ('Z' at zero offset)
+                                      <-> STRUCT<instant timestamp, offset_min int>
+- ``offset-time``     10:15+01:00     <-> STRUCT<time_ms bigint, offset_min int>
 
 Everything is built from codegen expressions (regexp / conditional
 concat / integer arithmetic) — no UDFs, so literal rendering of a
@@ -63,11 +67,14 @@ TAGS = (
     "year",
     "year-month",
     "month",
+    "month-day",
     "day-of-week",
     "duration",
     "period",
     "zone",
     "zoned-date-time",
+    "offset-date-time",
+    "offset-time",
 )
 
 _MONTHS = [
@@ -216,16 +223,23 @@ def _fmt_zoned(ts: Column, zone: Column) -> Column:
     )
 
 
-def to_time_literal(col: Column | str, tag: str, zone: Column | str | None = None) -> Column:
+def to_time_literal(
+    col: Column | str,
+    tag: str,
+    zone: Column | str | None = None,
+    offset_min: Column | str | None = None,
+) -> Column:
     """Render a typed column as its ``#time/<tag> "<payload>"`` literal.
 
     Expected input per tag: date-ish for ``date``/``year-month``/``year``/
-    ``month``/``day-of-week``; timestamp for ``instant`` (UTC) and
-    ``zoned-date-time`` (plus ``zone``); timestamp_ntz for ``date-time``/
-    ``time``; BIGINT millis for ``duration``; STRUCT<years,months,days>
-    for ``period``; STRING for ``zone``."""
+    ``month``/``month-day``/``day-of-week``; timestamp for ``instant``
+    (UTC), ``zoned-date-time`` (plus ``zone``) and ``offset-date-time``
+    (plus ``offset_min``); timestamp_ntz for ``date-time``/``time``
+    (``offset-time`` adds ``offset_min``); BIGINT millis for ``duration``;
+    STRUCT<years,months,days> for ``period``; STRING for ``zone``."""
     c = F.col(col) if isinstance(col, str) else col
     z = F.col(zone) if isinstance(zone, str) else zone
+    om = F.col(offset_min) if isinstance(offset_min, str) else offset_min
     if tag == "date":
         payload = _fmt_date(c)
     elif tag == "instant":
@@ -247,12 +261,26 @@ def to_time_literal(col: Column | str, tag: str, zone: Column | str | None = Non
         payload = fmt_duration_iso(c)
     elif tag == "period":
         payload = fmt_period_iso(c["years"], c["months"], c["days"])
+    elif tag == "month-day":
+        payload = F.concat(F.lit("--"), F.date_format(c, "MM-dd"))
     elif tag == "zone":
         payload = c
     elif tag == "zoned-date-time":
         if z is None:
             raise ValueError("zoned-date-time literal needs zone=")
         payload = _fmt_zoned(c, z)
+    elif tag == "offset-date-time":
+        if om is None:
+            raise ValueError("offset-date-time literal needs offset_min=")
+        om = om.cast("long")
+        local = F.timestamp_micros(
+            F.unix_micros(c.cast("timestamp")) + om * 60_000_000
+        ).cast("timestamp_ntz")
+        payload = F.concat(_fmt_local_dt(local), _fmt_offset(om))
+    elif tag == "offset-time":
+        if om is None:
+            raise ValueError("offset-time literal needs offset_min=")
+        payload = F.concat(_fmt_time(c), _fmt_offset(om.cast("long")))
     else:
         raise ValueError(f"unknown time-literal tag {tag!r}; one of {TAGS}")
     return _tagged(tag, payload)
@@ -347,6 +375,62 @@ def _parse_time_millis(p: Column) -> Column:
     return F.when(ok & (num(1) < 24) & (num(2) < 60) & (num(3) < 60), millis)
 
 
+def _off_to_min(off: Column) -> Column:
+    """'Z' / '+HH:MM' / '-HH:MM' -> signed minutes."""
+    mag = F.substring(off, 2, 2).cast("int") * 60 + F.substring(off, 5, 2).cast(
+        "int"
+    )
+    return F.when(off == "Z", F.lit(0)).otherwise(
+        F.when(off.startswith("-"), -mag).otherwise(mag)
+    )
+
+
+def _parse_offset_dt(p: Column) -> Column:
+    rx = (
+        r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(?::\d{2}(?:\.\d{1,9})?)?)"
+        r"(Z|[+\-]\d{2}:\d{2})$"
+    )
+    local = F.regexp_extract(p, rx, 1)
+    off = F.regexp_extract(p, rx, 2)
+    return F.when(
+        p.rlike(rx),
+        F.struct(
+            _try_ts(F.concat(local, off), "timestamp").alias("instant"),
+            _off_to_min(off).alias("offset_min"),
+        ),
+    )
+
+
+def _parse_offset_time(p: Column) -> Column:
+    rx = r"^(\d{2}:\d{2}(?::\d{2}(?:\.\d{1,9})?)?)(Z|[+\-]\d{2}:\d{2})$"
+    t = F.regexp_extract(p, rx, 1)
+    off = F.regexp_extract(p, rx, 2)
+    return F.when(
+        p.rlike(rx),
+        F.struct(
+            _parse_time_millis(t).alias("time_ms"),
+            _off_to_min(off).alias("offset_min"),
+        ),
+    )
+
+
+def _parse_month_day(p: Column) -> Column:
+    rx = r"^--(\d{2})-(\d{2})$"
+    mo = F.regexp_extract(p, rx, 1).try_cast("int")
+    d = F.regexp_extract(p, rx, 2).try_cast("int")
+    ok = (
+        p.rlike(rx)
+        & mo.between(1, 12)
+        & d.between(1, F.element_at(F.lit(_MONTH_DAYS), mo))
+    )
+    return F.when(ok, F.struct(mo.alias("month"), d.alias("day")))
+
+
+# leap-maximal day counts — MonthDay.parse accepts --02-29 (java validates
+# against a leap year since the day must be valid for SOME year)
+_MONTH_DAYS = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+
+
 def _parse_zoned(p: Column) -> Column:
     rx = (
         r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(?::\d{2}(?:\.\d{1,9})?)?)"
@@ -393,8 +477,14 @@ def parse_time_literal(lit: Column | str, tag: str) -> Column:
         return parse_duration_iso(p)
     if tag == "period":
         return parse_period_iso(p)
+    if tag == "month-day":
+        return _parse_month_day(p)
     if tag == "zone":
         return p
     if tag == "zoned-date-time":
         return _parse_zoned(p)
+    if tag == "offset-date-time":
+        return _parse_offset_dt(p)
+    if tag == "offset-time":
+        return _parse_offset_time(p)
     raise ValueError(f"unknown time-literal tag {tag!r}; one of {TAGS}")

@@ -147,6 +147,117 @@ def test_simple_tags(spark):
     )
 
 
+def test_month_day_and_offset_tags_match_jdk(spark):
+    # JDK probe: --12-03, 2024-05-05T10:15+02:00, 10:15:30.120Z
+    d = F.lit("2024-12-03").cast("date")
+    assert _one(spark, to_time_literal(d, "month-day")) == '#time/month-day "--12-03"'
+    odt = to_time_literal(
+        F.lit("2024-05-05 08:15:00").cast("timestamp"),
+        "offset-date-time",
+        offset_min=F.lit(120),
+    )
+    assert _one(spark, odt) == '#time/offset-date-time "2024-05-05T10:15+02:00"'
+    odt2 = to_time_literal(
+        F.lit("2024-05-05 10:15:30.123").cast("timestamp"),
+        "offset-date-time",
+        offset_min=F.lit(0),
+    )
+    assert (
+        _one(spark, odt2) == '#time/offset-date-time "2024-05-05T10:15:30.123Z"'
+    )
+    odt3 = to_time_literal(
+        F.lit("2024-05-05 15:45:30").cast("timestamp"),
+        "offset-date-time",
+        offset_min=F.lit(-330),
+    )
+    assert (
+        _one(spark, odt3) == '#time/offset-date-time "2024-05-05T10:15:30-05:30"'
+    )
+    ot = to_time_literal(
+        F.lit("2024-01-01 10:15:00").cast("timestamp_ntz"),
+        "offset-time",
+        offset_min=F.lit(60),
+    )
+    assert _one(spark, ot) == '#time/offset-time "10:15+01:00"'
+    ot2 = to_time_literal(
+        F.lit("2024-01-01 10:15:30.120").cast("timestamp_ntz"),
+        "offset-time",
+        offset_min=F.lit(0),
+    )
+    assert _one(spark, ot2) == '#time/offset-time "10:15:30.120Z"'
+
+
+def test_parse_month_day_and_offsets(spark):
+    md = _one(
+        spark, parse_time_literal(F.lit('#time/month-day "--02-29"'), "month-day")
+    )
+    assert (md["month"], md["day"]) == (2, 29)
+    assert (
+        _one(
+            spark,
+            parse_time_literal(F.lit('#time/month-day "--02-30"'), "month-day"),
+        )
+        is None
+    )
+    odt = _one(
+        spark,
+        parse_time_literal(
+            F.lit('#time/offset-date-time "2024-05-05T10:15:30-05:30"'),
+            "offset-date-time",
+        ),
+    )
+    assert odt["offset_min"] == -330
+    assert odt["instant"] == dt.datetime(2024, 5, 5, 15, 45, 30)
+    ot = _one(
+        spark,
+        parse_time_literal(
+            F.lit('#time/offset-time "10:15:30.120+01:00"'), "offset-time"
+        ),
+    )
+    assert ot["time_ms"] == 10 * 3_600_000 + 15 * 60_000 + 30_120
+    assert ot["offset_min"] == 60
+    # a bracketed zoned form must NOT parse as offset-date-time
+    assert (
+        _one(
+            spark,
+            parse_time_literal(
+                F.lit(
+                    '#time/offset-date-time "2024-05-05T10:15+02:00[Europe/Berlin]"'
+                ),
+                "offset-date-time",
+            ),
+        )
+        is None
+    )
+
+
+def test_offset_round_trip(spark):
+    """offset-date-time: print -> parse recovers the exact instant and
+    offset for a grid of offsets including half-hour ones."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(us), int(om))
+        for us, om in zip(
+            rng.integers(0, 2 * 10**15, 300),
+            rng.choice([-720, -330, -60, 0, 60, 120, 330, 345, 840], 300),
+        )
+    ]
+    df = spark.createDataFrame(rows, "us long, om int")
+    lit = to_time_literal(
+        F.timestamp_micros("us"), "offset-date-time", offset_min=F.col("om")
+    )
+    back = parse_time_literal(lit, "offset-date-time")
+    bad = df.select(
+        (
+            (F.unix_micros(back["instant"]) != F.col("us"))
+            | (back["offset_min"] != F.col("om"))
+        ).cast("int").alias("x")
+    ).agg(F.sum("x")).collect()[0][0]
+    assert bad == 0
+
+
 def test_null_input_yields_null_literal(spark):
     assert _one(spark, to_time_literal(F.lit(None).cast("date"), "date")) is None
 
@@ -370,7 +481,8 @@ def test_zoned_literal_random_instants_vs_zoneinfo(spark):
 
 
 def test_all_tags_enumerated():
-    assert len(TAGS) == 12
+    # the full juxt time-literals reader surface
+    assert len(TAGS) == 15
     for t in TAGS:
         assert isinstance(t, str)
 
