@@ -15,9 +15,11 @@ BENCH/BASELINE.md.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -358,6 +360,32 @@ def main() -> None:
             value_cols={"n_turns": "int", "sum_chars": "int"},
             key_col="conv_id", block_unit="day",
         ).agg(F.sum("enc_bytes")).collect(),
+    )
+
+    # the north-star READ path: serve a narrow slice from the compressed
+    # tier laid out as run_pipeline.py writes it (range-partitioned +
+    # sorted by block_start, so parquet min-max stats prune whole files
+    # before any decode). Block build + write are untimed setup.
+    from tablecloth_time_spark.operators.compress import read_blocks_slice
+
+    bdir = os.path.join(tempfile.gettempdir(), "tts_bench_blocks")
+    compress_series(
+        minute_tier, ts_col="bucket",
+        value_cols={"n_turns": "int", "sum_chars": "int"},
+        key_col="conv_id", block_unit="day",
+    ).repartitionByRange(8, "block_start").sortWithinPartitions(
+        "block_start"
+    ).write.mode("overwrite").parquet(bdir)
+    blocks = spark.read.parquet(bdir)
+    b_lo, b_hi = blocks.agg(F.min("block_start"), F.max("block_start")).first()
+    s_from = b_lo + (b_hi - b_lo) / 2
+    s_to = s_from + datetime.timedelta(days=2)
+    timed(
+        "compressed_slice_read",
+        lambda: read_blocks_slice(
+            blocks, {"n_turns": "int", "sum_chars": "int"},
+            s_from, s_to, block_unit="day",
+        ).agg(F.count(F.lit(1)), F.sum("n_turns")).collect(),
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
