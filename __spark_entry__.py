@@ -2160,6 +2160,40 @@ SQL_TEXT_STATS_LANG = (
 )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C-style word-n-gram
+    leakage filter): every 25th document plays the eval set; corpus docs
+    sharing >= 1 distinct 4-gram with it are flagged. Full DuckDB oracle:
+    the same normalize/tokenize/shingle pipeline (shared CTEs with the
+    minhash/winnow oracles) re-derives n_hits exactly."""
+    from tablecloth_time_spark.operators.dedup import ngram_overlap_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select("doc_id", "text")
+    out = ngram_overlap_flags(docs, bench, n=4, min_hits=1)
+    return out.select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "is_contaminated",
+    )
+
+
+def _sql_decontaminate(n: int = 4) -> str:
+    return f"""
+WITH {_sql_word_shingle_ctes(n)},
+bg AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0),
+hits AS (
+  SELECT sh.doc_id, COUNT(*) AS n_hits
+  FROM sh JOIN bg ON sh.s = bg.s
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS is_contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tablecloth_time_spark.operators.dedup import exact_dedup
 
@@ -2921,6 +2955,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "sample_splits": q_sample_splits,
         "exact_dedup": q_exact_dedup,
+        "decontaminate_docs": q_decontaminate,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -2985,6 +3020,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS_LANG,
         "sample_splits": SQL_SAMPLE_SPLITS,
         "exact_dedup": SQL_EXACT_DEDUP,
+        "decontaminate_docs": _sql_decontaminate(),
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "embedding_topk": SQL_EMBEDDING_TOPK,

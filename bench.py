@@ -396,6 +396,15 @@ def main() -> None:
         .agg(F.sum("bpe_tokens"), F.avg("quality_score"), F.count("lang"))
         .collect(),
     )
+    from tablecloth_time_spark.operators.dedup import ngram_overlap_flags
+
+    timed(
+        "decontaminate_documents",
+        lambda: ngram_overlap_flags(
+            docs, docs.filter(F.col("doc_id") % 25 == 0).select("doc_id", "text"),
+            n=4, min_hits=1,
+        ).agg(F.sum("n_hits"), F.sum(F.col("is_contaminated").cast("int"))).collect(),
+    )
     timed(
         "minhash_dedup_documents",
         lambda: minhash_lsh_pairs(
