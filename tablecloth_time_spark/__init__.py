@@ -18,7 +18,7 @@ transcripts, built Spark-first:
 
 Package layout:
   functions/   pure Catalyst column-expression library (timeops, text,
-               units, zones)
+               units, zones, tagged time-literals)
   operators/   dataset-level operators (slice, shifts, add_time_columns,
                rollup tiers, gap-fill, rolling, ACF, Gorilla/delta-of-delta
                compression, dedup, similarity, multimodal plumbing)

@@ -10,3 +10,4 @@ from tablecloth_time_spark.functions.units import (  # noqa: F401
     normalize_unit,
 )
 from tablecloth_time_spark.functions import timeops  # noqa: F401
+from tablecloth_time_spark.functions import literals  # noqa: F401
