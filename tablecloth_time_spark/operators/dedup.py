@@ -553,16 +553,25 @@ def ngram_overlap_flags(
     """
     from tablecloth_time_spark.functions.text import with_word_shingles
 
+    # explode_OUTER deliberately: plain explode lets Catalyst's
+    # InferFiltersFromGenerate push a `size(__sh) > 0` filter below the
+    # token-materializing projection, inlining the whole
+    # normalize/tokenize/shingle pipeline into a per-row filter expression
+    # (measured 16 s for the sf0.1 corpus gram scan vs <1 s without).
+    # The post-Generate isNotNull filter is on the generator OUTPUT, so
+    # nothing can push it below the projection.
     bench_set = (
         with_word_shingles(benchmark, text_col, "__sh", n=n)
-        .select(F.explode("__sh").alias("__gram"))
+        .select(F.explode_outer("__sh").alias("__gram"))
+        .filter(F.col("__gram").isNotNull())
         .distinct()
     )
     if broadcast_benchmark:
         bench_set = F.broadcast(bench_set)
     corpus_grams = (
         with_word_shingles(corpus, text_col, "__sh", n=n)
-        .select(id_col, F.explode("__sh").alias("__gram"))
+        .select(id_col, F.explode_outer("__sh").alias("__gram"))
+        .filter(F.col("__gram").isNotNull())
     )
     hits = (
         corpus_grams.join(bench_set, "__gram")

@@ -109,11 +109,17 @@ def test_ngram_overlap_flags(spark):
 def test_ngram_overlap_plan_broadcasts(spark):
     bench = spark.createDataFrame([("q", "one two three four")], ["qid", "text"])
     corpus = spark.createDataFrame([("d", "one two three four five")], ["doc_id", "text"])
-    plan = ngram_overlap_flags(
-        corpus, bench, n=3
-    )._jdf.queryExecution().executedPlan().toString()
+    out = ngram_overlap_flags(corpus, bench, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan and "InPandas" not in plan
+    # the tokenize pipeline must run ONCE per side per row: plain explode
+    # lets InferFiltersFromGenerate push a size(shingles)>0 filter below
+    # the token projection, inlining normalize/tokenize per row (measured
+    # 16 s vs <1 s on the sf0.1 corpus gram scan) — 2 regexp_replace per
+    # side (normalize in the token projection + one in the small-doc CASE)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("regexp_replace") <= 4, opt.count("regexp_replace")
 
 
 def test_redact_pii_preserves_dates(spark):
