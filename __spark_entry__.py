@@ -2160,6 +2160,50 @@ SQL_TEXT_STATS_LANG = (
 )
 
 
+def q_pacf_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACF (Durbin-Levinson over the engine's ACF frame) on a
+    deterministic synthesized panel — 3 series x 256 points of daily+
+    weekly sawtooth seasonality plus md5-fraction noise (engine- and
+    SF-independent: pure integer/hash arithmetic, no libm). Oracle:
+    pinned-golden VALUES independently re-derived by solving the
+    Yule-Walker Toeplitz system with np.linalg.solve per lag
+    (scripts/gen_pacf_oracle.py — NOT the engine's Durbin-Levinson),
+    asserted within 1e-9 of the engine before pinning."""
+    from tablecloth_time_spark.operators.acf import pacf
+    from tablecloth_time_spark.operators.sample import hash_fraction
+
+    n, nk, max_lag = 256, 3, 12
+    base = spark.range(nk * n).select(
+        F.concat(F.lit("s"), (F.col("id") / n).cast("long").cast("string")).alias(
+            "k"
+        ),
+        (F.col("id") % n).cast("int").alias("t"),
+    )
+    noise = hash_fraction(
+        F.concat(F.col("k"), F.lit(":"), F.col("t").cast("string")), salt="pacf"
+    )
+    x = (
+        (F.col("t") % 24).cast("double") / 24.0
+        + 0.5 * (F.col("t") % 168).cast("double") / 168.0
+        + (noise - F.lit(0.5))
+    )
+    out = pacf(base.withColumn("x", x), ["k"], "t", "x", max_lag)
+    return out.select("k", "lag", F.round("pacf", 6).alias("pacf"))
+
+
+# generated by scripts/gen_pacf_oracle.py: Yule-Walker np.linalg.solve
+# per lag (independent of the engine's Durbin-Levinson), sequential
+# row-order ACF sums, md5-fraction panel rebuilt in pure hashlib.
+# The generator's independence gate asserts |engine - YW| == 0 after
+# decimal-HALF_UP rounding before printing; regenerate when the panel
+# or max_lag changes.
+SQL_PACF_SYNTHETIC = """
+SELECT CAST(k AS VARCHAR) AS k, CAST(lag AS INT) AS lag,
+       CAST(pacf AS DOUBLE) AS pacf
+FROM (VALUES ('s0', 1, 0.421280), ('s0', 2, 0.217130), ('s0', 3, 0.034097), ('s0', 4, -0.036562), ('s0', 5, -0.056787), ('s0', 6, -0.020519), ('s0', 7, -0.077154), ('s0', 8, -0.074272), ('s0', 9, -0.100667), ('s0', 10, 0.027157), ('s0', 11, 0.084859), ('s0', 12, -0.094528), ('s1', 1, 0.491564), ('s1', 2, 0.164516), ('s1', 3, 0.000900), ('s1', 4, -0.025414), ('s1', 5, -0.003511), ('s1', 6, 0.050087), ('s1', 7, -0.063431), ('s1', 8, -0.096534), ('s1', 9, -0.080797), ('s1', 10, -0.049971), ('s1', 11, -0.006024), ('s1', 12, -0.122771), ('s2', 1, 0.396570), ('s2', 2, 0.251164), ('s2', 3, 0.067650), ('s2', 4, -0.069827), ('s2', 5, -0.055004), ('s2', 6, -0.173730), ('s2', 7, -0.037797), ('s2', 8, 0.027000), ('s2', 9, -0.001740), ('s2', 10, -0.031112), ('s2', 11, 0.017688), ('s2', 12, -0.093119)) AS t(k, lag, pacf)
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix-C-style word-n-gram
     leakage filter): every 25th document plays the eval set; corpus docs
@@ -2865,6 +2909,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "datetime_stats": [("slope", "DOUBLE"), ("intercept", "DOUBLE"), ("r2", "DOUBLE")],
     "gapfill_ffill": [("value", "DOUBLE")],
     "acf_hourly": [("acf", "DOUBLE")],
+    "pacf_synthetic": [("pacf", "DOUBLE")],
     "seasonal_decompose": [("trend", "DOUBLE"), ("seasonal", "DOUBLE"), ("remainder", "DOUBLE")],
     "rollup_tiers_long": [("s", "DOUBLE")],
     "asof_join_rates": [("hour_sum", "DOUBLE")],
@@ -2926,6 +2971,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_stats": q_datetime_stats,
         "gapfill_ffill": q_gapfill_ffill,
         "acf_hourly": q_acf_hourly,
+        "pacf_synthetic": q_pacf_synthetic,
         "seasonal_decompose": q_seasonal_decompose,
         "timeops_misc": q_timeops_misc,
         "convert_time_units": q_convert_time_units,
@@ -2992,6 +3038,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "datetime_stats": SQL_DATETIME_STATS,
         "gapfill_ffill": SQL_GAPFILL_FFILL,
         "acf_hourly": SQL_ACF_HOURLY,
+        "pacf_synthetic": SQL_PACF_SYNTHETIC,
         "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
         "timeops_misc": SQL_TIMEOPS_MISC,
         "convert_time_units": SQL_CONVERT_TIME_UNITS,
