@@ -1098,12 +1098,13 @@ GROUP BY 1
 def q_counter_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event stream features on one frame: reset-aware counter delta +
     per-second rate (Prometheus increase/rate semantics as pure lag-window
-    exprs) AND the irregular-time EWMA (adjusted form, halflife 1 h — the
-    one sequential recurrence, batched Arrow kernel with `carry_cols`
-    threading the window features through). The former standalone
-    ewma_value query, folded here to free a slot in the driver's 50-query
-    budget; the oracle re-derives the EWMA as a recursive CTE over the
-    same decay recurrence (operators/counters.py:counter_rate, ewma)."""
+    exprs) AND the irregular-time EWMA (adjusted form, halflife 1 h — r4:
+    also a pure window plan via the decay-factor cancellation, with
+    `carry_cols` threading the window features through). The former
+    standalone ewma_value query, folded here to free a slot in the
+    driver's 50-query budget; the oracle re-derives the EWMA as a
+    recursive CTE over the sequential form of the same recurrence
+    (operators/counters.py:counter_rate, ewma)."""
     from tablecloth_time_spark.operators.counters import counter_rate, ewma
 
     ev = _t(spark, sf_dir, "events")
@@ -1116,11 +1117,12 @@ def q_counter_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["event_id"],
         carry_cols=["event_id", "delta", "rate_per_s"],
     )
-    # ewma rounds to 4 (not 6): pandas' C ewm and the oracle's recursive
-    # CTE accumulate the same recurrence in different orders, and at 100k+
-    # rows some true value lands within one ULP of a 1e-6 rounding
-    # boundary (observed at sf0.1: 57.668507 vs 57.668506). 1e-4 keeps the
-    # check meaningful with ~100x the boundary margin.
+    # ewma rounds to 4 (not 6): the engine's segmented prefix sums and the
+    # oracle's recursive CTE accumulate the same recurrence in different
+    # orders, and at 100k+ rows some true value lands within one ULP of a
+    # 1e-6 rounding boundary (observed at sf0.1 with the former Arrow
+    # kernel: 57.668507 vs 57.668506). 1e-4 keeps the check meaningful
+    # with ~100x the boundary margin.
     return out.select(
         "event_id", "user_id", "ts_ms",
         F.round("delta", 6).alias("delta"),

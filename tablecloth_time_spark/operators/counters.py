@@ -13,22 +13,20 @@ Scale notes (100 TB):
 - every operator here is ONE shuffle on the series key followed by an
   in-partition sorted pass (the same plan class as ``sessionize`` /
   ``asof_join``) or a partial/final hash aggregate — linear, AQE-friendly;
-- ``ewma`` is the one inherently sequential recurrence; it runs in the
-  batched Arrow kernel (``_grouped.grouped_apply_stream``: Python crossings
-  per Arrow batch, never per group or per row).
+- ``ewma`` looks like a sequential recurrence but is expressible as prefix
+  sums after the current-row decay factor cancels between numerator and
+  denominator; segment-anchored exponents keep the weights finite, so it
+  too is pure window expressions (see its docstring).
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
 from pyspark.sql.window import Window
 
 from tablecloth_time_spark.functions.timeops import down_to_nearest, to_epoch_millis
 from tablecloth_time_spark.functions.units import milliseconds_in, normalize_unit
-from tablecloth_time_spark.operators._grouped import grouped_apply_stream
 
 
 def _keys(keys: str | list[str]) -> list[str]:
@@ -192,17 +190,34 @@ def ewma(
         ewma_i = sum_{j<=i} 0.5^((t_i - t_j)/halflife) * x_j
                  / sum_{j<=i} 0.5^((t_i - t_j)/halflife)
 
-    The recurrence behind it is inherently sequential per series, so it
-    runs in the batched Arrow kernel (one shuffle + in-partition sort,
-    Python crossings per Arrow batch) with the scan itself delegated to
-    pandas' native (Cython, numerically segmented) time-decay
-    ``groupby(...).ewm`` — ONE vectorized call per Arrow slab covering
-    every series in it, no per-group Python loop (bit-identical to the
-    per-group form; 12x faster at 10k x 100-row series).
+    The recurrence LOOKS inherently sequential, but the current-row factor
+    cancels between numerator and denominator:
+
+        0.5^((t_i - t_j)/h) = 0.5^(t_i/h) * 2^(t_j/h)
+
+    so ewma_i = sum(2^(u_j) x_j) / sum(2^(u_j)) over j<=i with u = t/h —
+    plain prefix sums, i.e. a window aggregate. 2^(u_j) overflows for long
+    series, so the exponent is anchored per 512-halflife SEGMENT: within a
+    segment w = 2^(u - 512*seg) stays in [1, 2^512]; a row's total is its
+    within-segment prefix sum plus the previous segment's full sums
+    rescaled by 2^(-512*(seg-prev_seg)). Mass older than the previous
+    segment is at least 512 halflives away, i.e. < 2^-512 of the current
+    row's own weight — dropping it perturbs the mean by less than one ULP
+    for any series shorter than 2^460 rows (the same truncation pandas'
+    segmented ewm performs numerically). The whole operator is therefore
+    ONE Exchange on the key plus in-partition sorted window passes — no
+    Python, no Arrow crossing.
+
+    Null values contribute to neither sum, so a null-value row reports the
+    previous sample's mean (weights rescale by a common factor, leaving
+    the ratio unchanged) — matching pandas' NaN carry — except in one
+    documented corner: if every non-null sample is more than 512 halflives
+    older than the current segment (weight < 1e-154), the row reports null
+    rather than the stale decayed mean.
 
     Output: input keys + ``ts_ms`` (epoch millis) + ``value`` + ``out_col``
-    (+ any ``carry_cols``, passed through the kernel untouched so callers
-    can keep row identity / sibling features without a post-join).
+    (+ any ``carry_cols``, passed through untouched so callers can keep
+    row identity / sibling features without a post-join).
     """
     ks = _keys(keys)
     order_cols = order_cols or []
@@ -214,34 +229,75 @@ def ewma(
         *dict.fromkeys([*order_cols, *carry]),
     )
     halflife_ms = int(halflife * milliseconds_in(normalize_unit(unit)))
-    out_schema = StructType(
-        [
-            f
-            for f in base.schema.fields
-            if f.name in (*ks, "ts_ms", "value", *carry)
-        ]
-        + [StructField(out_col, DoubleType())]
+    seg_w = 512.0  # halflives per anchor segment: 2^dloc <= 2^512 never
+    # overflows, one-segment carry is exact below 1 ULP (see docstring)
+    seg_ms = 512 * halflife_ms
+
+    # segments anchor at ABSOLUTE epoch multiples of 512 halflives, so seg
+    # and the local exponent come from exact integer div/mod (no per-key
+    # min pass, full double precision in dloc), and seg is monotone in
+    # ts_ms — every window below can share ONE (keys, seg, ts) sort
+    seg = F.floor(F.col("ts_ms") / F.lit(seg_ms))
+    dloc = (F.col("ts_ms") - seg * F.lit(seg_ms)).cast("double") / F.lit(
+        float(halflife_ms)
+    )
+    w = F.pow(F.lit(2.0), dloc)
+    stepped = base.select(
+        "*",
+        seg.alias("__seg"),
+        (w * F.col("value")).alias("__wx"),
+        F.when(F.col("value").isNotNull(), w).alias("__wd"),
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        # whole-batch: pdf holds many COMPLETE series, group-contiguous
-        # and time-sorted within each (grouped_apply_stream contract), so
-        # groupby(sort=False) emits values in input row order and the
-        # flat .to_numpy() aligns 1:1 with pdf's rows.
-        times = pd.DatetimeIndex(pd.to_datetime(pdf["ts_ms"], unit="ms"))
-        y = (
-            pdf.groupby(list(ks), sort=False, dropna=False)["value"]
-            .ewm(halflife=pd.Timedelta(milliseconds=halflife_ms), times=times)
-            .mean()
-        )
-        # column order must track out_schema (base field order), not the
-        # caller's carry list order
-        out = pdf[[f.name for f in out_schema.fields[:-1]]].copy()
-        out[out_col] = y.to_numpy()
-        return out
-
-    return grouped_apply_stream(
-        base, ks, ["ts_ms", *order_cols], kernel, out_schema, whole_batch=True
+    order = [F.col("ts_ms"), *[F.col(c) for c in order_cols]]
+    # ordering by (seg, ts) is the same physical order as (ts) — seg is
+    # ts div constant — but spelling seg first lets Catalyst prove all
+    # four window specs are served by the single post-Exchange sort
+    wk_ord = Window.partitionBy(*ks).orderBy(F.col("__seg"), *order)
+    wseg = Window.partitionBy(*ks, "__seg")
+    wseg_pfx = wseg.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    is_last_in_seg = (
+        F.lead("__seg", 1).over(wk_ord).isNull()
+        | (F.lead("__seg", 1).over(wk_ord) != F.col("__seg"))
+    )
+    scored = stepped.select(
+        "*",
+        F.sum("__wx").over(wseg_pfx).alias("__numpfx"),
+        F.sum("__wd").over(wseg_pfx).alias("__denpfx"),
+        # struct so (seg, num, den) travel atomically through the
+        # ignorenulls last() — an all-null-value segment still closes
+        # with den=0 instead of letting num/den resolve to different
+        # segments
+        F.when(
+            is_last_in_seg,
+            F.struct(
+                F.col("__seg").alias("s"),
+                F.coalesce(F.sum("__wx").over(wseg), F.lit(0.0)).alias("n"),
+                F.coalesce(F.sum("__wd").over(wseg), F.lit(0.0)).alias("d"),
+            ),
+        ).alias("__close"),
+    )
+    carried = scored.select(
+        "*",
+        F.last("__close", ignorenulls=True)
+        .over(wk_ord.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__prev"),
+    )
+    prev = F.col("__prev")
+    rescale = F.pow(
+        F.lit(2.0), (prev["s"] - F.col("__seg")).cast("double") * F.lit(seg_w)
+    )
+    num = F.coalesce(F.col("__numpfx"), F.lit(0.0)) + F.coalesce(
+        prev["n"] * rescale, F.lit(0.0)
+    )
+    den = F.coalesce(F.col("__denpfx"), F.lit(0.0)) + F.coalesce(
+        prev["d"] * rescale, F.lit(0.0)
+    )
+    out_cols = [f.name for f in base.schema.fields if f.name in (*ks, "ts_ms", "value", *carry)]
+    return carried.select(
+        *out_cols, F.when(den > F.lit(0.0), num / den).alias(out_col)
     )
 
 

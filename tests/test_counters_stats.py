@@ -181,6 +181,58 @@ def test_ewma_first_sample_is_value(spark):
     assert r["ewma"] == 123.0
 
 
+def test_ewma_segment_carry_across_long_span(spark):
+    """The window plan anchors exponents per 512-halflife segment with a
+    one-segment carry (counters.py ewma docstring). A 3-day series at
+    1-minute halflife crosses ~8 segment boundaries — every boundary
+    crossing must agree with the direct O(n^2) formula, including the
+    rows immediately after each boundary (where the carry term dominates)."""
+    rng = np.random.default_rng(7)
+    n = 4320  # 3 days of minutes; u spans ~8.4 segments of 512 halflives
+    ts = [T0 + dt.timedelta(minutes=i) for i in range(n)]
+    x = rng.normal(50.0, 10.0, n)
+    df = spark.createDataFrame(
+        [(1, t, float(v)) for t, v in zip(ts, x)], "k int, ts timestamp, v double"
+    )
+    got = (
+        ewma(df, "k", "ts", "v", halflife=1, unit="minute")
+        .toPandas()
+        .sort_values("ts_ms")
+        .reset_index(drop=True)
+    )
+    t_ms = np.array([int(t.timestamp() * 1000) for t in ts], dtype=np.float64)
+    exp = np.empty(n)
+    for i in range(n):
+        w = 0.5 ** ((t_ms[i] - t_ms[: i + 1]) / 60_000.0)
+        exp[i] = np.sum(w * x[: i + 1]) / np.sum(w)
+    np.testing.assert_allclose(got["ewma"].to_numpy(), exp, rtol=1e-9)
+
+
+def test_ewma_null_values_report_previous_mean(spark):
+    """Null samples contribute to neither sum, so the ratio at a null row
+    equals the previous sample's mean (weights rescale by a common
+    factor); leading nulls stay null."""
+    rows = [
+        (1, T0, None),
+        (1, T0 + dt.timedelta(minutes=1), 10.0),
+        (1, T0 + dt.timedelta(minutes=2), 30.0),
+        (1, T0 + dt.timedelta(minutes=3), None),
+        (1, T0 + dt.timedelta(minutes=9), None),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = {
+        r["ts_ms"]: r["ewma"]
+        for r in ewma(df, "k", "ts", "v", halflife=1, unit="minute").collect()
+    }
+    t = sorted(out)
+    assert out[t[0]] is None
+    assert out[t[1]] == 10.0
+    # decayed two-sample mean, then held flat through the null tail
+    w = 0.5  # one halflife between the two samples
+    expected = (w * 10.0 + 30.0) / (w + 1.0)
+    np.testing.assert_allclose([out[t[2]], out[t[3]], out[t[4]]], [expected] * 3)
+
+
 # ---------------------------------------------------------------- detect_gaps
 
 

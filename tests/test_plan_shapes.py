@@ -346,6 +346,21 @@ def test_minhash_md5_variant_same_plan_shape(spark):
         assert p.count("HashAggregate") == 2, (fn, p)
 
 
+def test_ewma_is_pure_window_plan(events):
+    """ewma compiles to window prefix sums over ONE Exchange — NO Arrow
+    kernel (r4: the cancellation + segment-anchored-exponent rewrite
+    replaced the pandas ewm kernel; this pins the regression)."""
+    from tablecloth_time_spark.operators.counters import ewma
+
+    p = _plan(ewma(events, "user_id", "ts", "value", halflife=1, unit="hour"))
+    assert "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p, p
+    assert p.count("Exchange") == 1 and "Join" not in p, p
+    assert "Window" in p, p
+    # absolute-epoch segment anchoring makes seg monotone in ts, so all
+    # four window specs share the single (key, seg, ts) in-partition sort
+    assert p.count("Sort [") == 1, p
+
+
 def test_gapfill_linear_has_no_python(events):
     """linear/nearest gap-fill compile to window exprs over one sort —
     NO Arrow kernel (r3: the Arrow interp kernel was replaced by
