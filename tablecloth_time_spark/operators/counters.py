@@ -211,9 +211,13 @@ def ewma(
     Null values contribute to neither sum, so a null-value row reports the
     previous sample's mean (weights rescale by a common factor, leaving
     the ratio unchanged) — matching pandas' NaN carry — except in one
-    documented corner: if every non-null sample is more than 512 halflives
-    older than the current segment (weight < 1e-154), the row reports null
-    rather than the stale decayed mean.
+    documented corner: when the whole non-null history is so many
+    segments back that its rescale factor 2^(-512*seg_gap) underflows
+    float64 to exactly 0 (seg_gap*512 + log2(carried weight) < -1074 —
+    possible from ~1025 halflives, guaranteed beyond 2560), the row
+    reports null rather than a fabricated stale mean.
+    For VALID samples the distinction is invisible: any history ≥512
+    halflives old is sub-ULP next to the row's own weight either way.
 
     Output: input keys + ``ts_ms`` (epoch millis) + ``value`` + ``out_col``
     (+ any ``carry_cols``, passed through untouched so callers can keep

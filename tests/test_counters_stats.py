@@ -208,6 +208,41 @@ def test_ewma_segment_carry_across_long_span(spark):
     np.testing.assert_allclose(got["ewma"].to_numpy(), exp, rtol=1e-9)
 
 
+def test_ewma_giant_gap_corner(spark):
+    """The documented giant-gap corners (ewma docstring).
+
+    600 halflives (adjacent anchor segment): a VALID sample restarts at
+    its own value (the carried mass is 2^-600 of the row's own weight —
+    sub-ULP, identical to the exact answer at double precision), while a
+    NULL sample still reports the previous mean exactly — the carry
+    cancels in the ratio, matching pandas.
+
+    4000 halflives (rescale factor 2^(-512*7) underflows float64 to 0):
+    a NULL row's entire non-null history has weight exactly 0.0, so the
+    row reports null rather than a fabricated stale mean — the one
+    documented deviation from pandas' indefinite NaN carry."""
+    rows = [
+        (1, T0, 100.0),
+        (1, T0 + dt.timedelta(minutes=600), 40.0),
+        (2, T0, 100.0),
+        (2, T0 + dt.timedelta(minutes=600), None),
+        (3, T0, 100.0),
+        (3, T0 + dt.timedelta(minutes=4000), None),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = {
+        (r["k"], r["ts_ms"]): r["ewma"]
+        for r in ewma(df, "k", "ts", "v", halflife=1, unit="minute").collect()
+    }
+    t0_ms, t1_ms = sorted(ms for k, ms in out if k == 1)
+    t3_ms = max(ms for k, ms in out if k == 3)
+    assert out[(1, t0_ms)] == 100.0
+    assert out[(1, t1_ms)] == 40.0  # 2^-600-weighted history is sub-ULP
+    assert out[(2, t0_ms)] == 100.0
+    assert out[(2, t1_ms)] == 100.0  # carry cancels in the ratio: pandas parity
+    assert out[(3, t3_ms)] is None  # underflowed history: the one deviation
+
+
 def test_ewma_null_values_report_previous_mean(spark):
     """Null samples contribute to neither sum, so the ratio at a null row
     equals the previous sample's mean (weights rescale by a common
