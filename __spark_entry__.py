@@ -576,6 +576,65 @@ FROM (
 """
 
 
+def q_ccf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation (R's ccf; the correlogram's two-series companion
+    in the reference's fpp3 notebook track) between each user's hourly
+    mean value and hourly event count at lags -2..+2 — one shuffle, one
+    sorted window pass, one map-side-combined aggregate
+    (operators/acf.py:ccf, same plan class as acf)."""
+    from tablecloth_time_spark.operators.acf import ccf
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = rollup(
+        ev, ["user_id"], "ts", 1, "hour",
+        {"x": ("avg", "value"), "y": ("count", "event_id")},
+    ).withColumn("y", F.col("y").cast("double"))
+    out = ccf(hourly, ["user_id"], "bucket", "x", "y", max_lag=2)
+    return out.select(
+        "user_id",
+        "lag",
+        F.when(F.isnan("ccf"), F.lit(None))
+        .otherwise(F.round("ccf", 6))
+        .alias("ccf"),
+    )
+
+
+SQL_CCF_HOURLY = """
+WITH s AS (
+  SELECT user_id, date_trunc('hour', ts) AS b,
+         AVG(value) AS x, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT user_id, AVG(x) AS mx, AVG(y) AS my FROM s GROUP BY 1
+), c AS (
+  SELECT s.user_id, s.b, s.x - st.mx AS xc, s.y - st.my AS yc
+  FROM s JOIN st USING (user_id)
+), l AS (
+  SELECT user_id, xc, yc,
+         lag(xc, 1) OVER w AS xl1, lag(xc, 2) OVER w AS xl2,
+         lag(yc, 1) OVER w AS yl1, lag(yc, 2) OVER w AS yl2
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY b)
+), agg AS (
+  SELECT user_id,
+         SUM(xc * xc) AS dx, SUM(yc * yc) AS dy,
+         SUM(xl2 * yc) AS pm2, SUM(xl1 * yc) AS pm1,
+         SUM(xc * yc) AS p0,
+         SUM(xc * yl1) AS pp1, SUM(xc * yl2) AS pp2
+  FROM l GROUP BY 1
+)
+SELECT CAST(user_id AS VARCHAR) AS user_id, CAST(lag AS INT) AS lag,
+       CASE WHEN dx > 0 AND dy > 0
+            THEN ROUND(num / sqrt(dx * dy), 6) END AS ccf
+FROM (
+  SELECT user_id, -2 AS lag, pm2 AS num, dx, dy FROM agg
+  UNION ALL SELECT user_id, -1, pm1, dx, dy FROM agg
+  UNION ALL SELECT user_id, 0, p0, dx, dy FROM agg
+  UNION ALL SELECT user_id, 1, pp1, dx, dy FROM agg
+  UNION ALL SELECT user_id, 2, pp2, dx, dy FROM agg
+)
+"""
+
+
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition (fpp3 §3.4 — the chapter after the
     reference's notebook track) of each event type's daily count series:
@@ -1467,17 +1526,20 @@ FROM j
 
 
 def q_benchmark_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fpp3 chapter-5 benchmark forecasts (mean/naive/snaive/drift) of the
-    daily event-count series per event type, 14 days ahead with a weekly
-    season — mean/naive/drift from ONE per-key hash aggregate, snaive an
-    equi-join against the last m observations; no Python
+    """fpp3 chapter-5 benchmark forecasts (mean/naive/snaive/drift) plus
+    the chapter-8 SES level (fixed alpha=0.3, closed-form weighted
+    aggregate — no recurrence, no Python) of the daily event-count series
+    per event type, 14 days ahead with a weekly season — mean/naive/drift
+    from ONE per-key hash aggregate, snaive an equi-join against the last
+    m observations, ses one window-weighted sum
     (operators/forecast.py:benchmark_forecast). PLUS the fpp3 §5.8
     backtest: hold out each series' last 7 observations, forecast them
     from the training prefix, and score MAE/RMSE/MAPE/MASE per
     (series, method) (operators/forecast.py:backtest_accuracy) — folded
     onto the forecast rows by a broadcast join on (event_type, method) to
-    stay inside the driver's 50-query budget; snaive keeps null metrics
-    (not backtested — 7 test steps is exactly one season)."""
+    stay inside the driver's 50-query budget; snaive and ses keep null
+    metrics (not backtested — 7 test steps is exactly one season, and the
+    ses level is already pinned by the forecast rows)."""
     from tablecloth_time_spark.operators.forecast import (
         backtest_accuracy,
         benchmark_forecast,
@@ -1489,7 +1551,8 @@ def q_benchmark_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("double").alias("y"))
     out = benchmark_forecast(
         daily, "event_type", "day", "y", horizon=14, interval=1, unit="day",
-        methods=("mean", "naive", "snaive", "drift"), season_length=7,
+        methods=("mean", "naive", "snaive", "drift", "ses"),
+        season_length=7, alpha=0.3,
     )
     fc = out.select(
         "event_type", "method",
@@ -1551,6 +1614,17 @@ fc AS (
          ROUND(t.y, 6)
   FROM hs JOIN tail t
     ON t.event_type = hs.event_type AND t.rnd = 7 - (hs.h - 1) % 7
+  UNION ALL
+  -- SES closed form: l_T = sum a*(1-a)^(rnd-1)*y, oldest row keeps the
+  -- full initialization mass (1-a)^(n-1) (engine: forecast.py ses)
+  SELECT hs.event_type, 'ses', hs.h, hs.last_day + hs.h * INTERVAL 1 DAY,
+         ROUND(lv.l, 6)
+  FROM hs JOIN (
+    SELECT t.event_type,
+           SUM(CASE WHEN t.rnd = s.n THEN POWER(0.7, s.n - 1) * t.y
+                    ELSE 0.3 * POWER(0.7, t.rnd - 1) * t.y END) AS l
+    FROM tail t JOIN s USING (event_type) GROUP BY 1
+  ) lv ON lv.event_type = hs.event_type
 ),
 -- fpp3 5.8 backtest: hold out each series' last 7 days, forecast from
 -- the training prefix (mean/naive/drift), score vs the held-out actuals
@@ -2911,6 +2985,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "datetime_stats": [("slope", "DOUBLE"), ("intercept", "DOUBLE"), ("r2", "DOUBLE")],
     "gapfill_ffill": [("value", "DOUBLE")],
     "acf_hourly": [("acf", "DOUBLE")],
+    "ccf_hourly": [("ccf", "DOUBLE")],
     "pacf_synthetic": [("pacf", "DOUBLE")],
     "seasonal_decompose": [("trend", "DOUBLE"), ("seasonal", "DOUBLE"), ("remainder", "DOUBLE")],
     "rollup_tiers_long": [("s", "DOUBLE")],
@@ -2973,6 +3048,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_stats": q_datetime_stats,
         "gapfill_ffill": q_gapfill_ffill,
         "acf_hourly": q_acf_hourly,
+        "ccf_hourly": q_ccf_hourly,
         "pacf_synthetic": q_pacf_synthetic,
         "seasonal_decompose": q_seasonal_decompose,
         "timeops_misc": q_timeops_misc,
@@ -3040,6 +3116,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "datetime_stats": SQL_DATETIME_STATS,
         "gapfill_ffill": SQL_GAPFILL_FFILL,
         "acf_hourly": SQL_ACF_HOURLY,
+        "ccf_hourly": SQL_CCF_HOURLY,
         "pacf_synthetic": SQL_PACF_SYNTHETIC,
         "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
         "timeops_misc": SQL_TIMEOPS_MISC,

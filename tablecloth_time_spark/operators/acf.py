@@ -78,6 +78,101 @@ def acf(
     )
 
 
+def ccf(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Cross-correlation function per series pair — fpp3's companion to the
+    correlogram for leading-indicator analysis (R's ``ccf(x, y)``).
+
+    r_xy(k) = sum_t (x_{t+k} - xbar)(y_t - ybar)
+              / sqrt(sum (x - xbar)^2 * sum (y - ybar)^2)
+
+    for k in -max_lag..max_lag; positive k means x LAGS y by k steps
+    (x at t+k pairs with y at t — R's convention, where a peak at
+    positive k says y leads x). Input: one row per (keys, order) with
+    both aligned observations; rows where EITHER side is null/NaN are
+    dropped first (pairwise-complete, compacting the grid like ``acf``).
+
+    Same plan class as ``acf``: one shuffle on the series key, the
+    2*max_lag+1 lagged products via ``lag`` over one sorted window pass
+    (negative lags reuse the same sort as lags of x instead of leads of
+    y), and ONE map-side-combined hash aggregate; null where undefined
+    (fewer than |k|+1 pairs, or zero variance on either side).
+
+    Output: (*keys string, lag int, ccf double).
+    """
+    if max_lag < 0:
+        raise ValueError(f"ccf: max_lag must be >= 0, got {max_lag}")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)
+    ).select(*keys, F.col(order_col).alias("__o"), x.alias("__x"), y.alias("__y"))
+    w = Window.partitionBy(*keys).orderBy("__o")
+    whole = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = base.select(
+        *keys,
+        "__o",
+        (F.col("__x") - F.avg("__x").over(whole)).alias("__xc"),
+        (F.col("__y") - F.avg("__y").over(whole)).alias("__yc"),
+    )
+    # k >= 0: x_{t+k} pairs y_t  ->  xc(t) * lag(yc, k)(t)
+    # k <  0: x_{t+k} pairs y_t  ->  lag(xc, |k|)(t) * yc(t)  (same sort)
+    prods = b.select(
+        *keys,
+        (F.col("__xc") * F.col("__xc")).alias("__dx"),
+        (F.col("__yc") * F.col("__yc")).alias("__dy"),
+        *[
+            (F.lag("__xc", k).over(w) * F.col("__yc")).alias(f"__pm{k}")
+            for k in range(1, max_lag + 1)
+        ],
+        (F.col("__xc") * F.col("__yc")).alias("__p0"),
+        *[
+            (F.col("__xc") * F.lag("__yc", k).over(w)).alias(f"__pp{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    names = (
+        [(-k, f"__pm{k}") for k in range(max_lag, 0, -1)]
+        + [(0, "__p0")]
+        + [(k, f"__pp{k}") for k in range(1, max_lag + 1)]
+    )
+    agg = prods.groupBy(*keys).agg(
+        F.sum("__dx").alias("__sdx"),
+        F.sum("__dy").alias("__sdy"),
+        *[F.sum(c).alias(c) for _, c in names],
+    )
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("int").alias("lag"),
+                    F.col(c).alias("num"),
+                )
+                for k, c in names
+            ]
+        )
+    ).alias("kv")
+    denom = F.sqrt(F.col("__sdx") * F.col("__sdy"))
+    return agg.select(
+        *[F.col(k).cast("string").alias(k) for k in keys], "__sdx", "__sdy", kv
+    ).select(
+        *keys,
+        F.col("kv.lag").alias("lag"),
+        F.when(
+            (F.col("__sdx") > 0) & (F.col("__sdy") > 0),
+            F.col("kv.num") / denom,
+        ).alias("ccf"),
+    )
+
+
 def pacf(
     df: DataFrame,
     keys: list[str],

@@ -10,8 +10,17 @@ judged against:
 - SNAIVE: yhat_{T+h} = y_{T+h-m(k+1)}, k = floor((h-1)/m) — the value
           from the same season of the last observed cycle
 - DRIFT:  yhat_{T+h} = y_T + h * (y_T - y_1) / (T-1)
+- SES (fpp3 ch. 8, fixed alpha): yhat_{T+h} = l_T, the simple-
+  exponential-smoothing level. The recurrence l_t = a*y_t + (1-a)*l_{t-1}
+  with l_1 = y_1 has the closed form
+      l_T = sum_{j=0..T-2} a*(1-a)^j * y_{T-j}  +  (1-a)^(T-1) * y_1,
+  so the "sequential" smoother is really ONE weighted aggregate: weight
+  each row by its distance from the series end (a row_number window) and
+  sum — no recurrence, no Python, same single-shuffle shape as the rest.
+  Weights underflow to exact 0.0 beyond ~1000/a steps back, which is the
+  math's own statement that those observations don't matter.
 
-All four are pure DataFrame algebra — no model state, no Python:
+All five are pure DataFrame algebra — no model state, no Python:
 mean/naive/drift come from ONE per-key hash aggregate (count, mean, and
 first/last via lexicographic struct min/max — the same mergeable shape
 the rollup tiers use), horizons explode from a ``sequence`` on that tiny
@@ -40,7 +49,7 @@ from tablecloth_time_spark.functions.units import (
     normalize_unit,
 )
 
-METHODS = ("mean", "naive", "snaive", "drift")
+METHODS = ("mean", "naive", "snaive", "drift", "ses")
 
 
 def benchmark_forecast(
@@ -53,6 +62,7 @@ def benchmark_forecast(
     unit: str,
     methods: tuple[str, ...] | list[str] = ("mean", "naive", "drift"),
     season_length: int | None = None,
+    alpha: float = 0.3,
     method_col: str = "method",
     h_col: str = "h",
     out_ts: str = "ts",
@@ -60,6 +70,7 @@ def benchmark_forecast(
 ) -> DataFrame:
     """Forecast ``horizon`` future steps per key with the requested
     benchmark methods, long output: (keys..., method, h, ts, forecast).
+    ``alpha`` is SES's smoothing parameter (0 < alpha <= 1).
 
     ``interval``/``unit`` is the series' grid step and steps the future
     timestamps from each key's last observation — metric units in
@@ -142,6 +153,37 @@ def benchmark_forecast(
                 ),
             )
         )
+    if "ses" in methods:
+        if not (0.0 < alpha <= 1.0):
+            raise ValueError(f"ses requires 0 < alpha <= 1, got {alpha}")
+        w_desc = Window.partitionBy(*ks).orderBy(F.col("__sms").desc())
+        whole = w_desc.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        rn = F.row_number().over(w_desc)  # 1 = last observation
+        n = F.count(F.lit(1)).over(whole)
+        # closed-form SES weights (module docstring): the oldest row keeps
+        # the full initialization mass (1-a)^(T-1), everything else decays
+        # geometrically from the series end
+        weight = F.when(
+            rn == n, F.pow(F.lit(1.0 - alpha), n - 1)
+        ).otherwise(F.lit(alpha) * F.pow(F.lit(1.0 - alpha), rn - 1))
+        level = (
+            df.select(*ks, ms.alias("__sms"), v.alias("__sv"))
+            .select(*ks, (weight * F.col("__sv")).alias("__w"))
+            .groupBy(*ks)
+            .agg(F.sum("__w").alias("__ses"))
+        )
+        sj = hs.join(level, ks)
+        parts.append(
+            sj.select(
+                *ks,
+                F.lit("ses").alias(method_col),
+                F.col(h_col),
+                F.col(out_ts),
+                F.col("__ses").cast("double").alias(out_col),
+            )
+        )
     if "snaive" in methods:
         m = int(season_length)
         tail = (
@@ -187,6 +229,7 @@ def backtest_accuracy(
     unit: str,
     methods: tuple[str, ...] | list[str] = ("mean", "naive", "drift"),
     season_length: int | None = None,
+    alpha: float = 0.3,
     method_col: str = "method",
 ) -> DataFrame:
     """fpp3 §5.8 accuracy evaluation: hold out each key's last
@@ -222,7 +265,7 @@ def backtest_accuracy(
 
     fc = benchmark_forecast(
         train, ks, ts_col, value_col, test_steps, interval, unit,
-        methods=methods, season_length=season_length,
+        methods=methods, season_length=season_length, alpha=alpha,
         method_col=method_col, out_ts="__fts", out_col="__fc",
     )
     joined = fc.join(

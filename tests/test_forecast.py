@@ -133,8 +133,6 @@ def test_forecast_plan_no_python(spark, daily):
 
 
 def _accuracy_oracle(pdf, test_steps, m):
-    from tablecloth_time_spark.operators.forecast import METHODS
-
     rows = []
     for k, g in pdf.groupby("k"):
         g = g.sort_values("ts", kind="stable")
@@ -154,7 +152,7 @@ def _accuracy_oracle(pdf, test_steps, m):
                 ]
             ),
         }
-        for meth in METHODS:
+        for meth in fcs:
             e = test - fcs[meth]
             rows.append(
                 {
@@ -325,3 +323,83 @@ def test_forecast_ignores_null_values(spark):
     assert got[("snaive", 2)][0] == 30.0
     # horizons step from the last non-null observation's timestamp
     assert got[("naive", 1)][1] == T0 + 3 * DAY
+
+
+def _ses_recurrence(y: np.ndarray, alpha: float) -> float:
+    level = y[0]
+    for v in y[1:]:
+        level = alpha * v + (1 - alpha) * level
+    return float(level)
+
+
+def test_ses_matches_recurrence(spark, daily):
+    """The closed-form weighted aggregate == the sequential recurrence
+    l_t = a*y_t + (1-a)*l_{t-1}, l_1 = y_1 (independent python loop)."""
+    df, pdf = daily
+    for alpha in (0.1, 0.3, 0.8):
+        got = {
+            (r["k"], r["h"]): r["forecast"]
+            for r in benchmark_forecast(
+                df, "k", "ts", "v", horizon=3, interval=1, unit="day",
+                methods=("ses",), alpha=alpha,
+            ).collect()
+        }
+        for k, g in pdf.groupby("k"):
+            y = g.sort_values("ts", kind="stable")["v"].to_numpy()
+            want = _ses_recurrence(y, alpha)
+            for h in (1, 2, 3):
+                assert got[(k, h)] == pytest.approx(want, rel=1e-12), (
+                    f"k={k} h={h} alpha={alpha}"
+                )
+
+
+def test_ses_identities(spark):
+    """alpha=1 -> naive; single observation -> that observation."""
+    rows = [("a", T0 + i * DAY, float(v)) for i, v in enumerate([10, 20, 30])]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {
+        r["h"]: r["forecast"]
+        for r in benchmark_forecast(
+            df, "k", "ts", "v", 2, 1, "day", methods=("ses",), alpha=1.0
+        ).collect()
+    }
+    assert got[1] == 30.0 and got[2] == 30.0
+
+    one = spark.createDataFrame([("a", T0, 5.0)], ["k", "ts", "v"])
+    got1 = benchmark_forecast(
+        one, "k", "ts", "v", 2, 1, "day", methods=("ses",), alpha=0.4
+    ).collect()
+    assert all(r["forecast"] == 5.0 for r in got1)
+
+    with pytest.raises(ValueError, match="alpha"):
+        benchmark_forecast(
+            df, "k", "ts", "v", 2, 1, "day", methods=("ses",), alpha=0.0
+        )
+
+
+def test_ses_plan_no_python(spark, daily):
+    df, _ = daily
+    plan = benchmark_forecast(
+        df, "k", "ts", "v", 7, 1, "day", methods=("ses",),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_backtest_accuracy_includes_ses(spark, daily):
+    from tablecloth_time_spark.operators.forecast import backtest_accuracy
+
+    df, pdf = daily
+    out = backtest_accuracy(
+        df, "k", "ts", "v", test_steps=7, interval=1, unit="day",
+        methods=("naive", "ses"), alpha=0.3,
+    ).collect()
+    methods = {r["method"] for r in out}
+    assert methods == {"naive", "ses"}
+    # independent re-derivation of one key's SES MAE
+    g = pdf[pdf["k"] == 0].sort_values("ts", kind="stable")
+    y = g["v"].to_numpy()
+    level = _ses_recurrence(y[:-7], 0.3)
+    mae = float(np.mean(np.abs(y[-7:] - level)))
+    got = {r["k"]: r["mae"] for r in out if r["method"] == "ses"}
+    assert got[0] == pytest.approx(mae, rel=1e-9)

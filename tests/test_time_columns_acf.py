@@ -168,3 +168,124 @@ def test_pacf_undefined_tail(spark):
     got = {r["lag"]: r["pacf"] for r in pacf(df, ["k"], "ts", "y", 6).collect()}
     assert got[1] is not None
     assert got[5] is None and got[6] is None
+
+
+def test_ccf_matches_numpy(spark):
+    """CCF vs a direct numpy oracle at every lag in -5..5 on a pair with a
+    planted lead: y leads x by 3 steps, so the peak sits at k = +3."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from tablecloth_time_spark.operators.acf import ccf
+
+    rng = np.random.default_rng(23)
+    n = 240
+    y = np.cumsum(rng.standard_normal(n))
+    x = np.roll(y, 3) + 0.2 * rng.standard_normal(n)  # x[t] ~ y[t-3]
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {"k": ["s"] * n,
+         "ts": [t0 + dt.timedelta(hours=i) for i in range(n)],
+         "x": x, "y": y}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["lag"]: r["ccf"]
+        for r in ccf(df, ["k"], "ts", "x", "y", max_lag=5).collect()
+    }
+    assert sorted(got) == list(range(-5, 6))
+
+    xc, yc = x - x.mean(), y - y.mean()
+    denom = float(np.sqrt(np.dot(xc, xc) * np.dot(yc, yc)))
+    for k in range(-5, 6):
+        # r_xy(k) = sum_t xc[t+k] * yc[t] over valid t
+        if k >= 0:
+            expect = float(np.dot(xc[k:], yc[: n - k]) / denom)
+        else:
+            expect = float(np.dot(xc[: n + k], yc[-k:]) / denom)
+        assert got[k] == pytest.approx(expect, rel=1e-12), f"lag {k}"
+    # planted structure: x lags y by 3 -> peak at k = +3
+    assert got[3] == max(got.values())
+    assert got[3] > 0.9
+
+
+def test_ccf_self_is_symmetric_acf(spark):
+    """ccf(x, x) equals acf at |k| and is symmetric; ccf(x,x)(0) == 1."""
+    import datetime as dt
+
+    import numpy as np
+
+    from tablecloth_time_spark.operators.acf import acf, ccf
+
+    rng = np.random.default_rng(5)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", t0 + dt.timedelta(hours=i), float(v))
+        for i, v in enumerate(np.cumsum(rng.standard_normal(80)))
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {
+        r["lag"]: r["ccf"]
+        for r in ccf(df, ["k"], "ts", "v", "v", max_lag=4).collect()
+    }
+    ref = {
+        r["lag"]: r["acf"] for r in acf(df, ["k"], "ts", "v", 4).collect()
+    }
+    assert got[0] == pytest.approx(1.0)
+    for k in range(1, 5):
+        assert got[k] == pytest.approx(ref[k], rel=1e-12)
+        assert got[-k] == pytest.approx(ref[k], rel=1e-12)
+
+
+def test_ccf_undefined_and_nulls(spark):
+    """Constant x -> zero variance -> null everywhere; rows where either
+    side is null are dropped pairwise (the remaining pair count rules)."""
+    import datetime as dt
+
+    from tablecloth_time_spark.operators.acf import ccf
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c", t0 + dt.timedelta(hours=i), 7.0, float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "x", "y"])
+    got = ccf(df, ["k"], "ts", "x", "y", max_lag=2).collect()
+    assert all(r["ccf"] is None for r in got)
+
+    rows2 = [
+        ("s", t0, 1.0, 2.0),
+        ("s", t0 + dt.timedelta(hours=1), None, 3.0),  # dropped pairwise
+        ("s", t0 + dt.timedelta(hours=2), 3.0, 1.0),
+        ("s", t0 + dt.timedelta(hours=3), 2.0, 4.0),
+    ]
+    df2 = spark.createDataFrame(rows2, ["k", "ts", "x", "y"])
+    got2 = {
+        r["lag"]: r["ccf"]
+        for r in ccf(df2, ["k"], "ts", "x", "y", max_lag=3).collect()
+    }
+    # 3 surviving pairs: lags beyond +-2 have no aligned product -> null
+    assert got2[3] is None and got2[-3] is None
+    assert got2[0] is not None
+
+
+def test_ccf_plan_one_exchange_no_python(spark):
+    import datetime as dt
+
+    from tablecloth_time_spark.operators.acf import ccf
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", t0 + dt.timedelta(hours=i), float(i % 5), float(i % 3))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "x", "y"])
+    plan = (
+        ccf(df, ["k"], "ts", "x", "y", 4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InPandas" not in plan and "Python" not in plan
+    # one shuffle for the window/aggregate + whatever AQE reads add; the
+    # window sort and the final agg share the key partitioning
+    assert plan.count("Exchange hashpartitioning") <= 2
