@@ -260,6 +260,19 @@ def main() -> None:
             season_col=F.dayofweek("day"),
         ).agg(F.sum("remainder")).collect(),
     )
+    from tablecloth_time_spark.operators.acf import ccf
+
+    hourly_xy = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("b")
+    ).agg(
+        F.avg("value").alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    )
+    timed(
+        "ccf_hourly_events",
+        lambda: ccf(hourly_xy, ["user_id"], "b", "x", "y", max_lag=6)
+        .agg(F.sum("ccf")).collect(),
+    )
     from tablecloth_time_spark.operators.cohorts import cohort_retention
     from tablecloth_time_spark.operators.downsample import m4_downsample
     from tablecloth_time_spark.operators.intervals import merge_intervals
