@@ -25,8 +25,9 @@ Two skew surfaces, measured separately because their physics differ:
    wall-clock cannot show directly.
 
 Usage:
-  python scripts/bench_skew.py                # full matrix + BENCH/SKEW.md
-  python scripts/bench_skew.py --worker 4     # one level, JSON to stdout
+  python scripts/bench_skew.py                 # full matrix + BENCH/SKEW.md
+  python scripts/bench_skew.py --worker 4 0.1  # one level (cores, mega
+                                               # share), JSON to stdout
 """
 
 from __future__ import annotations
@@ -212,7 +213,13 @@ def run_level(cores: int, share: float) -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) > 3 and sys.argv[1] == "--worker":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        # fail loudly on a truncated worker invocation instead of silently
+        # falling through to the full matrix (r4 review)
+        if len(sys.argv) < 4:
+            raise SystemExit(
+                "usage: bench_skew.py --worker <cores> <mega_share>"
+            )
         worker(int(sys.argv[2]), float(sys.argv[3]))
         return
 

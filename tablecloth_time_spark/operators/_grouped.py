@@ -45,18 +45,13 @@ def grouped_apply_stream(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     schema,
     npartitions: int | None = None,
-    whole_batch: bool = False,
 ) -> DataFrame:
     """Apply ``fn`` once per (group_cols) group; rows arrive sorted by
     ``sort_cols`` within each group. ``schema`` is the output schema.
 
-    ``whole_batch=True`` hands ``fn`` a slab of COMPLETE groups at once
-    (group-contiguous, each group internally sorted) instead of one group
-    per call. A kernel that can vectorize across groups — e.g. pandas'
-    Cython ``groupby(...).ewm`` — avoids the per-group Python call and
-    the many-small-frame concat, which dominate when groups are small
-    and plentiful. The slab-boundary guarantee is identical: no group is
-    ever split across two ``fn`` calls."""
+    (A ``whole_batch`` slab mode existed while the ewma Arrow kernel
+    needed cross-group vectorization; the r4 pure-window ewma retired its
+    only caller, so the mode was removed rather than kept untested.)"""
     spark = df.sparkSession
     nparts = stream_nparts(spark, npartitions)
     part = df.repartition(nparts, *group_cols).sortWithinPartitions(
@@ -64,9 +59,6 @@ def grouped_apply_stream(
     )
 
     def apply_groups(pdf: pd.DataFrame) -> pd.DataFrame | None:
-        if whole_batch:
-            out = fn(pdf)
-            return out if out is not None and len(out) else None
         # dropna=False: a null group key is a real group (Spark groupBy /
         # window semantics); the default would silently drop its rows
         outs = [

@@ -199,23 +199,28 @@ def ewma(
     plain prefix sums, i.e. a window aggregate. 2^(u_j) overflows for long
     series, so the exponent is anchored per 512-halflife SEGMENT: within a
     segment w = 2^(u - 512*seg) stays in [1, 2^512]; a row's total is its
-    within-segment prefix sum plus the previous segment's full sums
-    rescaled by 2^(-512*(seg-prev_seg)). Mass older than the previous
-    segment is at least 512 halflives away, i.e. < 2^-512 of the current
-    row's own weight — dropping it perturbs the mean by less than one ULP
-    for any series shorter than 2^460 rows (the same truncation pandas'
-    segmented ewm performs numerically). The whole operator is therefore
-    ONE Exchange on the key plus in-partition sorted window passes — no
-    Python, no Arrow crossing.
+    within-segment prefix sum plus the TWO most recent closed segments'
+    sums, each rescaled by 2^(-512*seg_gap). Two hops, not one: adjacent
+    segments' CONTENTS can be arbitrarily close in time (a sample at the
+    end of segment k sits 2 halflives from one at the start of k+1), so a
+    one-hop carry mis-weights null-row means at boundaries and an
+    all-null segment's zero-mass close would displace the real history.
+    With both hops kept, everything older sits >= 512 halflives behind
+    the older kept segment's mass — dropping it perturbs the mean by
+    < 2^-512 relative (sub-ULP) for any series shorter than 2^460 rows
+    (the same truncation pandas' segmented ewm performs numerically).
+    The whole operator is therefore ONE Exchange on the key plus
+    in-partition sorted window passes — no Python, no Arrow crossing.
 
-    Null values contribute to neither sum, so a null-value row reports the
-    previous sample's mean (weights rescale by a common factor, leaving
-    the ratio unchanged) — matching pandas' NaN carry — except in one
-    documented corner: when the whole non-null history is so many
-    segments back that its rescale factor 2^(-512*seg_gap) underflows
-    float64 to exactly 0 (seg_gap*512 + log2(carried weight) < -1074 —
-    possible from ~1025 halflives, guaranteed beyond 2560), the row
-    reports null rather than a fabricated stale mean.
+    Null and NaN values contribute to neither sum (missing data, pandas
+    ewm semantics), so such a row reports the previous sample's mean
+    (weights rescale by a common factor, leaving the ratio unchanged) —
+    matching pandas' NaN carry — except in one documented corner: when
+    the whole non-null history is so many segments back that its rescale
+    factor 2^(-512*seg_gap) underflows float64 to exactly 0
+    (seg_gap*512 + log2(carried weight) < -1074 — possible from ~1025
+    halflives, guaranteed beyond 2560), the row reports null rather than
+    a fabricated stale mean.
     For VALID samples the distinction is invisible: any history ≥512
     halflives old is sub-ULP next to the row's own weight either way.
 
@@ -246,11 +251,15 @@ def ewma(
         float(halflife_ms)
     )
     w = F.pow(F.lit(2.0), dloc)
+    # NaN is missing like null (pandas ewm semantics; acf/ccf filter the
+    # same way) — and must be masked out of __wx too, or one NaN sample
+    # poisons every later prefix sum of its key
+    valid = F.col("value").isNotNull() & ~F.isnan(F.col("value"))
     stepped = base.select(
         "*",
         seg.alias("__seg"),
-        (w * F.col("value")).alias("__wx"),
-        F.when(F.col("value").isNotNull(), w).alias("__wd"),
+        F.when(valid, w * F.col("value")).alias("__wx"),
+        F.when(valid, w).alias("__wd"),
     )
 
     order = [F.col("ts_ms"), *[F.col(c) for c in order_cols]]
@@ -283,21 +292,60 @@ def ewma(
             ),
         ).alias("__close"),
     )
-    carried = scored.select(
+    # TWO-hop carry: a row needs the TWO most recent closed segments, not
+    # one. With a single hop, a null-value row whose previous segment has
+    # small local mass (samples early in the segment, w ~ 2^0) mis-reports
+    # the carried mean by O(1) whenever the pre-previous segment holds
+    # late-in-segment mass (w ~ 2^512) — segment boundaries don't imply
+    # 512 halflives between the CONTENTS of adjacent segments. And an
+    # all-null segment closes with zero mass, turning the next segment's
+    # carry into a spurious null. Capturing, at each closing row, that
+    # row's own one-hop __prev (the close of the segment before it) gives
+    # every row (S_B1, S_B0) for the last two closed segments B1 > B0 over
+    # the SAME sort; mass older than B0 is >= 512 halflives behind B0's
+    # kept mass, so the dropped tail is < 2^-512 of the kept totals
+    # everywhere — the bound the docstring promises. (Regression: the r4
+    # review's 511/513/1025-minute corner — one-hop reported 100.0 where
+    # the exact carry is 80.0.)
+    prev1 = scored.select(
         "*",
         F.last("__close", ignorenulls=True)
         .over(wk_ord.rowsBetween(Window.unboundedPreceding, -1))
         .alias("__prev"),
     )
-    prev = F.col("__prev")
-    rescale = F.pow(
-        F.lit(2.0), (prev["s"] - F.col("__seg")).cast("double") * F.lit(seg_w)
+    closing2 = prev1.select(
+        "*",
+        F.when(
+            F.col("__close").isNotNull(),
+            F.struct(
+                F.col("__close").alias("c1"), F.col("__prev").alias("c0")
+            ),
+        ).alias("__close2"),
     )
-    num = F.coalesce(F.col("__numpfx"), F.lit(0.0)) + F.coalesce(
-        prev["n"] * rescale, F.lit(0.0)
+    carried = closing2.select(
+        "*",
+        F.last("__close2", ignorenulls=True)
+        .over(wk_ord.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__prev2"),
     )
-    den = F.coalesce(F.col("__denpfx"), F.lit(0.0)) + F.coalesce(
-        prev["d"] * rescale, F.lit(0.0)
+
+    def hop(c):
+        rescale = F.pow(
+            F.lit(2.0), (c["s"] - F.col("__seg")).cast("double") * F.lit(seg_w)
+        )
+        return c["n"] * rescale, c["d"] * rescale
+
+    n1, d1 = hop(F.col("__prev2")["c1"])
+    n0, d0 = hop(F.col("__prev2")["c0"])
+    num = (
+        F.coalesce(F.col("__numpfx"), F.lit(0.0))
+        + F.coalesce(n1, F.lit(0.0))
+        + F.coalesce(n0, F.lit(0.0))
+    )
+    den = (
+        F.coalesce(F.col("__denpfx"), F.lit(0.0))
+        + F.coalesce(d1, F.lit(0.0))
+        + F.coalesce(d0, F.lit(0.0))
     )
     out_cols = [f.name for f in base.schema.fields if f.name in (*ks, "ts_ms", "value", *carry)]
     return carried.select(

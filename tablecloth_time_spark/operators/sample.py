@@ -34,11 +34,14 @@ _SCALE = float(16**15)  # 1152921504606846976
 
 def hash_fraction(id_col: str | Column, salt: str = "") -> Column:
     """Uniform [0,1) fraction from md5 of the id (+salt), stable across
-    runs, partitionings, and engines. First 15 hex chars = 60 bits,
-    rounded to double exactly the way a BIGINT->DOUBLE cast rounds."""
+    runs, partitionings, and engines. Built on the one shared md5->int64
+    idiom (``text.hash64_md5``: first 15 hex chars = 60 bits), rounded to
+    double exactly the way a BIGINT->DOUBLE cast rounds."""
+    from tablecloth_time_spark.functions.text import hash64_md5
+
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.md5(F.concat(c.cast("string"), F.lit(salt)))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(_SCALE)
+    h = hash64_md5(F.concat(c.cast("string"), F.lit(salt)))
+    return h.cast("double") / F.lit(_SCALE)
 
 
 def sample_predicate(id_col: str | Column, rate: float, salt: str = "") -> Column:

@@ -738,3 +738,65 @@ def test_state_durations_max_hold_and_validation(spark):
     assert capped.count() == 3  # 2 busy buckets + 1 idle bucket
     with pytest.raises(ValueError, match="interval must be >= 1"):
         state_durations(df, "k", "ts", "state", 0, "hour")
+
+
+def test_ewma_two_hop_carry_boundary_straddle(spark):
+    """r4 review regression: segment boundaries don't imply 512 halflives
+    between the CONTENTS of adjacent segments. With samples at minutes
+    511 (v=0, end of segment 0) and 513 (v=100, start of segment 1), a
+    null row at minute 1025 (segment 2) must blend BOTH — the one-hop
+    carry saw only segment 1 and reported 100.0; the exact weights are
+    2^-514 vs 2^-512, i.e. 100/(1+0.25) = 80.0."""
+    e0 = dt.datetime(1970, 1, 1)
+    rows = [
+        (1, e0 + dt.timedelta(minutes=511), 0.0),
+        (1, e0 + dt.timedelta(minutes=513), 100.0),
+        (1, e0 + dt.timedelta(minutes=1025), None),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = [
+        r["ewma"]
+        for r in ewma(df, "k", "ts", "v", halflife=1, unit="minute")
+        .orderBy("ts_ms").collect()
+    ]
+    assert out == [0.0, 80.0, 80.0]
+
+
+def test_ewma_all_null_segment_does_not_poison_carry(spark):
+    """r4 review regression: an all-null segment closes with zero mass; it
+    must not displace the real history from the carry. Sample at minute 0,
+    null rows at minutes 600 (segment 1) and 1025 (segment 2): both nulls
+    report the carried 100.0 (the 2^-1024 rescale is subnormal, not 0)."""
+    e0 = dt.datetime(1970, 1, 1)
+    rows = [
+        (1, e0, 100.0),
+        (1, e0 + dt.timedelta(minutes=600), None),
+        (1, e0 + dt.timedelta(minutes=1025), None),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = [
+        r["ewma"]
+        for r in ewma(df, "k", "ts", "v", halflife=1, unit="minute")
+        .orderBy("ts_ms").collect()
+    ]
+    assert out == [100.0, 100.0, 100.0]
+
+
+def test_ewma_nan_value_is_missing(spark):
+    """r4 review regression: a NaN sample is missing data (pandas ewm /
+    acf / ccf semantics), not a poison pill — it reports the carried mean
+    and later rows continue exactly: (1*0.25 + 3*1)/(0.25 + 1) = 2.6."""
+    e0 = dt.datetime(1970, 1, 1)
+    rows = [
+        (1, e0, 1.0),
+        (1, e0 + dt.timedelta(minutes=1), float("nan")),
+        (1, e0 + dt.timedelta(minutes=2), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = [
+        r["ewma"]
+        for r in ewma(df, "k", "ts", "v", halflife=1, unit="minute")
+        .orderBy("ts_ms").collect()
+    ]
+    assert out[0] == 1.0 and out[1] == 1.0
+    assert out[2] == pytest.approx(2.6, rel=1e-12)
