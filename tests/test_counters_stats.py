@@ -800,3 +800,60 @@ def test_ewma_nan_value_is_missing(spark):
     ]
     assert out[0] == 1.0 and out[1] == 1.0
     assert out[2] == pytest.approx(2.6, rel=1e-12)
+
+
+def test_ewma_randomized_sparse_gaps_with_nulls(spark):
+    """Randomized differential: irregular gaps up to 300 halflives (many
+    512-halflife anchor boundaries straddled at random offsets) with ~25%
+    null samples (max run 2, so no gap ever reaches the documented
+    underflow corner). Oracle: the direct adjusted-EWMA formula computed
+    per row with weights re-anchored at the row's last non-null sample —
+    exact at any span without underflow. Null rows must report the
+    carried mean; valid rows the full blend."""
+    rng = np.random.default_rng(113)
+    hl_ms = 60_000.0
+    rows, expect = [], []
+    for k in range(4):
+        t = 0.0
+        ts_list, vals = [], []
+        null_run = 0
+        for _ in range(120):
+            # whole milliseconds: the engine's time axis is epoch millis,
+            # a fractional-ms oracle would disagree at ~1e-5 per weight
+            t = float(int(t + rng.uniform(0.1, 300.0) * hl_ms))
+            if null_run < 2 and rng.random() < 0.25:
+                v = None
+                null_run += 1
+            else:
+                v = float(np.round(rng.normal(100.0, 25.0), 3))
+                null_run = 0
+            ts_list.append(t)
+            vals.append(v)
+        tarr = np.array(ts_list)
+        for i in range(len(tarr)):
+            obs = [
+                (tarr[j], vals[j]) for j in range(i + 1) if vals[j] is not None
+            ]
+            if not obs:
+                expect.append((k, int(tarr[i]), None))
+                continue
+            t_ref = obs[-1][0]
+            w = np.array([0.5 ** ((t_ref - tj) / hl_ms) for tj, _ in obs])
+            x = np.array([vj for _, vj in obs])
+            expect.append((k, int(tarr[i]), float(np.sum(w * x) / np.sum(w))))
+        rows += [
+            (k, dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=m), v)
+            for m, v in zip(ts_list, vals)
+        ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    got = {
+        (r["k"], r["ts_ms"]): r["ewma"]
+        for r in ewma(df, "k", "ts", "v", halflife=1, unit="minute").collect()
+    }
+    assert len(got) == len(expect)
+    for k, ms, want in expect:
+        have = got[(k, ms)]
+        if want is None:
+            assert have is None, (k, ms)
+        else:
+            assert have == pytest.approx(want, rel=1e-9), (k, ms)
