@@ -690,6 +690,81 @@ FROM t JOIN si ON t.event_type = si.event_type AND t.season = si.season
 """
 
 
+def q_decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fpp3 chapter-4 trend/seasonal strength features over the classical
+    decomposition of each event type's daily count series: one hash
+    aggregate of three var_samp moments per key over the complete-case
+    rows (edges with null trend excluded). Follows the reference's fpp3
+    notebook track past chapter 3 (notebooks/chapter_02..., decompose.py
+    for the components)."""
+    from tablecloth_time_spark.operators.decompose import (
+        classical_decomposition,
+        decomposition_strength,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    dec = classical_decomposition(
+        daily, ["event_type"], "day", "y", 7, season_col=F.dayofweek("day")
+    )
+    out = decomposition_strength(dec, ["event_type"])
+    return out.select(
+        "event_type",
+        F.round("trend_strength", 6).alias("trend_strength"),
+        F.round("seasonal_strength", 6).alias("seasonal_strength"),
+        "n",
+    )
+
+
+SQL_DECOMPOSITION_STRENGTH = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, day, y,
+         CASE WHEN COUNT(*) OVER w = 7 THEN AVG(y) OVER w END AS trend,
+         dayofweek(day) AS season
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+s AS (
+  SELECT event_type, season, AVG(y - trend) AS s_raw
+  FROM t GROUP BY 1, 2
+),
+adj AS (SELECT event_type, AVG(s_raw) AS s_adj FROM s GROUP BY 1),
+si AS (
+  SELECT s.event_type, s.season, s.s_raw - adj.s_adj AS seasonal
+  FROM s JOIN adj USING (event_type)
+),
+comp AS (
+  SELECT t.event_type, t.trend, si.seasonal,
+         t.y - t.trend - si.seasonal AS remainder
+  FROM t JOIN si ON t.event_type = si.event_type AND t.season = si.season
+  WHERE t.trend IS NOT NULL
+),
+a AS (
+  SELECT event_type,
+         var_samp(remainder) AS vr,
+         var_samp(trend + remainder) AS vtr,
+         var_samp(seasonal + remainder) AS vsr,
+         COUNT(*) AS n
+  FROM comp GROUP BY 1
+)
+SELECT event_type,
+       CASE WHEN vr IS NOT NULL AND vtr IS NOT NULL AND vtr <> 0
+            THEN ROUND(GREATEST(0.0, 1 - vr / vtr), 6) END AS trend_strength,
+       CASE WHEN vr IS NOT NULL AND vsr IS NOT NULL AND vsr <> 0
+            THEN ROUND(GREATEST(0.0, 1 - vr / vsr), 6) END AS seasonal_strength,
+       n
+FROM a
+"""
+
+
 def q_timeops_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ceil/round-to-nearest, between (days), with_tz, parse — the planned
     temporal-arithmetic surface in one projection."""
@@ -2988,6 +3063,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "ccf_hourly": [("ccf", "DOUBLE")],
     "pacf_synthetic": [("pacf", "DOUBLE")],
     "seasonal_decompose": [("trend", "DOUBLE"), ("seasonal", "DOUBLE"), ("remainder", "DOUBLE")],
+    "decomposition_strength": [("trend_strength", "DOUBLE"), ("seasonal_strength", "DOUBLE")],
     "rollup_tiers_long": [("s", "DOUBLE")],
     "asof_join_rates": [("hour_sum", "DOUBLE")],
     "asof_nearest_rates": [("hour_sum", "DOUBLE")],
@@ -3051,6 +3127,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_hourly": q_ccf_hourly,
         "pacf_synthetic": q_pacf_synthetic,
         "seasonal_decompose": q_seasonal_decompose,
+        "decomposition_strength": q_decomposition_strength,
         "timeops_misc": q_timeops_misc,
         "convert_time_units": q_convert_time_units,
         "time_literals": q_time_literals,
@@ -3119,6 +3196,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ccf_hourly": SQL_CCF_HOURLY,
         "pacf_synthetic": SQL_PACF_SYNTHETIC,
         "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
+        "decomposition_strength": SQL_DECOMPOSITION_STRENGTH,
         "timeops_misc": SQL_TIMEOPS_MISC,
         "convert_time_units": SQL_CONVERT_TIME_UNITS,
         "time_literals": SQL_TIME_LITERALS,
