@@ -1648,6 +1648,72 @@ def q_benchmark_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fc.join(F.broadcast(acc), ["event_type", "method"], "left")
 
 
+def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical Theta-method forecasts (Assimakopoulos & Nikolopoulos
+    2000; the M3 winner) of the daily event-count series per event type,
+    14 days ahead — via the Hyndman & Billah 2003 equivalence theta ==
+    SES + drift, so the whole forecast is ONE per-key aggregate pass (the
+    closed-form SES weighted sum + regr_slope) with no recurrence and no
+    Python (operators/forecast.py theta branch)."""
+    from tablecloth_time_spark.operators.forecast import benchmark_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = benchmark_forecast(
+        daily, "event_type", "day", "y", horizon=14, interval=1,
+        unit="day", methods=("theta",), alpha=0.3,
+    )
+    return out.select(
+        "event_type",
+        F.col("h").cast("long").alias("h"),
+        "ts",
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
+SQL_THETA_FORECAST = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n, MAX(day) AS last_day
+  FROM d GROUP BY 1
+),
+tail AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rnd
+  FROM d
+),
+-- SES closed form (same shape as the benchmark_forecast oracle) plus the
+-- OLS slope of y on the ascending index t = n - rnd + 1 (regr_slope)
+lv AS (
+  SELECT t.event_type,
+         SUM(CASE WHEN t.rnd = s.n THEN POWER(0.7, s.n - 1) * t.y
+                  ELSE 0.3 * POWER(0.7, t.rnd - 1) * t.y END) AS l,
+         regr_slope(t.y, CAST(s.n - t.rnd + 1 AS DOUBLE)) AS b,
+         MAX(s.n) AS bign
+  FROM tail t JOIN s USING (event_type) GROUP BY 1
+),
+hs AS (
+  SELECT s.event_type, lv.l, lv.b, lv.bign, s.last_day,
+         unnest(generate_series(1, 14)) AS h
+  FROM s JOIN lv USING (event_type)
+)
+SELECT event_type, CAST(h AS BIGINT) AS h,
+       last_day + h * INTERVAL 1 DAY AS ts,
+       -- Hyndman & Billah 2003 drift multiplier, parenthesized exactly as
+       -- the engine writes it (last-ULP parity for the exact hash)
+       CASE WHEN bign >= 2
+            THEN ROUND(l + ((h - 1) + 1/0.3 - POWER(0.7, bign)/0.3)
+                           * (b / 2), 6) END AS forecast
+FROM hs
+"""
+
+
 SQL_BENCHMARK_FORECAST = """
 WITH d AS (
   SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
@@ -3075,6 +3141,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "window_features": [("value", "DOUBLE"), ("value_1h_ago", "DOUBLE"), ("zscore", "DOUBLE")],
     "level_shifts": [("shift", "DOUBLE"), ("shift_score", "DOUBLE")],
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
+    "theta_forecast": [("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
     "continuous_hourly": [("s", "DOUBLE")],
     "compress_roundtrip": [("s", "DOUBLE")],
@@ -3145,6 +3212,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "level_shifts": q_level_shifts,
         "suppress_duplicates": q_suppress_duplicates,
         "benchmark_forecast": q_benchmark_forecast,
+        "theta_forecast": q_theta_forecast,
         "gapfill_monthly": q_gapfill_monthly,
         "dedup_clusters": q_dedup_clusters,
         "continuous_hourly": q_continuous_hourly,
@@ -3214,6 +3282,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "level_shifts": SQL_LEVEL_SHIFTS,
         "suppress_duplicates": SQL_SUPPRESS_DUPLICATES,
         "benchmark_forecast": SQL_BENCHMARK_FORECAST,
+        "theta_forecast": SQL_THETA_FORECAST,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
         "continuous_hourly": SQL_CONTINUOUS_HOURLY,
         "compress_roundtrip": SQL_COMPRESS_ROUNDTRIP,

@@ -19,6 +19,14 @@ judged against:
   sum — no recurrence, no Python, same single-shuffle shape as the rest.
   Weights underflow to exact 0.0 beyond ~1000/a steps back, which is the
   math's own statement that those observations don't matter.
+- THETA (Assimakopoulos & Nikolopoulos 2000, the M3 winner): by the
+  Hyndman & Billah 2003 equivalence, the classical two-theta-line method
+  (theta = 0 and 2) is SES with an added drift,
+      yhat_{T+h} = l_T + ((h-1) + 1/a - (1-a)^T / a) * b/2,
+  where l_T is the SES level above and b the OLS slope of y on the time
+  index t = 1..T. Both pieces are aggregates over the same per-key pass
+  (the weighted SES sum and ``regr_slope``), so theta costs the same
+  single shuffle as SES. Needs T >= 2 (the slope); null forecast below.
 
 All five are pure DataFrame algebra — no model state, no Python:
 mean/naive/drift come from ONE per-key hash aggregate (count, mean, and
@@ -49,7 +57,7 @@ from tablecloth_time_spark.functions.units import (
     normalize_unit,
 )
 
-METHODS = ("mean", "naive", "snaive", "drift", "ses")
+METHODS = ("mean", "naive", "snaive", "drift", "ses", "theta")
 
 
 def benchmark_forecast(
@@ -138,6 +146,36 @@ def benchmark_forecast(
             fc.cast("double").alias(out_col),
         )
 
+    def ses_level(with_slope: bool) -> DataFrame:
+        """Per-key SES level l_T as ONE weighted aggregate (closed form,
+        module docstring); with_slope adds the OLS slope of y on the
+        ascending time index t = 1..T (regr_slope) and T for theta."""
+        w_desc = Window.partitionBy(*ks).orderBy(F.col("__sms").desc())
+        whole = w_desc.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        rn = F.row_number().over(w_desc)  # 1 = last observation
+        n = F.count(F.lit(1)).over(whole)
+        # closed-form SES weights (module docstring): the oldest row keeps
+        # the full initialization mass (1-a)^(T-1), everything else decays
+        # geometrically from the series end
+        weight = F.when(
+            rn == n, F.pow(F.lit(1.0 - alpha), n - 1)
+        ).otherwise(F.lit(alpha) * F.pow(F.lit(1.0 - alpha), rn - 1))
+        base = df.select(*ks, ms.alias("__sms"), v.alias("__sv")).select(
+            *ks,
+            (weight * F.col("__sv")).alias("__w"),
+            (n - rn + 1).cast("double").alias("__t"),
+            "__sv",
+        )
+        aggs = [F.sum("__w").alias("__ses")]
+        if with_slope:
+            aggs += [
+                F.regr_slope(F.col("__sv"), F.col("__t")).alias("__b"),
+                F.count(F.lit(1)).alias("__T"),
+            ]
+        return base.groupBy(*ks).agg(*aggs)
+
     parts: list[DataFrame] = []
     if "mean" in methods:
         parts.append(shaped("mean", F.col("__mean")))
@@ -153,28 +191,10 @@ def benchmark_forecast(
                 ),
             )
         )
+    if ("ses" in methods or "theta" in methods) and not (0.0 < alpha <= 1.0):
+        raise ValueError(f"ses/theta require 0 < alpha <= 1, got {alpha}")
     if "ses" in methods:
-        if not (0.0 < alpha <= 1.0):
-            raise ValueError(f"ses requires 0 < alpha <= 1, got {alpha}")
-        w_desc = Window.partitionBy(*ks).orderBy(F.col("__sms").desc())
-        whole = w_desc.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        rn = F.row_number().over(w_desc)  # 1 = last observation
-        n = F.count(F.lit(1)).over(whole)
-        # closed-form SES weights (module docstring): the oldest row keeps
-        # the full initialization mass (1-a)^(T-1), everything else decays
-        # geometrically from the series end
-        weight = F.when(
-            rn == n, F.pow(F.lit(1.0 - alpha), n - 1)
-        ).otherwise(F.lit(alpha) * F.pow(F.lit(1.0 - alpha), rn - 1))
-        level = (
-            df.select(*ks, ms.alias("__sms"), v.alias("__sv"))
-            .select(*ks, (weight * F.col("__sv")).alias("__w"))
-            .groupBy(*ks)
-            .agg(F.sum("__w").alias("__ses"))
-        )
-        sj = hs.join(level, ks)
+        sj = hs.join(ses_level(with_slope=False), ks)
         parts.append(
             sj.select(
                 *ks,
@@ -182,6 +202,30 @@ def benchmark_forecast(
                 F.col(h_col),
                 F.col(out_ts),
                 F.col("__ses").cast("double").alias(out_col),
+            )
+        )
+    if "theta" in methods:
+        tj = hs.join(ses_level(with_slope=True), ks)
+        # Hyndman & Billah 2003: classical theta == SES + drift, with the
+        # drift multiplier (h-1) + 1/a - (1-a)^T / a and slope b/2.
+        # Parenthesized exactly as the DuckDB oracle writes it (last-ULP
+        # parity for the exact hash).
+        drift_mult = (
+            (F.col(h_col) - 1)
+            + F.lit(1.0 / alpha)
+            - F.pow(F.lit(1.0 - alpha), F.col("__T")) / F.lit(alpha)
+        )
+        fc = F.when(
+            F.col("__T") >= 2,
+            F.col("__ses") + drift_mult * (F.col("__b") / F.lit(2.0)),
+        )
+        parts.append(
+            tj.select(
+                *ks,
+                F.lit("theta").alias(method_col),
+                F.col(h_col),
+                F.col(out_ts),
+                fc.cast("double").alias(out_col),
             )
         )
     if "snaive" in methods:

@@ -403,3 +403,77 @@ def test_backtest_accuracy_includes_ses(spark, daily):
     mae = float(np.mean(np.abs(y[-7:] - level)))
     got = {r["k"]: r["mae"] for r in out if r["method"] == "ses"}
     assert got[0] == pytest.approx(mae, rel=1e-9)
+
+
+def _theta_closed_form(y: np.ndarray, alpha: float, h: int) -> float:
+    """Independent theta oracle: recurrence SES level + the Hyndman &
+    Billah 2003 drift term with the OLS slope of y on t = 1..T."""
+    T = len(y)
+    level = _ses_recurrence(y, alpha)
+    t = np.arange(1, T + 1, dtype="float64")
+    b = float(np.polyfit(t, y, 1)[0])
+    mult = (h - 1) + 1.0 / alpha - (1.0 - alpha) ** T / alpha
+    return level + mult * (b / 2.0)
+
+
+def test_theta_matches_closed_form(spark, daily):
+    """Engine theta == independent recurrence-SES + polyfit-slope oracle
+    across alphas and horizons."""
+    df, pdf = daily
+    for alpha in (0.1, 0.3, 0.8):
+        got = {
+            (r["k"], r["h"]): r["forecast"]
+            for r in benchmark_forecast(
+                df, "k", "ts", "v", horizon=3, interval=1, unit="day",
+                methods=("theta",), alpha=alpha,
+            ).collect()
+        }
+        for k, g in pdf.groupby("k"):
+            y = g.sort_values("ts", kind="stable")["v"].to_numpy()
+            for h in (1, 2, 3):
+                want = _theta_closed_form(y, alpha, h)
+                assert got[(k, h)] == pytest.approx(want, rel=1e-9), (
+                    f"k={k} h={h} alpha={alpha}"
+                )
+
+
+def test_theta_identities(spark):
+    """Linear series: theta's SES+drift tracks the trend (forecast grows
+    with h); constant series: slope 0 -> theta == ses level; T=1 ->
+    null forecast (slope undefined)."""
+    rows = [("a", T0 + i * DAY, 10.0 + 5.0 * i) for i in range(12)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {
+        r["h"]: r["forecast"]
+        for r in benchmark_forecast(
+            df, "k", "ts", "v", 3, 1, "day", methods=("theta",), alpha=0.3
+        ).collect()
+    }
+    # exact-trend input: each horizon step adds b/2 = 2.5
+    assert got[2] - got[1] == pytest.approx(2.5, abs=1e-9)
+    assert got[3] - got[2] == pytest.approx(2.5, abs=1e-9)
+
+    const = spark.createDataFrame(
+        [("a", T0 + i * DAY, 7.0) for i in range(5)], ["k", "ts", "v"]
+    )
+    out = benchmark_forecast(
+        const, "k", "ts", "v", 2, 1, "day", methods=("theta", "ses"),
+        alpha=0.3,
+    ).collect()
+    vals = {(r["method"], r["h"]): r["forecast"] for r in out}
+    assert vals[("theta", 1)] == pytest.approx(vals[("ses", 1)], abs=1e-12)
+
+    one = spark.createDataFrame([("a", T0, 5.0)], ["k", "ts", "v"])
+    got1 = benchmark_forecast(
+        one, "k", "ts", "v", 2, 1, "day", methods=("theta",), alpha=0.4
+    ).collect()
+    assert all(r["forecast"] is None for r in got1)
+
+
+def test_theta_plan_no_python(spark, daily):
+    df, _ = daily
+    plan = benchmark_forecast(
+        df, "k", "ts", "v", 7, 1, "day", methods=("theta",),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
