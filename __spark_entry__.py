@@ -1965,6 +1965,51 @@ FROM w
 """
 
 
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly scoring: Iglewicz & Hoaglin modified z-score
+    0.6745*(x - median)/MAD per event type, flagged at |score| > 3.5 —
+    median/MAD resist the outliers a mean/stddev z-score absorbs. Two
+    tiny per-key median aggregates broadcast back; the events table is
+    scanned, never shuffled (operators/stats.py:mad_anomalies)."""
+    from tablecloth_time_spark.operators.stats import mad_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    out = mad_anomalies(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"], "value", threshold=3.5,
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.round("score", 6).alias("score"),
+        "is_anomaly",
+    )
+
+
+SQL_MAD_ANOMALIES = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+),
+m2 AS (
+  SELECT e.event_type, median(ABS(e.value - med.med)) AS mad
+  FROM events e JOIN med USING (event_type) GROUP BY 1
+),
+scored AS (
+  SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+         CASE WHEN m2.mad IS NOT NULL AND m2.mad <> 0
+              THEN 0.6745 * (e.value - med.med) / m2.mad END AS s
+  FROM events e
+  JOIN med USING (event_type)
+  JOIN m2 USING (event_type)
+)
+SELECT event_id, event_type, value,
+       ROUND(s, 6) AS score,
+       COALESCE(ABS(s) > 3.5, FALSE) AS is_anomaly
+FROM scored
+"""
+
+
 def q_continuous_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star continuous aggregate, oracle-checked end-to-end: the
     events table arrives as THREE snapshot increments; each triggers an
@@ -3140,6 +3185,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "ohlc_daily": [("open", "DOUBLE"), ("high", "DOUBLE"), ("low", "DOUBLE"), ("close", "DOUBLE"), ("p50", "DOUBLE"), ("p95", "DOUBLE"), ("p99", "DOUBLE")],
     "window_features": [("value", "DOUBLE"), ("value_1h_ago", "DOUBLE"), ("zscore", "DOUBLE")],
     "level_shifts": [("shift", "DOUBLE"), ("shift_score", "DOUBLE")],
+    "mad_anomalies": [("value", "DOUBLE"), ("score", "DOUBLE")],
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "theta_forecast": [("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
@@ -3210,6 +3256,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_event_types": q_topk_event_types,
         "window_features": q_window_features,
         "level_shifts": q_level_shifts,
+        "mad_anomalies": q_mad_anomalies,
         "suppress_duplicates": q_suppress_duplicates,
         "benchmark_forecast": q_benchmark_forecast,
         "theta_forecast": q_theta_forecast,
@@ -3280,6 +3327,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "topk_event_types": SQL_TOPK_EVENT_TYPES,
         "window_features": SQL_WINDOW_FEATURES,
         "level_shifts": SQL_LEVEL_SHIFTS,
+        "mad_anomalies": SQL_MAD_ANOMALIES,
         "suppress_duplicates": SQL_SUPPRESS_DUPLICATES,
         "benchmark_forecast": SQL_BENCHMARK_FORECAST,
         "theta_forecast": SQL_THETA_FORECAST,

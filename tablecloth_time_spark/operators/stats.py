@@ -9,7 +9,7 @@ single hash-aggregate / window plans — no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -329,4 +329,61 @@ def series_correlations(
             F.count(F.when(both, F.lit(1))).alias("n_overlap"),
         )
         .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    threshold: float = 3.5,
+    exact: bool = True,
+    accuracy: int = 10_000,
+    score_col: str = "score",
+    flag_col: str = "is_anomaly",
+) -> DataFrame:
+    """Robust per-key anomaly scoring via the modified z-score
+    (Iglewicz & Hoaglin 1993, the NIST outlier recipe):
+
+        score = 0.6745 * (x - median) / MAD,
+        MAD   = median(|x - median|)
+
+    flagged when |score| > ``threshold`` (their recommended 3.5). Median/
+    MAD resist the outliers a mean/stddev z-score would absorb — the right
+    default for monitoring metric streams with fat tails.
+
+    Plan: two per-key aggregates (MAD needs the median first), each a tiny
+    one-row-per-key frame broadcast back onto the input — the big table is
+    never shuffled, just scanned twice. ``exact=True`` uses the sort-based
+    ``F.median`` (interpolated, the definition DuckDB's ``median`` shares,
+    so driver oracles pin it bit-for-bit); exact medians buffer each
+    group's values, so at 100 TB switch ``exact=False`` ->
+    ``approx_percentile(0.5)`` (KLL sketch, mergeable, map-side-combined).
+
+    A zero MAD (>= half the key's values identical) leaves ``score`` null
+    and the flag false — "undefined", never a division blow-up.
+    """
+    v = F.col(value_col).cast("double")
+
+    def med(c) -> Column:
+        if exact:
+            return F.median(c)
+        return F.approx_percentile(c, F.lit(0.5), F.lit(accuracy))
+
+    medians = df.groupBy(*keys).agg(med(v).alias("__med"))
+    withmed = df.join(F.broadcast(medians), list(keys))
+    mads = withmed.groupBy(*keys).agg(
+        med(F.abs(v - F.col("__med"))).alias("__mad")
+    )
+    scored = withmed.join(F.broadcast(mads), list(keys))
+    score = F.try_divide(
+        F.lit(0.6745) * (v - F.col("__med")), F.col("__mad")
+    )
+    return (
+        scored.withColumn(score_col, score)
+        .withColumn(
+            flag_col,
+            F.coalesce(F.abs(F.col(score_col)) > F.lit(threshold), F.lit(False)),
+        )
+        .drop("__med", "__mad")
     )

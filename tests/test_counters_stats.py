@@ -857,3 +857,54 @@ def test_ewma_randomized_sparse_gaps_with_nulls(spark):
             assert have is None, (k, ms)
         else:
             assert have == pytest.approx(want, rel=1e-9), (k, ms)
+
+
+# ---------------------------------------------------------------- mad
+
+
+def test_mad_anomalies_matches_numpy(spark):
+    """Engine modified z-score == independent numpy median/MAD oracle,
+    including the planted outlier being the only flagged row."""
+    from tablecloth_time_spark.operators.stats import mad_anomalies
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for k in ("a", "b"):
+        vals = np.round(rng.normal(50, 5, 40), 3)
+        vals[7] = 500.0  # planted outlier
+        rows += [(k, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, i int, v double")
+    got = {
+        (r["k"], r["i"]): (r["score"], r["is_anomaly"])
+        for r in mad_anomalies(df, ["k"], "v").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "i", "v"])
+    for k, g in pdf.groupby("k"):
+        x = g["v"].to_numpy()
+        med = float(np.median(x))
+        mad = float(np.median(np.abs(x - med)))
+        for i, v in zip(g["i"], x):
+            want = 0.6745 * (v - med) / mad
+            s, flag = got[(k, int(i))]
+            assert s == pytest.approx(want, rel=1e-12), (k, i)
+            assert flag == (abs(want) > 3.5), (k, i)
+    flagged = {ki for ki, (_, f) in got.items() if f}
+    assert flagged == {("a", 7), ("b", 7)}
+
+
+def test_mad_anomalies_zero_mad_and_plan(spark):
+    """Constant-majority key -> MAD 0 -> null score, false flag; plan
+    stays broadcast-join + aggregate with no Python and no sort-merge
+    shuffle of the input."""
+    from tablecloth_time_spark.operators.stats import mad_anomalies
+
+    rows = [("c", i, 5.0) for i in range(9)] + [("c", 9, 99.0)]
+    df = spark.createDataFrame(rows, "k string, i int, v double")
+    out = mad_anomalies(df, ["k"], "v")
+    got = {r["i"]: (r["score"], r["is_anomaly"]) for r in out.collect()}
+    assert all(s is None and f is False for s, f in got.values())
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "InPandas" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
