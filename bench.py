@@ -260,6 +260,18 @@ def main() -> None:
             season_col=F.dayofweek("day"),
         ).agg(F.sum("remainder")).collect(),
     )
+    from tablecloth_time_spark.operators.decompose import decomposition_strength
+
+    timed(
+        "decomposition_strength_daily",
+        lambda: decomposition_strength(
+            classical_decomposition(
+                daily_counts, ["event_type"], "day", "y", 7,
+                season_col=F.dayofweek("day"),
+            ),
+            ["event_type"],
+        ).agg(F.sum("trend_strength")).collect(),
+    )
     from tablecloth_time_spark.operators.acf import ccf
 
     hourly_xy = events.groupBy(
@@ -317,6 +329,20 @@ def main() -> None:
             daily_by_user, "user_id", "day", "y", 14, 1, "day",
             methods=("mean", "naive", "snaive", "drift"), season_length=7,
         ).agg(F.sum("forecast")).collect(),
+    )
+    timed(
+        "theta_forecast_daily",
+        lambda: benchmark_forecast(
+            daily_by_user, "user_id", "day", "y", 14, 1, "day",
+            methods=("theta",), alpha=0.3,
+        ).agg(F.sum("forecast")).collect(),
+    )
+    from tablecloth_time_spark.operators.stats import mad_anomalies
+
+    timed(
+        "mad_anomalies_events",
+        lambda: mad_anomalies(events, ["event_type"], "value")
+        .agg(F.sum("score")).collect(),
     )
     from tablecloth_time_spark.operators.counters import state_durations
     from tablecloth_time_spark.operators.stats import histogram_rollup
