@@ -1714,6 +1714,76 @@ FROM hs
 """
 
 
+def q_brown_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown 1956 double-exponential-smoothing (linear-trend) forecasts of
+    the daily event-count series per event type, 14 days ahead. The
+    chained recurrence s2_t = a*s1_t + (1-a)*s2_{t-1} collapses to a
+    SECOND closed-form weighted sum in the same single per-key aggregate
+    pass as SES (coefficient a^2*rn*(1-a)^(rn-1) on the rn-th newest
+    observation) — no recurrence, no Python (operators/forecast.py brown
+    branch, derivation in the module docstring)."""
+    from tablecloth_time_spark.operators.forecast import benchmark_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = benchmark_forecast(
+        daily, "event_type", "day", "y", horizon=14, interval=1,
+        unit="day", methods=("brown",), alpha=0.3,
+    )
+    return out.select(
+        "event_type",
+        F.col("h").cast("long").alias("h"),
+        "ts",
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
+SQL_BROWN_FORECAST = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n, MAX(day) AS last_day
+  FROM d GROUP BY 1
+),
+tail AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rnd
+  FROM d
+),
+-- Brown double smoothing as TWO closed-form weighted sums over the same
+-- pass: s1 is the SES kernel, s2's coefficient on the rnd-th newest row is
+-- a^2 * rnd * (1-a)^(rnd-1), the oldest keeping (1-a)^(n-1)*(1 + a*(n-1))
+-- (engine derivation: operators/forecast.py module docstring)
+lv AS (
+  SELECT t.event_type,
+         SUM(CASE WHEN t.rnd = s.n THEN POWER(0.7, s.n - 1) * t.y
+                  ELSE 0.3 * POWER(0.7, t.rnd - 1) * t.y END) AS s1,
+         SUM(CASE WHEN t.rnd = s.n
+                  THEN POWER(0.7, s.n - 1) * (1 + 0.3 * (s.n - 1)) * t.y
+                  ELSE 0.3 * 0.3 * t.rnd * POWER(0.7, t.rnd - 1) * t.y
+             END) AS s2
+  FROM tail t JOIN s USING (event_type) GROUP BY 1
+),
+hs AS (
+  SELECT s.event_type, lv.s1, lv.s2, s.last_day,
+         unnest(generate_series(1, 14)) AS h
+  FROM s JOIN lv USING (event_type)
+)
+SELECT event_type, CAST(h AS BIGINT) AS h,
+       last_day + h * INTERVAL 1 DAY AS ts,
+       -- level 2*s1 - s2, trend a/(1-a)*(s1 - s2), parenthesized exactly
+       -- as the engine writes it (last-ULP parity for the exact hash)
+       ROUND(2.0 * s1 - s2 + h * (0.3 / (1.0 - 0.3)) * (s1 - s2), 6)
+         AS forecast
+FROM hs
+"""
+
+
 SQL_BENCHMARK_FORECAST = """
 WITH d AS (
   SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
@@ -3188,6 +3258,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "mad_anomalies": [("value", "DOUBLE"), ("score", "DOUBLE")],
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "theta_forecast": [("forecast", "DOUBLE")],
+    "brown_forecast": [("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
     "continuous_hourly": [("s", "DOUBLE")],
     "compress_roundtrip": [("s", "DOUBLE")],
@@ -3260,6 +3331,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppress_duplicates": q_suppress_duplicates,
         "benchmark_forecast": q_benchmark_forecast,
         "theta_forecast": q_theta_forecast,
+        "brown_forecast": q_brown_forecast,
         "gapfill_monthly": q_gapfill_monthly,
         "dedup_clusters": q_dedup_clusters,
         "continuous_hourly": q_continuous_hourly,
@@ -3331,6 +3403,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "suppress_duplicates": SQL_SUPPRESS_DUPLICATES,
         "benchmark_forecast": SQL_BENCHMARK_FORECAST,
         "theta_forecast": SQL_THETA_FORECAST,
+        "brown_forecast": SQL_BROWN_FORECAST,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
         "continuous_hourly": SQL_CONTINUOUS_HOURLY,
         "compress_roundtrip": SQL_COMPRESS_ROUNDTRIP,

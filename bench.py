@@ -337,6 +337,13 @@ def main() -> None:
             methods=("theta",), alpha=0.3,
         ).agg(F.sum("forecast")).collect(),
     )
+    timed(
+        "brown_forecast_daily",
+        lambda: benchmark_forecast(
+            daily_by_user, "user_id", "day", "y", 14, 1, "day",
+            methods=("brown",), alpha=0.3,
+        ).agg(F.sum("forecast")).collect(),
+    )
     from tablecloth_time_spark.operators.stats import mad_anomalies
 
     timed(

@@ -19,6 +19,20 @@ judged against:
   sum — no recurrence, no Python, same single-shuffle shape as the rest.
   Weights underflow to exact 0.0 beyond ~1000/a steps back, which is the
   math's own statement that those observations don't matter.
+- BROWN (Brown 1956 double exponential smoothing — the classic
+  linear-trend benchmark): smooth the SES levels once more with the same
+  alpha (s2_t = a*s1_t + (1-a)*s2_{t-1}, s2_1 = s1_1 = y_1), then
+      level = 2*s1_T - s2_T,   trend = a/(1-a) * (s1_T - s2_T),
+      yhat_{T+h} = level + h * trend.
+  The chained recurrence ALSO collapses to one weighted aggregate:
+  substituting the SES closed form into itself, the coefficient of the
+  rn-th newest observation (rn = 1 is y_T) in s2_T is
+      a^2 * rn * (1-a)^(rn-1),
+  with the oldest row keeping the initialization mass
+  (1-a)^(T-1) * (1 + a*(T-1)) — so Brown is the SAME single per-key
+  shuffle as SES, just with a second weighted sum in the same pass.
+  Requires alpha < 1 (the trend gain a/(1-a) diverges at 1; at alpha=1
+  both smoothers degenerate to y_T anyway, which is NAIVE).
 - THETA (Assimakopoulos & Nikolopoulos 2000, the M3 winner): by the
   Hyndman & Billah 2003 equivalence, the classical two-theta-line method
   (theta = 0 and 2) is SES with an added drift,
@@ -57,7 +71,7 @@ from tablecloth_time_spark.functions.units import (
     normalize_unit,
 )
 
-METHODS = ("mean", "naive", "snaive", "drift", "ses", "theta")
+METHODS = ("mean", "naive", "snaive", "drift", "ses", "theta", "brown")
 
 
 def benchmark_forecast(
@@ -146,10 +160,12 @@ def benchmark_forecast(
             fc.cast("double").alias(out_col),
         )
 
-    def ses_level(with_slope: bool) -> DataFrame:
+    def ses_level(with_slope: bool, with_s2: bool = False) -> DataFrame:
         """Per-key SES level l_T as ONE weighted aggregate (closed form,
         module docstring); with_slope adds the OLS slope of y on the
-        ascending time index t = 1..T (regr_slope) and T for theta."""
+        ascending time index t = 1..T (regr_slope) and T for theta;
+        with_s2 adds Brown's second-smoothing s2_T as a second weighted
+        sum in the SAME aggregate pass."""
         w_desc = Window.partitionBy(*ks).orderBy(F.col("__sms").desc())
         whole = w_desc.rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
@@ -162,13 +178,29 @@ def benchmark_forecast(
         weight = F.when(
             rn == n, F.pow(F.lit(1.0 - alpha), n - 1)
         ).otherwise(F.lit(alpha) * F.pow(F.lit(1.0 - alpha), rn - 1))
-        base = df.select(*ks, ms.alias("__sms"), v.alias("__sv")).select(
-            *ks,
+        cols = [
             (weight * F.col("__sv")).alias("__w"),
             (n - rn + 1).cast("double").alias("__t"),
-            "__sv",
+            F.col("__sv"),
+        ]
+        if with_s2:
+            # Brown second-pass weights (module docstring): a^2 * rn *
+            # (1-a)^(rn-1), oldest row (1-a)^(T-1) * (1 + a*(T-1))
+            weight2 = F.when(
+                rn == n,
+                F.pow(F.lit(1.0 - alpha), n - 1)
+                * (F.lit(1.0) + F.lit(alpha) * (n - 1)),
+            ).otherwise(
+                F.lit(alpha) * F.lit(alpha) * rn
+                * F.pow(F.lit(1.0 - alpha), rn - 1)
+            )
+            cols.append((weight2 * F.col("__sv")).alias("__w2"))
+        base = df.select(*ks, ms.alias("__sms"), v.alias("__sv")).select(
+            *ks, *cols
         )
         aggs = [F.sum("__w").alias("__ses")]
+        if with_s2:
+            aggs.append(F.sum("__w2").alias("__ses2"))
         if with_slope:
             aggs += [
                 F.regr_slope(F.col("__sv"), F.col("__t")).alias("__b"),
@@ -193,6 +225,11 @@ def benchmark_forecast(
         )
     if ("ses" in methods or "theta" in methods) and not (0.0 < alpha <= 1.0):
         raise ValueError(f"ses/theta require 0 < alpha <= 1, got {alpha}")
+    if "brown" in methods and not (0.0 < alpha < 1.0):
+        raise ValueError(
+            f"brown requires 0 < alpha < 1 (trend gain a/(1-a) diverges "
+            f"at 1; alpha=1 degenerates to naive), got {alpha}"
+        )
     if "ses" in methods:
         sj = hs.join(ses_level(with_slope=False), ks)
         parts.append(
@@ -223,6 +260,26 @@ def benchmark_forecast(
             tj.select(
                 *ks,
                 F.lit("theta").alias(method_col),
+                F.col(h_col),
+                F.col(out_ts),
+                fc.cast("double").alias(out_col),
+            )
+        )
+    if "brown" in methods:
+        bj = hs.join(ses_level(with_slope=False, with_s2=True), ks)
+        # Brown 1956: level 2*s1 - s2, trend a/(1-a) * (s1 - s2).
+        # Parenthesized exactly as the DuckDB oracle writes it (last-ULP
+        # parity for the exact hash).
+        fc = (
+            F.lit(2.0) * F.col("__ses") - F.col("__ses2")
+            + F.col(h_col)
+            * (F.lit(alpha) / (F.lit(1.0) - F.lit(alpha)))
+            * (F.col("__ses") - F.col("__ses2"))
+        )
+        parts.append(
+            bj.select(
+                *ks,
+                F.lit("brown").alias(method_col),
                 F.col(h_col),
                 F.col(out_ts),
                 fc.cast("double").alias(out_col),

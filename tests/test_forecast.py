@@ -477,3 +477,88 @@ def test_theta_plan_no_python(spark, daily):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "InPandas" not in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def _brown_recurrence(y: np.ndarray, alpha: float, h: int) -> float:
+    """Independent Brown double-smoothing oracle: run BOTH recurrences
+    sequentially (s2 smooths the s1 levels), then level/trend/extend."""
+    s1 = s2 = float(y[0])
+    for x in y[1:]:
+        s1 = alpha * float(x) + (1.0 - alpha) * s1
+        s2 = alpha * s1 + (1.0 - alpha) * s2
+    level = 2.0 * s1 - s2
+    trend = alpha / (1.0 - alpha) * (s1 - s2)
+    return level + h * trend
+
+
+def test_brown_matches_recurrence(spark, daily):
+    """Engine Brown (one weighted-aggregate pass) == the sequential
+    double-recurrence oracle across alphas and horizons."""
+    df, pdf = daily
+    for alpha in (0.1, 0.3, 0.8):
+        got = {
+            (r["k"], r["h"]): r["forecast"]
+            for r in benchmark_forecast(
+                df, "k", "ts", "v", horizon=3, interval=1, unit="day",
+                methods=("brown",), alpha=alpha,
+            ).collect()
+        }
+        for k, g in pdf.groupby("k"):
+            y = g.sort_values("ts", kind="stable")["v"].to_numpy()
+            for h in (1, 2, 3):
+                want = _brown_recurrence(y, alpha, h)
+                assert got[(k, h)] == pytest.approx(want, rel=1e-9), (
+                    f"k={k} h={h} alpha={alpha}"
+                )
+
+
+def test_brown_identities(spark):
+    """Constant series: s1 == s2 -> zero trend, forecast == the constant
+    at every horizon; single observation: level = y_1, trend 0 -> flat
+    y_1 (Brown is defined at T=1, unlike drift/theta); alpha=1 raises."""
+    const = spark.createDataFrame(
+        [("a", T0 + i * DAY, 7.0) for i in range(6)], ["k", "ts", "v"]
+    )
+    got = benchmark_forecast(
+        const, "k", "ts", "v", 3, 1, "day", methods=("brown",), alpha=0.3
+    ).collect()
+    assert all(r["forecast"] == pytest.approx(7.0, abs=1e-12) for r in got)
+
+    one = spark.createDataFrame([("a", T0, 5.0)], ["k", "ts", "v"])
+    got1 = benchmark_forecast(
+        one, "k", "ts", "v", 2, 1, "day", methods=("brown",), alpha=0.4
+    ).collect()
+    assert [r["forecast"] for r in sorted(got1, key=lambda r: r["h"])] == [
+        pytest.approx(5.0, abs=1e-12),
+        pytest.approx(5.0, abs=1e-12),
+    ]
+
+    with pytest.raises(ValueError, match="brown requires"):
+        benchmark_forecast(
+            one, "k", "ts", "v", 2, 1, "day", methods=("brown",), alpha=1.0
+        )
+
+
+def test_brown_tracks_exact_trend(spark):
+    """On an exactly linear series Brown's trend estimate converges to
+    the true slope — with 40 observations at alpha=0.5 the per-step
+    forecast increment is the true slope to <1e-6 relative error."""
+    rows = [("a", T0 + i * DAY, 10.0 + 5.0 * i) for i in range(40)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {
+        r["h"]: r["forecast"]
+        for r in benchmark_forecast(
+            df, "k", "ts", "v", 3, 1, "day", methods=("brown",), alpha=0.5
+        ).collect()
+    }
+    assert got[2] - got[1] == pytest.approx(5.0, rel=1e-6)
+    assert got[3] - got[2] == pytest.approx(5.0, rel=1e-6)
+
+
+def test_brown_plan_no_python(spark, daily):
+    df, _ = daily
+    plan = benchmark_forecast(
+        df, "k", "ts", "v", 7, 1, "day", methods=("brown",),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
