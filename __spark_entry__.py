@@ -2080,6 +2080,69 @@ FROM scored
 """
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM drift scores (Page 1954) of each event
+    type's value stream, k=0.5 / h=5. The clipped recurrence S+_t =
+    max(0, S+_{t-1} + z_t - k) is computed WITHOUT recurrence via the
+    prefix-algebra identity S+_t = P_t - min(0, running_min(P)) — one
+    cumulative sum + one running min per side over a single per-key sort
+    (operators/stats.py:cusum_scores)."""
+    from tablecloth_time_spark.operators.stats import cusum_scores
+
+    ev = _t(spark, sf_dir, "events")
+    out = cusum_scores(
+        ev.select("event_id", "event_type", "ts", "value"),
+        ["event_type"], "ts", "value",
+        k=0.5, h=5.0, order_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("cusum_pos", 6).alias("cusum_pos"),
+        F.round("cusum_neg", 6).alias("cusum_neg"),
+        "is_drift",
+    )
+
+
+SQL_CUSUM_DRIFT = """
+WITH s AS (
+  SELECT event_type, AVG(CAST(value AS DOUBLE)) AS mu,
+         stddev_samp(CAST(value AS DOUBLE)) AS sd
+  FROM events GROUP BY 1
+),
+z AS (
+  SELECT e.event_id, e.event_type, CAST(e.ts AS TIMESTAMP) AS ts,
+         CASE WHEN s.sd > 0
+              THEN (CAST(e.value AS DOUBLE) - s.mu) / s.sd END AS z
+  FROM events e JOIN s USING (event_type)
+),
+-- prefix sums of (z - k) and (-z - k) in stream order
+p AS (
+  SELECT event_id, event_type, ts,
+         SUM(z - 0.5) OVER w AS pp,
+         SUM(-z - 0.5) OVER w AS pn
+  FROM z
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+-- Page's clip via the running-min identity (engine derivation:
+-- operators/stats.py:cusum_scores docstring); same stream order
+c AS (
+  SELECT event_id, event_type,
+         pp - LEAST(0.0, MIN(pp) OVER w2) AS sp,
+         pn - LEAST(0.0, MIN(pn) OVER w2) AS sn
+  FROM p
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type,
+       ROUND(sp, 6) AS cusum_pos,
+       ROUND(sn, 6) AS cusum_neg,
+       COALESCE(sp > 5.0 OR sn > 5.0, FALSE) AS is_drift
+FROM c
+"""
+
+
 def q_continuous_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star continuous aggregate, oracle-checked end-to-end: the
     events table arrives as THREE snapshot increments; each triggers an
@@ -3259,6 +3322,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "theta_forecast": [("forecast", "DOUBLE")],
     "brown_forecast": [("forecast", "DOUBLE")],
+    "cusum_drift": [("cusum_pos", "DOUBLE"), ("cusum_neg", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
     "continuous_hourly": [("s", "DOUBLE")],
     "compress_roundtrip": [("s", "DOUBLE")],
@@ -3332,6 +3396,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_forecast": q_benchmark_forecast,
         "theta_forecast": q_theta_forecast,
         "brown_forecast": q_brown_forecast,
+        "cusum_drift": q_cusum_drift,
         "gapfill_monthly": q_gapfill_monthly,
         "dedup_clusters": q_dedup_clusters,
         "continuous_hourly": q_continuous_hourly,
@@ -3404,6 +3469,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "benchmark_forecast": SQL_BENCHMARK_FORECAST,
         "theta_forecast": SQL_THETA_FORECAST,
         "brown_forecast": SQL_BROWN_FORECAST,
+        "cusum_drift": SQL_CUSUM_DRIFT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
         "continuous_hourly": SQL_CONTINUOUS_HOURLY,
         "compress_roundtrip": SQL_COMPRESS_ROUNDTRIP,

@@ -344,8 +344,14 @@ def main() -> None:
             methods=("brown",), alpha=0.3,
         ).agg(F.sum("forecast")).collect(),
     )
-    from tablecloth_time_spark.operators.stats import mad_anomalies
+    from tablecloth_time_spark.operators.stats import cusum_scores, mad_anomalies
 
+    timed(
+        "cusum_drift_events",
+        lambda: cusum_scores(
+            events, ["event_type"], "ts", "value", order_cols=["event_id"]
+        ).agg(F.sum("cusum_pos")).collect(),
+    )
     timed(
         "mad_anomalies_events",
         lambda: mad_anomalies(events, ["event_type"], "value")

@@ -142,8 +142,10 @@ def level_shift_scores(
     normalized by the pooled sample stddev of the two sides.
 
     This is the embarrassingly-parallel member of the changepoint family
-    (CUSUM/PELT are sequential per series and would need the Arrow
-    kernel): two row-frame window aggregates over ONE sort — a single
+    (for the sequential member see ``cusum_scores``, whose clipped
+    recurrence turns out to collapse to pure prefix algebra too; PELT's
+    dynamic program genuinely would need the Arrow kernel): two row-frame
+    window aggregates over ONE sort — a single
     Exchange per series key, no Python, no self-join. Rows where either
     side is not full (series edges) get null shift/score, so every emitted
     score compares equal-sized samples.
@@ -171,6 +173,79 @@ def level_shift_scores(
     score = F.when(full & (pooled > 0), (mu_a - mu_b) / pooled)
     return df.select(
         "*", shift.alias(shift_col), score.alias(score_col)
+    )
+
+
+def cusum_scores(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    k: float = 0.5,
+    h: float = 5.0,
+    order_cols: list[str] | None = None,
+    pos_col: str = "cusum_pos",
+    neg_col: str = "cusum_neg",
+    flag_col: str = "is_drift",
+) -> DataFrame:
+    """Tabular CUSUM drift detection (Page 1954; the NIST/SEMATECH
+    two-sided recipe): standardize each value against its key's mean and
+    sample stddev, then accumulate one-sided sums
+
+        S+_t = max(0, S+_{t-1} + z_t - k)
+        S-_t = max(0, S-_{t-1} - z_t - k)
+
+    with slack ``k`` (in stddevs; 0.5 targets a 1-sigma shift) and alarm
+    threshold ``h`` (4-5 is the standard choice). CUSUM accumulates many
+    SMALL sustained deviations, catching slow drifts a pointwise z-score
+    (``mad_anomalies``) never flags.
+
+    The recurrence looks sequential, but the clipped sum has a closed
+    form over prefix sums: with ``P_t = sum_{i<=t} (z_i - k)``,
+
+        S+_t = P_t - min(0, min_{j<=t} P_j)
+
+    (the running minimum is where the clip last reset), and symmetrically
+    for S-. Both are ONE cumulative sum + ONE running min — pure window
+    functions over a single per-key sort: one Exchange, no Python, no
+    recurrence. The same identity is what DuckDB-side oracles replay.
+
+    Per-key mean/stddev come from one tiny aggregate broadcast back (the
+    ``mad_anomalies`` shape) — the big table itself never shuffles beyond
+    the one window sort. Keys with stddev 0 or a single row leave scores
+    null (drift is undefined there), flag false.
+    """
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*keys).agg(
+        F.avg(v).alias("__mu"), F.stddev_samp(v).alias("__sd")
+    )
+    scored = df.join(F.broadcast(stats), list(keys))
+    z = F.try_divide(v - F.col("__mu"), F.col("__sd"))
+
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    def one_sided(x: Column) -> Column:
+        prefix = F.sum(x).over(run)
+        runmin = F.min(prefix).over(run)
+        return prefix - F.least(F.lit(0.0), runmin)
+
+    sp = one_sided(z - F.lit(k))
+    sn = one_sided(-z - F.lit(k))
+    return (
+        scored.withColumn(pos_col, sp)
+        .withColumn(neg_col, sn)
+        .withColumn(
+            flag_col,
+            F.coalesce(
+                (F.col(pos_col) > F.lit(h)) | (F.col(neg_col) > F.lit(h)),
+                F.lit(False),
+            ),
+        )
+        .drop("__mu", "__sd")
     )
 
 

@@ -908,3 +908,62 @@ def test_mad_anomalies_zero_mad_and_plan(spark):
     assert "Python" not in plan and "InPandas" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- cusum
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    """Engine CUSUM (prefix-sum + running-min closed form) == the
+    textbook sequential clipped recurrence, both sides, at two k values;
+    the planted sustained drift is flagged."""
+    from tablecloth_time_spark.operators.stats import cusum_scores
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for k in ("steady", "drift"):
+        y = rng.normal(10, 2, 60)
+        if k == "drift":
+            y[30:] += 2.5  # sustained shift, small per-point
+        rows += [(k, i, float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(rows, "k string, i int, v double")
+    pdf = pd.DataFrame(rows, columns=["k", "i", "v"])
+    for slack in (0.25, 0.5):
+        got = {
+            (r["k"], r["i"]): (r["cusum_pos"], r["cusum_neg"], r["is_drift"])
+            for r in cusum_scores(
+                df, ["k"], "i", "v", k=slack, h=5.0
+            ).collect()
+        }
+        for key, g in pdf.groupby("k"):
+            y = g.sort_values("i")["v"].to_numpy()
+            z = (y - y.mean()) / y.std(ddof=1)
+            sp = sn = 0.0
+            for i, zi in enumerate(z):
+                sp = max(0.0, sp + zi - slack)
+                sn = max(0.0, sn - zi - slack)
+                gp, gn, flag = got[(key, i)]
+                assert gp == pytest.approx(sp, abs=1e-9), (key, i, slack)
+                assert gn == pytest.approx(sn, abs=1e-9), (key, i, slack)
+                assert flag == (sp > 5.0 or sn > 5.0), (key, i, slack)
+    # the sustained small shift accumulates past h on the positive side
+    assert any(f for (key, _), (_, _, f) in got.items() if key == "drift")
+
+
+def test_cusum_degenerate_and_plan(spark):
+    """Constant series (stddev 0) and single-row keys yield null scores
+    and false flags; the plan is one broadcast stats join + window sort —
+    no Python, no sort-merge join of the big side."""
+    from tablecloth_time_spark.operators.stats import cusum_scores
+
+    rows = [("const", i, 4.0) for i in range(8)] + [("one", 0, 9.0)]
+    df = spark.createDataFrame(rows, "k string, i int, v double")
+    out = cusum_scores(df, ["k"], "i", "v")
+    for r in out.collect():
+        assert r["cusum_pos"] is None and r["cusum_neg"] is None, r
+        assert r["is_drift"] is False, r
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "InPandas" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
