@@ -1784,6 +1784,78 @@ FROM hs
 """
 
 
+def q_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand forecast (Croston 1972) of each
+    user's DAILY ERROR BURSTS — a naturally sparse stream (most
+    user-days have no errors). Works on the sparse representation
+    directly: demand days only, intervals measured through timestamp
+    gaps, no gap-fill. Both smoothers are closed-form SES weighted sums
+    in ONE window pass + one hash aggregate
+    (operators/forecast.py:croston_forecast)."""
+    from tablecloth_time_spark.operators.forecast import croston_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    demand = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    out = croston_forecast(
+        demand, "user_id", "day", "y", interval=1, unit="day", alpha=0.1,
+    )
+    return out.select(
+        "user_id",
+        F.col("n_demands").cast("long").alias("n_demands"),
+        F.round("z_hat", 6).alias("z_hat"),
+        F.round("p_hat", 6).alias("p_hat"),
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
+SQL_CROSTON_INTERMITTENT = """
+WITH d AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+),
+-- sparse Croston frame: demand rows only; the interval sequence's
+-- reversed index is the running count of non-null gaps in the same
+-- descending sort (engine: operators/forecast.py:croston_forecast)
+g0 AS (
+  SELECT user_id, day, y,
+         (epoch_ms(day) - epoch_ms(lag(day) OVER (
+            PARTITION BY user_id ORDER BY day ASC))) / 86400000.0 AS gap
+  FROM d
+),
+g AS (
+  SELECT user_id, y, gap,
+         row_number() OVER w_desc AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         COUNT(gap) OVER (w_desc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rnp,
+         COUNT(gap) OVER (PARTITION BY user_id) AS np
+  FROM g0
+  WINDOW w_desc AS (PARTITION BY user_id ORDER BY day DESC)
+),
+agg AS (
+  SELECT user_id,
+         COUNT(*) AS n_demands,
+         SUM(CASE WHEN rn = n THEN POWER(0.9, n - 1) * y
+                  ELSE 0.1 * POWER(0.9, rn - 1) * y END) AS z_hat,
+         SUM(CASE WHEN gap IS NOT NULL
+                  THEN (CASE WHEN rnp = np THEN POWER(0.9, np - 1)
+                             ELSE 0.1 * POWER(0.9, rnp - 1) END) * gap
+             END) AS p_hat
+  FROM g GROUP BY 1
+)
+SELECT user_id, CAST(n_demands AS BIGINT) AS n_demands,
+       ROUND(z_hat, 6) AS z_hat,
+       ROUND(p_hat, 6) AS p_hat,
+       ROUND(z_hat / p_hat, 6) AS forecast
+FROM agg
+"""
+
+
 SQL_BENCHMARK_FORECAST = """
 WITH d AS (
   SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
@@ -3323,6 +3395,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "theta_forecast": [("forecast", "DOUBLE")],
     "brown_forecast": [("forecast", "DOUBLE")],
     "cusum_drift": [("cusum_pos", "DOUBLE"), ("cusum_neg", "DOUBLE")],
+    "croston_intermittent": [("z_hat", "DOUBLE"), ("p_hat", "DOUBLE"), ("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
     "continuous_hourly": [("s", "DOUBLE")],
     "compress_roundtrip": [("s", "DOUBLE")],
@@ -3397,6 +3470,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_forecast": q_theta_forecast,
         "brown_forecast": q_brown_forecast,
         "cusum_drift": q_cusum_drift,
+        "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
         "dedup_clusters": q_dedup_clusters,
         "continuous_hourly": q_continuous_hourly,
@@ -3470,6 +3544,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "theta_forecast": SQL_THETA_FORECAST,
         "brown_forecast": SQL_BROWN_FORECAST,
         "cusum_drift": SQL_CUSUM_DRIFT,
+        "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
         "continuous_hourly": SQL_CONTINUOUS_HOURLY,
         "compress_roundtrip": SQL_COMPRESS_ROUNDTRIP,

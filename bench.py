@@ -344,6 +344,17 @@ def main() -> None:
             methods=("brown",), alpha=0.3,
         ).agg(F.sum("forecast")).collect(),
     )
+    from tablecloth_time_spark.operators.forecast import croston_forecast
+
+    error_demand = events.filter(F.col("event_type") == "error").groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    timed(
+        "croston_intermittent_daily",
+        lambda: croston_forecast(
+            error_demand, "user_id", "day", "y", 1, "day", alpha=0.1
+        ).agg(F.sum("forecast")).collect(),
+    )
     from tablecloth_time_spark.operators.stats import cusum_scores, mad_anomalies
 
     timed(

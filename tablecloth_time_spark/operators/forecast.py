@@ -320,6 +320,110 @@ def benchmark_forecast(
     return out
 
 
+def croston_forecast(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    interval: int,
+    unit: str,
+    alpha: float = 0.1,
+    variant: str = "classic",
+    out_col: str = "forecast",
+) -> DataFrame:
+    """Croston's method (Croston 1972) for INTERMITTENT series — demand
+    streams that are mostly zero (sparse error bursts, per-user purchase
+    days, slow-moving parts). Averaging or plain SES over such a series
+    smears the zeros into a meaningless low level; Croston instead
+    smooths two separate sequences over the DEMAND rows only:
+
+        z_hat = SES(alpha) over the nonzero demand sizes
+        p_hat = SES(alpha) over the inter-demand intervals (in grid
+                steps of ``interval x unit``; defined from the 2nd
+                demand on, initialized at the first interval)
+        yhat  = z_hat / p_hat        demand per grid period, flat ahead
+
+    ``variant="sba"`` applies the Syntetos-Boylan (2005) bias correction
+    ``(1 - alpha/2) * z_hat / p_hat``.
+
+    The input is the SPARSE representation — only rows with demand
+    (value != 0) need exist; absent grid rows ARE the zeros, measured
+    through the timestamp gaps. No gap-fill, no dense grid: exactly what
+    a 100 TB mostly-zero stream wants.
+
+    Both smoothers use the closed-form SES weighted sum (module
+    docstring), and the interval sequence's reversed index is just the
+    running count of non-null gaps in the same descending sort — so the
+    whole method is ONE window pass over one per-key sort plus one hash
+    aggregate. No recurrence, no Python.
+
+    Output: one row per key — n_demands, z_hat, p_hat, ``out_col``.
+    Keys with a single demand have no interval to smooth: null p_hat and
+    forecast (the method is undefined there, not zero).
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"croston requires 0 < alpha <= 1, got {alpha}")
+    if variant not in ("classic", "sba"):
+        raise ValueError(f"variant must be 'classic' or 'sba', got {variant!r}")
+    u = normalize_unit(unit)
+    if is_calendar_unit(u):
+        raise ValueError(
+            "croston measures intervals in fixed-width grid steps; "
+            "calendar units (month/quarter/year) are not supported"
+        )
+    step_ms = float(interval * milliseconds_in(u))
+
+    v = F.col(value_col).cast("double")
+    ms = to_epoch_millis(ts_col)
+    d = df.filter(v.isNotNull() & (v != 0)).select(
+        *ks, ms.alias("__ms"), v.alias("__v")
+    )
+
+    w_asc = Window.partitionBy(*ks).orderBy(F.col("__ms").asc())
+    w_desc = Window.partitionBy(*ks).orderBy(F.col("__ms").desc())
+    whole = w_desc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run_desc = w_desc.rowsBetween(Window.unboundedPreceding, 0)
+
+    # materialize the gap first: it is a window expression itself (lag),
+    # and window functions can't nest inside the count windows below
+    d = d.withColumn(
+        "__gap",
+        (F.col("__ms") - F.lag("__ms").over(w_asc)) / F.lit(step_ms),
+    )
+    gap = F.col("__gap")
+    rn = F.row_number().over(w_desc)  # 1 = newest demand
+    n = F.count(F.lit(1)).over(whole)
+    # reversed index within the interval subsequence: running count of
+    # non-null gaps from the series end (newest interval = 1)
+    rn_p = F.count(gap).over(run_desc)
+    n_p = F.count(gap).over(whole)
+
+    wz = F.when(
+        rn == n, F.pow(F.lit(1.0 - alpha), n - 1)
+    ).otherwise(F.lit(alpha) * F.pow(F.lit(1.0 - alpha), rn - 1))
+    wp = F.when(
+        rn_p == n_p, F.pow(F.lit(1.0 - alpha), n_p - 1)
+    ).otherwise(F.lit(alpha) * F.pow(F.lit(1.0 - alpha), rn_p - 1))
+
+    terms = d.select(
+        *ks,
+        (wz * F.col("__v")).alias("__wz"),
+        F.when(gap.isNotNull(), wp * gap).alias("__wp"),
+    )
+    agg = terms.groupBy(*ks).agg(
+        F.count(F.lit(1)).alias("n_demands"),
+        F.sum("__wz").alias("z_hat"),
+        F.sum("__wp").alias("p_hat"),
+    )
+    fc = F.col("z_hat") / F.col("p_hat")
+    if variant == "sba":
+        fc = (F.lit(1.0) - F.lit(alpha) / F.lit(2.0)) * fc
+    return agg.withColumn(out_col, fc)
+
+
 def backtest_accuracy(
     df: DataFrame,
     keys: str | list[str],

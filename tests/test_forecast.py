@@ -562,3 +562,83 @@ def test_brown_plan_no_python(spark, daily):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "InPandas" not in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_croston_matches_recurrences(spark):
+    """Engine Croston (one window pass + one hash agg) == sequential SES
+    recurrences over demand sizes and inter-demand intervals, classic and
+    SBA variants; single-demand keys yield null p_hat/forecast."""
+    from tablecloth_time_spark.operators.forecast import croston_forecast
+
+    rng = np.random.default_rng(9)
+    rows, series = [], {}
+    for key, n_days in (("a", 120), ("b", 10), ("c", 60)):
+        dense = np.where(
+            rng.random(n_days) < 0.15, rng.integers(1, 9, n_days), 0
+        ).astype(float)
+        if key == "b":
+            dense[:] = 0.0
+            dense[5] = 4.0  # single demand
+        series[key] = dense
+        rows += [
+            (key, T0 + t * DAY, float(dense[t]))
+            for t in range(n_days) if dense[t] != 0
+        ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+
+    alpha = 0.2
+    for variant in ("classic", "sba"):
+        got = {
+            r["k"]: (r["n_demands"], r["z_hat"], r["p_hat"], r["forecast"])
+            for r in croston_forecast(
+                df, "k", "ts", "v", 1, "day", alpha=alpha, variant=variant
+            ).collect()
+        }
+        for key, dense in series.items():
+            idx = np.flatnonzero(dense)
+            z = dense[idx]
+            zh = z[0]
+            for x in z[1:]:
+                zh = alpha * x + (1 - alpha) * zh
+            n, gz, gp, gf = got[key]
+            assert n == len(idx)
+            if len(idx) < 2:
+                assert gp is None and gf is None
+                continue
+            p = np.diff(idx).astype(float)
+            ph = p[0]
+            for x in p[1:]:
+                ph = alpha * x + (1 - alpha) * ph
+            fc = zh / ph * ((1 - alpha / 2) if variant == "sba" else 1.0)
+            assert gz == pytest.approx(zh, rel=1e-12), (key, variant)
+            assert gp == pytest.approx(ph, rel=1e-12), (key, variant)
+            assert gf == pytest.approx(fc, rel=1e-12), (key, variant)
+
+
+def test_croston_validation_and_plan(spark):
+    """Calendar units and bad alpha/variant are rejected; the plan is one
+    Exchange (the per-key window sort), no Python."""
+    from tablecloth_time_spark.operators.forecast import croston_forecast
+
+    df = spark.createDataFrame(
+        [("a", T0, 2.0), ("a", T0 + 3 * DAY, 1.0)], ["k", "ts", "v"]
+    )
+    with pytest.raises(ValueError, match="calendar units"):
+        croston_forecast(df, "k", "ts", "v", 1, "month")
+    with pytest.raises(ValueError, match="croston requires"):
+        croston_forecast(df, "k", "ts", "v", 1, "day", alpha=0.0)
+    with pytest.raises(ValueError, match="variant"):
+        croston_forecast(df, "k", "ts", "v", 1, "day", variant="tsb")
+
+    out = croston_forecast(df, "k", "ts", "v", 1, "day", alpha=0.5)
+    # plan BEFORE execution: post-collect AQE toString appends the
+    # initial plan again, double-counting the Exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    row = out.collect()[0]
+    # z SES: 0.5*1 + 0.5*2 = 1.5; single interval 3 days -> p_hat 3
+    assert row["z_hat"] == pytest.approx(1.5, abs=1e-12)
+    assert row["p_hat"] == pytest.approx(3.0, abs=1e-12)
+    assert row["forecast"] == pytest.approx(0.5, abs=1e-12)
