@@ -136,3 +136,150 @@ def streaming_counter_rate(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    mu_col: str = "mu",
+    sd_col: str = "sd",
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Streaming two-sided CUSUM drift detection — the batch
+    ``operators/stats.cusum_scores`` re-expressed for live streams.
+
+    The baseline (``mu_col``, ``sd_col``) must ride the stream: batch
+    CUSUM standardizes against the key's global mean/stddev, which a
+    stream cannot know — calibrate offline (e.g. the batch operator's
+    broadcast stats) and attach via a stream-static join, or ``F.lit``
+    constants for a fixed reference. State per key is just the pair
+    (S+, S-) — 16 bytes, no watermark needed.
+
+    Within a micro-batch the clipped recurrence is vectorized with the
+    same prefix identity the batch plan uses, extended by the carried
+    state: with ``P = cumsum(z - k)`` and prior ``s0``,
+
+        S+_t = P_t - min(running_min(P), -s0)
+
+    (the extra candidate ``-s0`` is the carry: S+_t >= s0 + P_t).
+    Samples are assumed in-order per key across micro-batches (the
+    ``streaming_counter_rate`` contract); rows are sorted within each
+    batch. Null values contribute zero drift and emit the carried score
+    (matching the batch plan, where null terms pass through the window
+    sum); rows BEFORE a key's first valid sample emit null scores, again
+    matching batch (the window sum over all-null terms is NULL) — state
+    absent encodes "no valid sample seen yet". A non-positive or null
+    ``sd`` yields null scores, false flag, untouched state.
+
+    Output (append): key, ts_ms, value, cusum_pos, cusum_neg, is_drift.
+    """
+    key_field = stream.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("ts_ms", LongType()),
+            StructField("value", DoubleType()),
+            StructField("cusum_pos", DoubleType()),
+            StructField("cusum_neg", DoubleType()),
+            StructField("is_drift", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("sp", DoubleType()), StructField("sn", DoubleType())]
+    )
+
+    def kernel(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values("ts_ms", kind="stable")
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        mu = pdf["__mu"].to_numpy(dtype=np.float64)
+        sd = pdf["__sd"].to_numpy(dtype=np.float64)
+
+        valid_base = np.isfinite(sd) & (sd > 0)
+        if not valid_base.any():
+            nulls = np.full(len(v), np.nan)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    "ts_ms": pdf["ts_ms"].to_numpy(dtype=np.int64),
+                    "value": v,
+                    "cusum_pos": nulls,
+                    "cusum_neg": nulls,
+                    "is_drift": np.zeros(len(v), dtype=bool),
+                }
+            )
+            return
+
+        z = (v - mu) / sd
+        # null/NaN values drift nothing and emit the carried score
+        # (batch parity: null terms pass through the window sum)
+        nan_z = np.isnan(z)
+        xp = np.where(nan_z, 0.0, z - k)
+        xn = np.where(nan_z, 0.0, -z - k)
+
+        # batch parity for series HEADS: before the key's first valid
+        # sample the batch window sum is over all-null terms -> NULL
+        # score. State absent == "no valid sample seen yet".
+        if state.exists:
+            sp0, sn0 = state.get
+            start = 0
+        else:
+            valid_idx = np.flatnonzero(~nan_z)
+            if not len(valid_idx):
+                nulls = np.full(len(v), np.nan)
+                yield pd.DataFrame(
+                    {
+                        key_col: pdf[key_col].to_numpy(),
+                        "ts_ms": pdf["ts_ms"].to_numpy(dtype=np.int64),
+                        "value": v,
+                        "cusum_pos": nulls,
+                        "cusum_neg": nulls,
+                        "is_drift": np.zeros(len(v), dtype=bool),
+                    }
+                )
+                return
+            sp0, sn0 = 0.0, 0.0
+            start = int(valid_idx[0])
+
+        def one_sided(x: np.ndarray, s0: float) -> np.ndarray:
+            prefix = np.cumsum(x)
+            runmin = np.minimum.accumulate(prefix)
+            return prefix - np.minimum(runmin, -s0)
+
+        sp = np.full(len(v), np.nan)
+        sn = np.full(len(v), np.nan)
+        sp[start:] = one_sided(xp[start:], sp0)
+        sn[start:] = one_sided(xn[start:], sn0)
+        state.update((float(sp[-1]), float(sn[-1])))
+        yield pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                "ts_ms": pdf["ts_ms"].to_numpy(dtype=np.int64),
+                "value": v,
+                "cusum_pos": sp,
+                "cusum_neg": sn,
+                "is_drift": np.where(
+                    np.isnan(sp), False, (sp > h) | (sn > h)
+                ).astype(bool),
+            }
+        )
+
+    base = stream.select(
+        key_col,
+        to_epoch_millis(ts_col).alias("ts_ms"),
+        F.col(value_col).cast("double").alias("value"),
+        F.col(mu_col).cast("double").alias("__mu"),
+        F.col(sd_col).cast("double").alias("__sd"),
+    )
+    return base.groupBy(key_col).applyInPandasWithState(
+        kernel,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -632,3 +632,134 @@ def test_streaming_histogram_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    """Streamed two-sided CUSUM over 3 in-order micro-batches must equal
+    the batch ``cusum_scores`` prefix-algebra plan exactly: the carried
+    (S+, S-) state plus the in-batch prefix identity IS the recurrence."""
+    import numpy as np
+
+    from tablecloth_time_spark.operators.stats import cusum_scores
+    from tablecloth_time_spark.streaming.stateful import streaming_cusum
+
+    rng = np.random.default_rng(11)
+    n = 600
+    base = rng.normal(0, 1, n)
+    base[300:] += 0.8  # sustained drift so both sides and the flag fire
+    rows = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n).astype("int64"),
+            "ts": pd.to_datetime("2024-03-01")
+            + pd.to_timedelta(np.sort(rng.integers(0, 10**7, n)), unit="s"),
+            "v": np.round(base * 10 + 50, 3),
+        }
+    )
+    # sprinkle nulls: they must pass through with carried scores
+    rows.loc[rows.index[::97], "v"] = np.nan
+    full = spark.createDataFrame(rows)
+
+    # streaming baseline contract: per-key mu/sd calibrated offline and
+    # attached to the stream (here: baked into the source files)
+    stats = (
+        full.groupBy("k")
+        .agg(
+            F.avg("v").alias("mu"),
+            F.stddev_samp("v").alias("sd"),
+        )
+        .toPandas()
+    )
+    rows = rows.merge(stats, on="k")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, part in enumerate(np.array_split(np.arange(n), 3)):
+        spark.createDataFrame(
+            rows.sort_values("ts", kind="stable").iloc[part]
+        ).coalesce(1).write.parquet(str(src / f"f{i}"))
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(rows).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_cusum(stream, "k", "ts", "v", k=0.5, h=4.0)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(sink)
+        .toPandas()
+        .sort_values(["k", "ts_ms"], kind="stable")
+        .reset_index(drop=True)
+    )
+    exp = (
+        cusum_scores(full, ["k"], "ts", "v", k=0.5, h=4.0)
+        .select(
+            "k",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.col("v").cast("double").alias("value"),
+            F.col("cusum_pos"),
+            F.col("cusum_neg"),
+            F.col("is_drift"),
+        )
+        .toPandas()
+        .sort_values(["k", "ts_ms"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert exp["is_drift"].any()  # the drift actually fires
+    cols = ["k", "ts_ms", "value", "cusum_pos", "cusum_neg", "is_drift"]
+    pd.testing.assert_frame_equal(
+        got[cols], exp[cols], check_dtype=False, rtol=0, atol=1e-9
+    )
+
+
+def test_streaming_cusum_null_sd_yields_null_scores(spark, tmp_path):
+    """A key whose calibrated sd is null/non-positive gets null scores and
+    a false flag — drift is undefined there, state untouched."""
+    from tablecloth_time_spark.streaming.stateful import streaming_cusum
+
+    rows = pd.DataFrame(
+        {
+            "k": [1, 1, 1],
+            "ts": pd.to_datetime(
+                ["2024-03-01 00:00:00", "2024-03-01 00:01:00", "2024-03-01 00:02:00"]
+            ),
+            "v": [1.0, 2.0, 3.0],
+            "mu": [2.0] * 3,
+            "sd": [0.0] * 3,
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    full = spark.createDataFrame(rows)
+    full.coalesce(1).write.parquet(str(src / "f0"))
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_cusum(stream, "k", "ts", "v")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(sink).toPandas()
+    assert len(got) == 3
+    assert got["cusum_pos"].isna().all()
+    assert got["cusum_neg"].isna().all()
+    assert not got["is_drift"].any()
