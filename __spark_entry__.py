@@ -1856,6 +1856,129 @@ FROM agg
 """
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecasts (the general two-parameter exponential
+    smoother; Brown above is its equal-parameter special case) of the
+    daily event-count series per event type, 14 days ahead. The coupled
+    level/trend recurrence unrolls via Cayley-Hamilton into ONE weighted
+    aggregate over one per-key sort — the scalar sequences (p_j, q_j)
+    with F^j = p_j F + q_j I have closed forms picked from the
+    discriminant driver-side (operators/forecast.py:holt_forecast;
+    alpha=0.8, beta=0.2 sits in the real-distinct-eigenvalue branch, so
+    the oracle replays plain POWER terms)."""
+    from tablecloth_time_spark.operators.forecast import holt_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = holt_forecast(
+        daily, "event_type", "day", "y", horizon=14, interval=1,
+        unit="day", alpha=_HOLT_A, beta=_HOLT_B, phi=1.0,
+    )
+    return out.select(
+        "event_type",
+        F.col("h").cast("long").alias("h"),
+        "ts",
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
+# Holt oracle constants — the SAME scalar math operators/forecast.py runs
+# driver-side, inlined as literals into the SQL below so both engines
+# evaluate identical POWER bases (real-distinct branch: disc > 0).
+_HOLT_A, _HOLT_B = 0.8, 0.2
+_HOLT_TR = (1.0 - _HOLT_A) + (1.0 - _HOLT_A * _HOLT_B)
+_HOLT_DET = 1.0 - _HOLT_A
+_HOLT_SQ = (_HOLT_TR * _HOLT_TR - 4.0 * _HOLT_DET) ** 0.5
+_HOLT_L1 = (_HOLT_TR + _HOLT_SQ) / 2.0
+_HOLT_L2 = (_HOLT_TR - _HOLT_SQ) / 2.0
+_HOLT_DL = _HOLT_L1 - _HOLT_L2
+_HOLT_G0, _HOLT_G1 = _HOLT_A, _HOLT_A * _HOLT_B
+_HOLT_FG0 = (1.0 - _HOLT_A) * _HOLT_A + (1.0 - _HOLT_A) * _HOLT_A * _HOLT_B
+_HOLT_FG1 = (
+    -_HOLT_A * _HOLT_B * _HOLT_A
+    + (1.0 - _HOLT_A * _HOLT_B) * _HOLT_A * _HOLT_B
+)
+_HOLT_FC2_0 = (1.0 - _HOLT_A) * 2.0
+_HOLT_FC2_1 = -_HOLT_A * _HOLT_B + (1.0 - _HOLT_A * _HOLT_B)
+_HOLT_FC1_0 = 1.0 - _HOLT_A
+_HOLT_FC1_1 = 1.0 - _HOLT_A * _HOLT_B
+
+
+def _dlit(x: float) -> str:
+    """A double literal DuckDB parses to the EXACT same bits as Python:
+    string->double casts are correctly rounded, while long bare decimal
+    literals go through DECIMAL and can land one ULP off (measured:
+    0.19199999999999998 as a bare literal parses to 0.192)."""
+    return f"'{x!r}'::DOUBLE"
+
+
+def _holt_pq_sql(j: str) -> tuple[str, str]:
+    """(p_j, q_j) SQL for the real-distinct branch, parenthesized exactly
+    as the engine's Column expressions (last-ULP parity)."""
+    l1, l2, dl = map(_dlit, (_HOLT_L1, _HOLT_L2, _HOLT_DL))
+    p = f"((POWER({l1}, {j}) - POWER({l2}, {j})) / {dl})"
+    q = (
+        f"(({l1} * POWER({l2}, {j}) - {l2} * POWER({l1}, {j})) / {dl})"
+    )
+    return p, q
+
+
+def _holt_sql() -> str:
+    ps, qs = _holt_pq_sql("CAST(rn - 1 AS DOUBLE)")
+    pi, qi = _holt_pq_sql("CAST(n - 2 AS DOUBLE)")
+    return f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+o AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+-- Cayley-Hamilton weights (engine derivation in operators/forecast.py):
+-- sum rows j = rn-1 weight p_j*Fg + q_j*g; the two init rows carry
+-- F^(T-2) applied to s_2 = y_2*(1,1) - y_1*(0,1)
+w AS (
+  SELECT event_type,
+         (CASE WHEN rn = n THEN -({pi} * {_dlit(_HOLT_FC1_0)})
+               WHEN rn = n - 1 THEN {pi} * {_dlit(_HOLT_FC2_0)} + {qi}
+               ELSE {ps} * {_dlit(_HOLT_FG0)} + {qs} * {_dlit(_HOLT_G0)}
+          END) * y AS wl,
+         (CASE WHEN rn = n THEN -({pi} * {_dlit(_HOLT_FC1_1)} + {qi})
+               WHEN rn = n - 1 THEN {pi} * {_dlit(_HOLT_FC2_1)} + {qi}
+               ELSE {ps} * {_dlit(_HOLT_FG1)} + {qs} * {_dlit(_HOLT_G1)}
+          END) * y AS wb
+  FROM o
+),
+lv AS (
+  SELECT event_type, SUM(wl) AS l, SUM(wb) AS b
+  FROM w GROUP BY 1
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n, MAX(day) AS last_day
+  FROM d GROUP BY 1
+),
+hs AS (
+  SELECT s.event_type, lv.l, lv.b, s.n, s.last_day,
+         unnest(generate_series(1, 14)) AS h
+  FROM s JOIN lv USING (event_type)
+)
+SELECT event_type, CAST(h AS BIGINT) AS h,
+       last_day + h * INTERVAL 1 DAY AS ts,
+       ROUND(CASE WHEN n >= 2
+                  THEN l + CAST(h AS DOUBLE) * b END, 6) AS forecast
+FROM hs
+"""
+
+
+SQL_HOLT_FORECAST = _holt_sql()
+
+
 SQL_BENCHMARK_FORECAST = """
 WITH d AS (
   SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
@@ -3394,6 +3517,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "theta_forecast": [("forecast", "DOUBLE")],
     "brown_forecast": [("forecast", "DOUBLE")],
+    "holt_forecast": [("forecast", "DOUBLE")],
     "cusum_drift": [("cusum_pos", "DOUBLE"), ("cusum_neg", "DOUBLE")],
     "croston_intermittent": [("z_hat", "DOUBLE"), ("p_hat", "DOUBLE"), ("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
@@ -3469,6 +3593,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_forecast": q_benchmark_forecast,
         "theta_forecast": q_theta_forecast,
         "brown_forecast": q_brown_forecast,
+        "holt_forecast": q_holt_forecast,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -3543,6 +3668,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "benchmark_forecast": SQL_BENCHMARK_FORECAST,
         "theta_forecast": SQL_THETA_FORECAST,
         "brown_forecast": SQL_BROWN_FORECAST,
+        "holt_forecast": SQL_HOLT_FORECAST,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,

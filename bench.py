@@ -344,6 +344,15 @@ def main() -> None:
             methods=("brown",), alpha=0.3,
         ).agg(F.sum("forecast")).collect(),
     )
+    from tablecloth_time_spark.operators.forecast import holt_forecast
+
+    timed(
+        "holt_forecast_daily",
+        lambda: holt_forecast(
+            daily_by_user, "user_id", "day", "y", 14, 1, "day",
+            alpha=0.8, beta=0.2,
+        ).agg(F.sum("forecast")).collect(),
+    )
     from tablecloth_time_spark.operators.forecast import croston_forecast
 
     error_demand = events.filter(F.col("event_type") == "error").groupBy(

@@ -504,3 +504,187 @@ def backtest_accuracy(
         # a flat training series has Q = 0 -> MASE undefined (null)
         F.try_divide(F.col("mae"), F.col("__Q")).alias("mase"),
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    horizon: int,
+    interval: int,
+    unit: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    phi: float = 1.0,
+    method_col: str = "method",
+    h_col: str = "h",
+    out_ts: str = "ts",
+    out_col: str = "forecast",
+) -> DataFrame:
+    """Holt's linear-trend method (Holt 1957; fpp3 ch. 8.2) with the
+    optional damped trend (Gardner & McKenzie 1985; ``phi < 1``) — the
+    GENERAL two-parameter member whose equal-parameter special case is
+    Brown's DES above. The recurrence
+
+        l_t = a*y_t + (1-a)*(l_{t-1} + phi*b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*phi*b_{t-1}
+        yhat_{T+h} = l_T + (phi + ... + phi^h) * b_T
+
+    is a LINEAR state recursion s_t = F s_{t-1} + g y_t with the fixed
+    2x2 companion matrix F = [[1-a, (1-a)phi], [-aB, phi(1-aB)]] and
+    g = (a, aB), so it unrolls exactly:
+
+        s_T = F^(T-2) s_2 + sum_{t=3..T} F^(T-t) g y_t,
+
+    s_2 = (y_2, y_2 - y_1) (classical two-point initialization). By
+    Cayley-Hamilton every power collapses to F^j = p_j F + q_j I where
+    the SCALAR sequences (p_j, q_j) have closed forms picked driver-side
+    from the discriminant of F's characteristic polynomial:
+
+        real distinct l1 != l2:  p_j = (l1^j - l2^j)/(l1 - l2)
+                                 q_j = (l1 l2^j - l2 l1^j)/(l1 - l2)
+        complex r e^(+-i th):    p_j = r^(j-1) sin(j th)/sin th
+                                 q_j = -r^j sin((j-1) th)/sin th
+        repeated l:              p_j = j l^(j-1),  q_j = (1-j) l^j
+
+    so the weight of the j-th-newest observation on (l_T, b_T) is the
+    plain scalar expression p_j*(F g) + q_j*g — ONE row_number window
+    over one per-key sort plus ONE hash aggregate, the exact shape of
+    SES/Brown/Theta. No recurrence, no Python. Every |eigenvalue| <= 1
+    for a in (0,1], B in [0,1], phi in (0,1] (|l1 l2| = phi(1-a),
+    l1+l2 = (1-a) + phi(1-aB)), and all powers use NON-negative
+    exponents of those decaying bases, so nothing overflows however long
+    the series — the same property that makes the SES closed form safe.
+
+    Input contract: regular grid, unique (key, ts) per row (compose with
+    ``resample_to_regular_grid``), NULL values ignored — identical to
+    ``benchmark_forecast``. Keys with T < 2 have no trend to initialize:
+    null forecast. Output long: (keys..., method, h, ts, forecast) with
+    method = 'holt' (phi = 1) or 'holt_damped', unionable with
+    ``benchmark_forecast``.
+    """
+    import math
+
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"holt requires 0 < alpha <= 1, got {alpha}")
+    if not (0.0 <= beta <= 1.0):
+        raise ValueError(f"holt requires 0 <= beta <= 1, got {beta}")
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"holt requires 0 < phi <= 1, got {phi}")
+    u = normalize_unit(unit)
+
+    tr = (1.0 - alpha) + phi * (1.0 - alpha * beta)
+    det = phi * (1.0 - alpha)
+    disc = tr * tr - 4.0 * det
+
+    def pq(j):
+        """(p_j, q_j) with F^j = p_j F + q_j I, as expressions of the
+        integral non-negative column j (branch fixed driver-side)."""
+        if disc > 1e-12:
+            sq = math.sqrt(disc)
+            l1, l2 = (tr + sq) / 2.0, (tr - sq) / 2.0
+            p = (F.pow(F.lit(l1), j) - F.pow(F.lit(l2), j)) / F.lit(l1 - l2)
+            q = (
+                F.lit(l1) * F.pow(F.lit(l2), j)
+                - F.lit(l2) * F.pow(F.lit(l1), j)
+            ) / F.lit(l1 - l2)
+        elif disc < -1e-12:
+            r = math.sqrt(det)
+            th = math.acos(tr / (2.0 * r))
+            s = math.sin(th)
+            p = F.pow(F.lit(r), j - 1) * F.sin(j * F.lit(th)) / F.lit(s)
+            q = -F.pow(F.lit(r), j) * F.sin((j - 1) * F.lit(th)) / F.lit(s)
+        else:
+            lam = tr / 2.0
+            p = F.when(j == F.lit(0), F.lit(0.0)).otherwise(
+                j * F.pow(F.lit(lam), j - 1)
+            )
+            q = (F.lit(1.0) - j) * F.pow(F.lit(lam), j)
+        return p, q
+
+    # constant 2-vectors, computed once: g, Fg, and F applied to the two
+    # initialization directions c2 = (1,1) (y_2's share of s_2) and
+    # c1 = (0,1) (y_1's share, negated)
+    g0, g1 = alpha, alpha * beta
+    fg0 = (1.0 - alpha) * alpha + (1.0 - alpha) * phi * alpha * beta
+    fg1 = -alpha * beta * alpha + phi * (1.0 - alpha * beta) * alpha * beta
+    fc2_0 = (1.0 - alpha) * (1.0 + phi)
+    fc2_1 = -alpha * beta + phi * (1.0 - alpha * beta)
+    fc1_0 = (1.0 - alpha) * phi
+    fc1_1 = phi * (1.0 - alpha * beta)
+
+    v = F.col(value_col).cast("double")
+    ms = to_epoch_millis(ts_col)
+    d = df.filter(v.isNotNull()).select(*ks, ms.alias("__ms"), v.alias("__v"))
+
+    w_desc = Window.partitionBy(*ks).orderBy(F.col("__ms").desc())
+    whole = w_desc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rn = F.row_number().over(w_desc)  # 1 = last observation
+    n = F.count(F.lit(1)).over(whole)
+
+    p_s, q_s = pq((rn - 1).cast("double"))  # sum rows: j = rn - 1
+    p_i, q_i = pq((n - 2).cast("double"))  # init rows: j = T - 2
+    wl = (
+        F.when(rn == n, -(p_i * F.lit(fc1_0)))
+        .when(rn == n - 1, p_i * F.lit(fc2_0) + q_i)
+        .otherwise(p_s * F.lit(fg0) + q_s * F.lit(g0))
+    )
+    wb = (
+        F.when(rn == n, -(p_i * F.lit(fc1_1) + q_i))
+        .when(rn == n - 1, p_i * F.lit(fc2_1) + q_i)
+        .otherwise(p_s * F.lit(fg1) + q_s * F.lit(g1))
+    )
+    terms = d.select(
+        *ks,
+        (wl * F.col("__v")).alias("__wl"),
+        (wb * F.col("__v")).alias("__wb"),
+        F.struct(F.col("__ms").alias("t"), F.col("__v").alias("v")).alias(
+            "__o"
+        ),
+    )
+    agg = terms.groupBy(*ks).agg(
+        F.count(F.lit(1)).alias("__T"),
+        F.sum("__wl").alias("__l"),
+        F.sum("__wb").alias("__b"),
+        F.max("__o").alias("__last"),
+    )
+
+    hs = agg.withColumn(h_col, F.explode(F.sequence(F.lit(1), F.lit(horizon))))
+    if is_calendar_unit(u):
+        months_per = months_in(u) * interval
+        stepped_date = F.add_months(
+            F.timestamp_millis(F.col("__last.t")).cast("date"),
+            F.col(h_col) * F.lit(months_per),
+        )
+        future_ts = F.timestamp_millis(
+            F.unix_millis(stepped_date.cast("timestamp"))
+            + F.pmod(F.col("__last.t"), F.lit(86_400_000))
+        )
+    else:
+        step_ms = interval * milliseconds_in(u)
+        future_ts = F.timestamp_millis(
+            F.col("__last.t") + F.col(h_col) * F.lit(step_ms)
+        )
+
+    if phi == 1.0:
+        mult = F.col(h_col).cast("double")
+        method = "holt"
+    else:
+        mult = F.lit(phi) * (
+            F.lit(1.0) - F.pow(F.lit(phi), F.col(h_col))
+        ) / F.lit(1.0 - phi)
+        method = "holt_damped"
+    fc = F.when(
+        F.col("__T") >= 2, F.col("__l") + mult * F.col("__b")
+    )
+    return hs.select(
+        *ks,
+        F.lit(method).alias(method_col),
+        F.col(h_col),
+        future_ts.alias(out_ts),
+        fc.cast("double").alias(out_col),
+    )

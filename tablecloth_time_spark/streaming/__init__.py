@@ -3,7 +3,11 @@ from tablecloth_time_spark.streaming.rollup import (
     streaming_rollup_to_sink,
     streaming_sessionize,
 )
-from tablecloth_time_spark.streaming.stateful import streaming_counter_rate, streaming_cusum
+from tablecloth_time_spark.streaming.stateful import (
+    streaming_counter_rate,
+    streaming_cusum,
+    streaming_detect_gaps,
+)
 from tablecloth_time_spark.streaming.dedup import streaming_dedup_exact
 from tablecloth_time_spark.streaming.downsample import streaming_m4
 
@@ -13,6 +17,7 @@ __all__ = [
     "streaming_sessionize",
     "streaming_counter_rate",
     "streaming_cusum",
+    "streaming_detect_gaps",
     "streaming_dedup_exact",
     "streaming_m4",
 ]

@@ -283,3 +283,101 @@ def streaming_cusum(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_detect_gaps(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    threshold: int,
+    unit: str = "minute",
+) -> DataFrame:
+    """Streaming coverage-gap detection — the batch
+    ``operators/counters.detect_gaps`` re-expressed with carried per-key
+    state, so a backfill pipeline learns about a missing span the moment
+    the sample that CLOSES it arrives instead of at the next batch scan.
+
+    State per key is a single int64 (last ts in ms). Within a micro-batch
+    rows are sorted and differenced against their effective predecessor
+    (in-batch neighbor, or the carried state when the neighbor is late —
+    the ``streaming_counter_rate`` contract). Emitted rows (append):
+
+    - a gap row per consecutive pair more than ``threshold`` ``unit``s
+      apart: (key, gap_start_ms, gap_end_ms, gap_s, out_of_order=false),
+      matching batch ``detect_gaps`` exactly on in-order input;
+    - a flagged row per LATE sample (older than its effective
+      predecessor): gap_s null, out_of_order=true — lateness is surfaced,
+      never silently differenced (and never updates state backward).
+
+    The first sample of a key ever seen opens the series: no gap row.
+    Unlike the watermark-timer approach (which can report a *still-open*
+    gap), this is exact and deterministic: a gap is emitted precisely
+    when it closes, which is what a gap-FILL pipeline needs (only closed
+    gaps are fillable).
+    """
+    from tablecloth_time_spark.functions.units import (
+        milliseconds_in,
+        normalize_unit,
+    )
+
+    thresh_ms = threshold * milliseconds_in(normalize_unit(unit))
+    key_field = stream.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("gap_start_ms", LongType()),
+            StructField("gap_end_ms", LongType()),
+            StructField("gap_s", DoubleType()),
+            StructField("out_of_order", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_ms", LongType())])
+
+    def kernel(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values("ts_ms", kind="stable")
+        ms = pdf["ts_ms"].to_numpy(dtype=np.int64)
+        last_ms = state.get[0] if state.exists else None
+
+        prev_ms = np.roll(ms, 1)
+        has_prev = np.ones(len(ms), dtype=bool)
+        if last_ms is None:
+            has_prev[0] = False
+        else:
+            use_state = np.zeros(len(ms), dtype=bool)
+            use_state[0] = True
+            use_state[1:] = prev_ms[1:] < last_ms
+            prev_ms = np.where(use_state, last_ms, prev_ms)
+
+        ooo = has_prev & (ms < prev_ms)
+        gap_ms = ms - prev_ms
+        emit = (has_prev & ~ooo & (gap_ms > thresh_ms)) | ooo
+
+        if last_ms is None or int(ms[-1]) >= last_ms:
+            state.update((int(ms[-1]),))
+        if not emit.any():
+            return
+        yield pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy()[emit],
+                "gap_start_ms": prev_ms[emit].astype(np.int64),
+                "gap_end_ms": ms[emit],
+                "gap_s": np.where(
+                    ooo[emit], np.nan, gap_ms[emit] / 1000.0
+                ),
+                "out_of_order": ooo[emit],
+            }
+        )
+
+    base = stream.select(
+        key_col, to_epoch_millis(ts_col).alias("ts_ms")
+    )
+    return base.groupBy(key_col).applyInPandasWithState(
+        kernel,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -642,3 +642,171 @@ def test_croston_validation_and_plan(spark):
     assert row["z_hat"] == pytest.approx(1.5, abs=1e-12)
     assert row["p_hat"] == pytest.approx(3.0, abs=1e-12)
     assert row["forecast"] == pytest.approx(0.5, abs=1e-12)
+
+
+# ---------------------------------------------------------------- holt
+
+
+def _holt_ref(y, alpha, beta, phi):
+    """Sequential Holt recurrence — the oracle the closed form must match."""
+    l, b = y[1], y[1] - y[0]
+    for t in range(2, len(y)):
+        l_new = alpha * y[t] + (1 - alpha) * (l + phi * b)
+        b = beta * (l_new - l) + (1 - beta) * phi * b
+        l = l_new
+    return l, b
+
+
+def _holt_fc(y, alpha, beta, phi, h):
+    l, b = _holt_ref(y, alpha, beta, phi)
+    mult = h if phi == 1.0 else phi * (1 - phi**h) / (1 - phi)
+    return l + mult * b
+
+
+@pytest.mark.parametrize(
+    "alpha,beta,phi",
+    [
+        (0.3, 0.1, 1.0),   # complex eigenvalues (disc < 0)
+        (0.8, 0.2, 1.0),   # real distinct eigenvalues
+        (0.5, 0.5, 0.9),   # damped, complex
+        (0.9, 0.05, 0.8),  # damped, real distinct
+        (1.0, 0.3, 1.0),   # alpha=1: det=0, real distinct with l2=0
+    ],
+)
+def test_holt_matches_recurrence(spark, daily, alpha, beta, phi):
+    """The Cayley-Hamilton weighted sum must equal the sequential Holt
+    recurrence across all three discriminant branches and damping."""
+    from tablecloth_time_spark.operators.forecast import holt_forecast
+
+    df, pdf = daily
+    got = (
+        holt_forecast(df, "k", "ts", "v", 4, 1, "day",
+                      alpha=alpha, beta=beta, phi=phi)
+        .toPandas()
+        .sort_values(["k", "h"], kind="stable")
+        .reset_index(drop=True)
+    )
+    exp_method = "holt" if phi == 1.0 else "holt_damped"
+    assert (got["method"] == exp_method).all()
+    for k, g in pdf.groupby("k"):
+        y = g.sort_values("ts", kind="stable")["v"].to_numpy()
+        last_ts = g["ts"].max()
+        sub = got[got["k"] == k]
+        assert list(sub["h"]) == [1, 2, 3, 4]
+        for _, row in sub.iterrows():
+            exp = _holt_fc(y, alpha, beta, phi, int(row["h"]))
+            assert row["forecast"] == pytest.approx(exp, rel=1e-9, abs=1e-9)
+            assert row["ts"] == last_ts + int(row["h"]) * DAY
+
+
+def test_holt_repeated_root_branch(spark):
+    """Parameters sitting exactly on disc == 0 exercise the repeated-root
+    (p_j = j l^(j-1)) branch, including its j=0 guard."""
+    from tablecloth_time_spark.operators.forecast import holt_forecast
+
+    # disc = 0  <=>  tr^2 = 4 det; with phi=1: (2 - a - aB)^2 = 4(1-a).
+    # Pick a = 0.75 -> tr must be 1 -> B = (2 - a - 1)/a = 1/3.
+    alpha, beta, phi = 0.75, (2 - 0.75 - 1.0) / 0.75, 1.0
+    tr = (1 - alpha) + phi * (1 - alpha * beta)
+    det = phi * (1 - alpha)
+    assert abs(tr * tr - 4 * det) < 1e-12
+    rng = np.random.default_rng(2)
+    y = np.round(rng.normal(100, 5, 40), 3)
+    pdf = pd.DataFrame(
+        {"k": 1, "ts": [T0 + i * DAY for i in range(40)], "v": y}
+    )
+    got = (
+        holt_forecast(spark.createDataFrame(pdf), "k", "ts", "v", 3, 1,
+                      "day", alpha=alpha, beta=beta, phi=phi)
+        .toPandas()
+        .sort_values("h")
+    )
+    for _, row in got.iterrows():
+        exp = _holt_fc(y, alpha, beta, phi, int(row["h"]))
+        assert row["forecast"] == pytest.approx(exp, rel=1e-9)
+
+
+def test_holt_short_series_and_nulls(spark):
+    """T=2 reduces to the exact two-point line; T=1 -> null forecast;
+    null values are ignored entirely (they don't break the weighting)."""
+    from tablecloth_time_spark.operators.forecast import holt_forecast
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 3, 3, 3],
+            "ts": [T0, T0 + DAY, T0, T0, T0 + DAY, T0 + 2 * DAY],
+            "v": [10.0, 14.0, 5.0, 1.0, None, 3.0],
+        }
+    )
+    got = (
+        holt_forecast(spark.createDataFrame(pdf), "k", "ts", "v", 2, 1,
+                      "day", alpha=0.4, beta=0.2)
+        .toPandas()
+        .sort_values(["k", "h"], kind="stable")
+        .set_index(["k", "h"])
+    )
+    # T=2: l=y2, b=y2-y1 exactly -> yhat = y2 + h*(y2-y1)
+    assert got.loc[(1, 1), "forecast"] == pytest.approx(18.0)
+    assert got.loc[(1, 2), "forecast"] == pytest.approx(22.0)
+    # T=1: no trend to initialize
+    assert pd.isna(got.loc[(2, 1), "forecast"])
+    # null row dropped -> key 3 is a T=2 series on (1.0, 3.0)
+    assert got.loc[(3, 1), "forecast"] == pytest.approx(5.0)
+    # future timestamps step from the last NON-NULL observation
+    assert got.loc[(3, 1)]["ts"] == T0 + 3 * DAY
+
+
+def test_holt_brown_equivalence(spark, daily):
+    """Brown DES is Holt with l_0/b_0 from Brown's init — not identical
+    initialization, so check the ASYMPTOTIC equivalence instead: with
+    beta = alpha/(2-alpha) and phi=1 on a LONG series, Holt and Brown
+    forecasts converge (both decay their init mass geometrically)."""
+    from tablecloth_time_spark.operators.forecast import (
+        benchmark_forecast,
+        holt_forecast,
+    )
+
+    df, _ = daily
+    alpha = 0.6  # fast decay so 60 points is "long"
+    # Brown(a) == Holt(alpha', beta') with alpha' = a(2-a), beta' = a/(2-a)
+    a_h, b_h = alpha * (2 - alpha), alpha / (2 - alpha)
+    holt = (
+        holt_forecast(df, "k", "ts", "v", 3, 1, "day", alpha=a_h, beta=b_h)
+        .toPandas()
+        .sort_values(["k", "h"], kind="stable")
+        .reset_index(drop=True)
+    )
+    brown = (
+        benchmark_forecast(df, "k", "ts", "v", 3, 1, "day",
+                           methods=("brown",), alpha=alpha)
+        .toPandas()
+        .sort_values(["k", "h"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(holt["forecast"], brown["forecast"], rtol=1e-6)
+
+
+def test_holt_plan_no_python(spark, daily):
+    """The holt plan is pure window + hash aggregate: no Python, no
+    BatchEvalPython / MapInPandas anywhere."""
+    from tablecloth_time_spark.operators.forecast import holt_forecast
+
+    df, _ = daily
+    plan = holt_forecast(
+        df, "k", "ts", "v", 3, 1, "day"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_holt_validates_params(spark, daily):
+    from tablecloth_time_spark.operators.forecast import holt_forecast
+
+    df, _ = daily
+    with pytest.raises(ValueError, match="0 < alpha"):
+        holt_forecast(df, "k", "ts", "v", 2, 1, "day", alpha=0.0)
+    with pytest.raises(ValueError, match="0 <= beta"):
+        holt_forecast(df, "k", "ts", "v", 2, 1, "day", beta=1.5)
+    with pytest.raises(ValueError, match="0 < phi"):
+        holt_forecast(df, "k", "ts", "v", 2, 1, "day", phi=0.0)

@@ -763,3 +763,129 @@ def test_streaming_cusum_null_sd_yields_null_scores(spark, tmp_path):
     assert got["cusum_pos"].isna().all()
     assert got["cusum_neg"].isna().all()
     assert not got["is_drift"].any()
+
+
+def test_streaming_detect_gaps_matches_batch(spark, tmp_path):
+    """Streamed gap detection over 3 in-order micro-batches must emit
+    exactly the batch ``detect_gaps`` rows — including gaps that SPAN a
+    micro-batch boundary (closed by the first sample of the next batch)."""
+    import numpy as np
+
+    from tablecloth_time_spark.operators.counters import detect_gaps
+    from tablecloth_time_spark.streaming.stateful import streaming_detect_gaps
+
+    rng = np.random.default_rng(7)
+    n = 500
+    rows = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n).astype("int64"),
+            "ts": pd.to_datetime("2024-03-01")
+            + pd.to_timedelta(np.sort(rng.integers(0, 10**7, n)), unit="s"),
+        }
+    )
+    full = spark.createDataFrame(rows)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, part in enumerate(np.array_split(np.arange(n), 3)):
+        spark.createDataFrame(rows.iloc[part]).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_detect_gaps(stream, "k", "ts", 2, "hour")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(sink)
+        .toPandas()
+        .sort_values(["k", "gap_end_ms"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert not got["out_of_order"].any()
+    exp = (
+        detect_gaps(full, "k", "ts", 2, "hour")
+        .select(
+            "k",
+            F.unix_millis(F.col("gap_start").cast("timestamp")).alias(
+                "gap_start_ms"
+            ),
+            F.unix_millis(F.col("gap_end").cast("timestamp")).alias(
+                "gap_end_ms"
+            ),
+            "gap_s",
+        )
+        .toPandas()
+        .sort_values(["k", "gap_end_ms"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 10  # the fixture actually produces gaps
+    cols = ["k", "gap_start_ms", "gap_end_ms", "gap_s"]
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
+
+
+def test_streaming_detect_gaps_flags_late_and_first_sample(spark, tmp_path):
+    """A late sample (older than the carried state) is surfaced with a
+    flagged null-gap row and must not regress state; a key's very first
+    sample opens the series without a gap row."""
+    from tablecloth_time_spark.streaming.stateful import streaming_detect_gaps
+
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    waves = [
+        pd.DataFrame({"k": [1], "ts": [t0]}),
+        # late sample (before t0), plus an in-order one 3h after t0:
+        # the in-order gap must be measured against t0, NOT the late row
+        pd.DataFrame(
+            {
+                "k": [1, 1],
+                "ts": [t0 - pd.Timedelta(hours=5), t0 + pd.Timedelta(hours=3)],
+            }
+        ),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = None
+    for i, w in enumerate(waves):
+        sdf = spark.createDataFrame(w)
+        schema = sdf.schema
+        sdf.coalesce(1).write.parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_detect_gaps(stream, "k", "ts", 1, "hour")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.read.parquet(sink)
+        .toPandas()
+        .sort_values("gap_end_ms", kind="stable")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2
+    late, gap = got.iloc[0], got.iloc[1]
+    assert late["out_of_order"] and pd.isna(late["gap_s"])
+    assert not gap["out_of_order"]
+    assert gap["gap_start_ms"] == int(t0.timestamp() * 1000)
+    assert gap["gap_s"] == 3 * 3600.0
