@@ -436,6 +436,7 @@ def backtest_accuracy(
     season_length: int | None = None,
     alpha: float = 0.3,
     method_col: str = "method",
+    holt_params: dict | None = None,
 ) -> DataFrame:
     """fpp3 §5.8 accuracy evaluation: hold out each key's last
     ``test_steps`` observations, forecast them from the remaining
@@ -452,6 +453,11 @@ def backtest_accuracy(
     to test actuals is a (keys, ts) equi-join of two key-partitioned
     frames, and the scale Q is one lag window + aggregate over train.
     Regular-grid input contract, like the forecaster.
+
+    ``holt_params`` (e.g. ``{"alpha": 0.8, "beta": 0.2, "phi": 1.0}``)
+    additionally scores ``holt_forecast`` on the same train/test split —
+    its long output unions straight into the benchmark frame, so Holt
+    competes under identical MAE/RMSE/MAPE/MASE scoring.
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
     ms = to_epoch_millis(ts_col)
@@ -473,6 +479,14 @@ def backtest_accuracy(
         methods=methods, season_length=season_length, alpha=alpha,
         method_col=method_col, out_ts="__fts", out_col="__fc",
     )
+    if holt_params is not None:
+        fc = fc.unionByName(
+            holt_forecast(
+                train, ks, ts_col, value_col, test_steps, interval, unit,
+                method_col=method_col, out_ts="__fts", out_col="__fc",
+                **holt_params,
+            )
+        )
     joined = fc.join(
         test,
         [*[fc[k] == test[k] for k in ks],

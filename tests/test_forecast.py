@@ -810,3 +810,25 @@ def test_holt_validates_params(spark, daily):
         holt_forecast(df, "k", "ts", "v", 2, 1, "day", beta=1.5)
     with pytest.raises(ValueError, match="0 < phi"):
         holt_forecast(df, "k", "ts", "v", 2, 1, "day", phi=0.0)
+
+
+def test_backtest_accuracy_includes_holt(spark, daily):
+    """holt_params unions Holt into the backtest frame under identical
+    scoring; MAE re-derived independently from the sequential recurrence
+    on the training prefix."""
+    from tablecloth_time_spark.operators.forecast import backtest_accuracy
+
+    df, pdf = daily
+    out = backtest_accuracy(
+        df, "k", "ts", "v", test_steps=7, interval=1, unit="day",
+        methods=("naive",), holt_params={"alpha": 0.5, "beta": 0.2},
+    ).collect()
+    assert {r["method"] for r in out} == {"naive", "holt"}
+    g = pdf[pdf["k"] == 0].sort_values("ts", kind="stable")
+    y = g["v"].to_numpy()
+    fcs = np.array(
+        [_holt_fc(y[:-7], 0.5, 0.2, 1.0, h) for h in range(1, 8)]
+    )
+    mae = float(np.mean(np.abs(y[-7:] - fcs)))
+    got = {r["k"]: r["mae"] for r in out if r["method"] == "holt"}
+    assert got[0] == pytest.approx(mae, rel=1e-9)
