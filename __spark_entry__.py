@@ -1979,6 +1979,73 @@ FROM hs
 SQL_HOLT_FORECAST = _holt_sql()
 
 
+def q_turn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation turn-taking analytics applied with generic role
+    semantics — per-user view->click funnel over events: turn counts,
+    text mass and response-latency distribution (mean + exact p95) per
+    sequence. ONE lag window on the sequence key whose Exchange the
+    aggregate reuses (operators/transcripts.py:conversation_stats; the
+    transcript-shaped contract is pinned in
+    tests/test_transcripts_analytics.py)."""
+    from tablecloth_time_spark.operators.transcripts import (
+        conversation_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = conversation_stats(
+        ev,
+        conv_col="user_id",
+        order_cols=["ts", "event_id"],
+        ts_col="ts",
+        role_col="event_type",
+        text_col="props",
+        tool_col=None,
+        initiator="view",
+        responder="click",
+    )
+    return out.select(
+        "user_id", "n_turns", "duration_s", "n_initiator", "n_responder",
+        "chars_initiator", "chars_responder", "n_responses",
+        F.round("mean_response_s", 6).alias("mean_response_s"),
+        F.round("p95_response_s", 6).alias("p95_response_s"),
+    )
+
+
+SQL_TURN_METRICS = """
+WITH o AS (
+  SELECT user_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+         event_type AS role,
+         length(props) AS chars,
+         lag(event_type) OVER w AS prev_role,
+         lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w AS prev_ms
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT user_id, ms, role, chars,
+         CASE WHEN role = 'click' AND prev_role = 'view'
+              THEN CAST(ms - prev_ms AS DOUBLE) / 1000.0 END AS resp_s
+  FROM o
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(MAX(ms) - MIN(ms) AS DOUBLE) / 1000.0 AS duration_s,
+       CAST(COUNT(CASE WHEN role = 'view' THEN 1 END) AS BIGINT)
+         AS n_initiator,
+       CAST(COUNT(CASE WHEN role = 'click' THEN 1 END) AS BIGINT)
+         AS n_responder,
+       CAST(COALESCE(SUM(CASE WHEN role = 'view' THEN chars END), 0)
+         AS BIGINT) AS chars_initiator,
+       CAST(COALESCE(SUM(CASE WHEN role = 'click' THEN chars END), 0)
+         AS BIGINT) AS chars_responder,
+       CAST(COUNT(resp_s) AS BIGINT) AS n_responses,
+       ROUND(AVG(resp_s), 6) AS mean_response_s,
+       ROUND(quantile_cont(resp_s, 0.95), 6) AS p95_response_s
+FROM r GROUP BY user_id
+"""
+
+
 SQL_BENCHMARK_FORECAST = """
 WITH d AS (
   SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
@@ -3518,6 +3585,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "theta_forecast": [("forecast", "DOUBLE")],
     "brown_forecast": [("forecast", "DOUBLE")],
     "holt_forecast": [("forecast", "DOUBLE")],
+    "turn_metrics": [("duration_s", "DOUBLE"), ("mean_response_s", "DOUBLE"), ("p95_response_s", "DOUBLE")],
     "cusum_drift": [("cusum_pos", "DOUBLE"), ("cusum_neg", "DOUBLE")],
     "croston_intermittent": [("z_hat", "DOUBLE"), ("p_hat", "DOUBLE"), ("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
@@ -3594,6 +3662,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_forecast": q_theta_forecast,
         "brown_forecast": q_brown_forecast,
         "holt_forecast": q_holt_forecast,
+        "turn_metrics": q_turn_metrics,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -3669,6 +3738,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "theta_forecast": SQL_THETA_FORECAST,
         "brown_forecast": SQL_BROWN_FORECAST,
         "holt_forecast": SQL_HOLT_FORECAST,
+        "turn_metrics": SQL_TURN_METRICS,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,

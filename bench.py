@@ -414,6 +414,23 @@ def main() -> None:
         .collect(),
     )
 
+    # conversation turn-taking analytics over the transcripts fixture
+    from tablecloth_time_spark.operators.transcripts import (
+        conversation_stats,
+        role_transitions,
+    )
+
+    timed(
+        "conversation_stats_transcripts",
+        lambda: conversation_stats(transcripts)
+        .agg(F.sum("n_responses"), F.sum("tool_calls")).collect(),
+    )
+    timed(
+        "role_transitions_transcripts",
+        lambda: role_transitions(transcripts)
+        .agg(F.sum("transitions")).collect(),
+    )
+
     # training-data ops + compression (sf tables: documents / embeddings)
     from tablecloth_time_spark.operators.compress import compress_series
     from tablecloth_time_spark.operators.dedup import minhash_lsh_pairs

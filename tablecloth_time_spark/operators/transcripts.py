@@ -1,0 +1,164 @@
+"""Conversation-level turn-taking analytics over transcript tables.
+
+The engine's payload is multi-turn conversation / agent transcripts
+(conv_id, turn_idx, role, text, tool, ts) — the north-star input shape.
+Beyond the time-series tiers (rollup/sessionize/compress), a transcript
+pipeline needs CONVERSATION-shaped aggregates: how long did the
+assistant take to answer, how is the dialogue structured (role
+transitions), how tool-heavy is the agent. Both operators here are pure
+window + aggregate algebra over the same per-conversation sort:
+
+- one ``lag`` window partitioned by the conversation key (the engine's
+  canonical per-series Exchange — same shape and same mega-thread skew
+  posture as ``sessionize``: windows stream within a partition, AQE +
+  the documented salt strategy apply when one conversation dominates);
+- one hash aggregate that REUSES the window's hash partitioning (the
+  keys match, so Catalyst plans no second Exchange — pinned in tests).
+
+Role semantics are parameters, not assumptions: ``initiator`` /
+``responder`` default to the transcript contract (user -> assistant)
+but any ordered event stream with a type column fits (e.g. view ->
+click funnels), which is also what the driver oracle exercises.
+
+Reference anchor: the recipe track's group-by + aggregate composition
+(SURVEY.md §2.2, notebooks' tc/group-by -> tc/aggregate) applied to the
+north-star transcript table rather than a metric series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tablecloth_time_spark.functions.timeops import to_epoch_millis
+
+
+def _order(order_cols: str | list[str]) -> list[Column]:
+    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    return [F.col(c).asc() for c in cols]
+
+
+def conversation_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: str | list[str] = "turn_idx",
+    ts_col: str = "ts",
+    role_col: str = "role",
+    text_col: str | None = "text",
+    tool_col: str | None = "tool",
+    initiator: str = "user",
+    responder: str = "assistant",
+) -> DataFrame:
+    """One row per conversation: turn counts and text mass by role,
+    tool-call rate, wall-clock duration, and the response-latency
+    distribution (mean + exact p95 of the gap on initiator->responder
+    transitions — ``F.percentile``'s linear interpolation matches
+    DuckDB's ``quantile_cont``, the oracle convention percentile_rollup
+    pinned).
+
+    Latency is measured ONLY on adjacent initiator->responder turn
+    pairs (the "user asked, assistant answered" gap); conversations
+    without such a transition get null mean/p95 (undefined, not zero).
+    ``text_col``/``tool_col`` may be None when the table lacks them —
+    the char and tool metrics are then omitted.
+
+    Output: conv, n_turns, duration_s, n_initiator, n_responder,
+    [chars_initiator, chars_responder,] [tool_calls, tool_call_rate,]
+    n_responses, mean_response_s, p95_response_s.
+    """
+    ms = to_epoch_millis(ts_col)
+    w = Window.partitionBy(conv_col).orderBy(*_order(order_cols))
+    role = F.col(role_col)
+    is_resp = (role == responder) & (F.lag(role).over(w) == initiator)
+    response_s = F.when(
+        is_resp, (ms - F.lag(ms).over(w)).cast("double") / 1000.0
+    )
+
+    base = df.select(
+        conv_col,
+        ms.alias("__ms"),
+        role.alias("__role"),
+        *( [F.length(F.col(text_col)).alias("__chars")] if text_col else [] ),
+        *( [F.col(tool_col).alias("__tool")] if tool_col else [] ),
+        response_s.alias("__resp_s"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        ((F.max("__ms") - F.min("__ms")).cast("double") / 1000.0).alias(
+            "duration_s"
+        ),
+        F.count(F.when(F.col("__role") == initiator, 1)).alias(
+            "n_initiator"
+        ),
+        F.count(F.when(F.col("__role") == responder, 1)).alias(
+            "n_responder"
+        ),
+    ]
+    if text_col:
+        aggs += [
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__role") == initiator, F.col("__chars"))
+                ),
+                F.lit(0),
+            ).alias("chars_initiator"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__role") == responder, F.col("__chars"))
+                ),
+                F.lit(0),
+            ).alias("chars_responder"),
+        ]
+    if tool_col:
+        aggs.append(F.count("__tool").alias("tool_calls"))
+    aggs += [
+        F.count("__resp_s").alias("n_responses"),
+        F.avg("__resp_s").alias("mean_response_s"),
+        F.percentile(F.col("__resp_s"), F.lit(0.95)).alias(
+            "p95_response_s"
+        ),
+    ]
+    out = base.groupBy(conv_col).agg(*aggs)
+    if tool_col:
+        out = out.withColumn(
+            "tool_call_rate",
+            F.col("tool_calls").cast("double") / F.col("n_turns"),
+        )
+    return out
+
+
+def role_transitions(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: str | list[str] = "turn_idx",
+    ts_col: str = "ts",
+    role_col: str = "role",
+) -> DataFrame:
+    """Dialogue-structure summary: one row per (from_role, to_role)
+    adjacent-turn transition across all conversations, with the count
+    and the gap distribution (mean + exact p95 seconds). The first turn
+    of each conversation has no predecessor and is excluded.
+
+    This is the behavioral-drift monitor for agent pipelines — a shift
+    in the transition matrix (e.g. assistant->tool rate climbing) or in
+    its latency profile shows up here long before per-turn metrics
+    move. Same two-step plan as ``conversation_stats``: the lag window's
+    Exchange on the conversation key, then ONE aggregate on
+    (from_role, to_role) — the only shuffle of the tiny transition
+    frame is on a handful of role-pair keys.
+    """
+    ms = to_epoch_millis(ts_col)
+    w = Window.partitionBy(conv_col).orderBy(*_order(order_cols))
+    prev_role = F.lag(F.col(role_col)).over(w)
+    gap_s = (ms - F.lag(ms).over(w)).cast("double") / 1000.0
+    pairs = df.select(
+        prev_role.alias("from_role"),
+        F.col(role_col).alias("to_role"),
+        gap_s.alias("__gap_s"),
+    ).filter(F.col("from_role").isNotNull())
+    return pairs.groupBy("from_role", "to_role").agg(
+        F.count(F.lit(1)).alias("transitions"),
+        F.avg("__gap_s").alias("mean_gap_s"),
+        F.percentile(F.col("__gap_s"), F.lit(0.95)).alias("p95_gap_s"),
+    )

@@ -1,0 +1,152 @@
+"""Conversation turn-taking analytics: pandas re-derivation over the
+deterministic transcript generator + plan pins (the window's Exchange is
+the ONLY shuffle on the big table)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.operators.transcripts import (
+    conversation_stats,
+    role_transitions,
+)
+from tablecloth_time_spark.sources.transcripts import (
+    generate_transcripts_pandas,
+)
+
+
+@pytest.fixture(scope="module")
+def tdata(spark):
+    pdf = generate_transcripts_pandas(n_conv=40, seed=9)
+    df = spark.createDataFrame(pdf)
+    df.cache().count()
+    return df, pdf
+
+
+def _p95(x: np.ndarray) -> float:
+    # linear interpolation — the F.percentile / quantile_cont definition
+    return float(np.percentile(x, 95)) if len(x) else np.nan
+
+
+def test_conversation_stats_matches_pandas(spark, tdata):
+    df, pdf = tdata
+    got = (
+        conversation_stats(df)
+        .toPandas()
+        .sort_values("conv_id", kind="stable")
+        .set_index("conv_id")
+    )
+    assert len(got) == pdf["conv_id"].nunique()
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx", kind="stable")
+        ms = g["ts"].astype("int64").to_numpy() // 10**6
+        roles = g["role"].to_numpy()
+        row = got.loc[conv]
+        assert row["n_turns"] == len(g)
+        assert row["duration_s"] == pytest.approx(
+            (ms.max() - ms.min()) / 1000.0
+        )
+        assert row["n_initiator"] == int((roles == "user").sum())
+        assert row["n_responder"] == int((roles == "assistant").sum())
+        assert row["chars_initiator"] == int(
+            g.loc[g["role"] == "user", "text"].str.len().sum()
+        )
+        assert row["chars_responder"] == int(
+            g.loc[g["role"] == "assistant", "text"].str.len().sum()
+        )
+        n_tool = int(g["tool"].notna().sum())
+        assert row["tool_calls"] == n_tool
+        assert row["tool_call_rate"] == pytest.approx(n_tool / len(g))
+        resp = np.array(
+            [
+                (ms[i] - ms[i - 1]) / 1000.0
+                for i in range(1, len(g))
+                if roles[i] == "assistant" and roles[i - 1] == "user"
+            ]
+        )
+        assert row["n_responses"] == len(resp)
+        if len(resp):
+            assert row["mean_response_s"] == pytest.approx(resp.mean())
+            assert row["p95_response_s"] == pytest.approx(_p95(resp))
+        else:
+            assert pd.isna(row["mean_response_s"])
+            assert pd.isna(row["p95_response_s"])
+
+
+def test_conversation_stats_generic_roles_and_optional_cols(spark):
+    """Role semantics are parameters (view->click funnel) and the
+    char/tool metrics vanish when the table lacks those columns."""
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1],
+            "i": [0, 1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+                 "2024-01-01 00:01:00", "2024-01-01 00:01:30"]
+            ),
+            "typ": ["view", "click", "view", "click"],
+        }
+    )
+    got = conversation_stats(
+        spark.createDataFrame(pdf),
+        conv_col="k", order_cols="i", ts_col="ts", role_col="typ",
+        text_col=None, tool_col=None,
+        initiator="view", responder="click",
+    ).toPandas()
+    assert "chars_initiator" not in got.columns
+    assert "tool_calls" not in got.columns
+    row = got.iloc[0]
+    assert row["n_responses"] == 2
+    assert row["mean_response_s"] == pytest.approx((10 + 30) / 2)
+
+
+def test_role_transitions_matches_pandas(spark, tdata):
+    df, pdf = tdata
+    got = (
+        role_transitions(df)
+        .toPandas()
+        .sort_values(["from_role", "to_role"], kind="stable")
+        .set_index(["from_role", "to_role"])
+    )
+    rows = {}
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx", kind="stable")
+        ms = g["ts"].astype("int64").to_numpy() // 10**6
+        roles = g["role"].to_numpy()
+        for i in range(1, len(g)):
+            rows.setdefault((roles[i - 1], roles[i]), []).append(
+                (ms[i] - ms[i - 1]) / 1000.0
+            )
+    assert set(got.index) == set(rows)
+    for pair, gaps in rows.items():
+        gaps = np.array(gaps)
+        assert got.loc[pair, "transitions"] == len(gaps)
+        assert got.loc[pair, "mean_gap_s"] == pytest.approx(gaps.mean())
+        assert got.loc[pair, "p95_gap_s"] == pytest.approx(_p95(gaps))
+
+
+def test_conversation_stats_plan_single_exchange(spark, tdata):
+    """The lag window's Exchange on conv_id is REUSED by the groupBy
+    (same key): one shuffle total, no Python."""
+    df, _ = tdata
+    plan = (
+        conversation_stats(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_role_transitions_plan_two_exchanges(spark, tdata):
+    """Window Exchange on conv_id + the tiny role-pair aggregate's
+    Exchange — nothing else, no Python."""
+    df, _ = tdata
+    plan = (
+        role_transitions(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 2
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
