@@ -2011,6 +2011,62 @@ def q_turn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (Google SRE Workbook recipe)
+    per user over events: trailing error ratio over a 30-minute and a
+    4-hour RANGE frame, each divided by the error budget; a breach
+    requires BOTH windows over threshold. Two range frames over ONE
+    per-key sort — one Exchange (operators/counters.py:slo_burn_rate)."""
+    from tablecloth_time_spark.operators.counters import slo_burn_rate
+
+    ev = _t(spark, sf_dir, "events")
+    marked = ev.select(
+        "event_id", "user_id", "ts",
+        (F.col("event_type") == "error").alias("err"),
+    )
+    out = slo_burn_rate(
+        marked, "user_id", "ts", "err",
+        slo=0.95, short=(30, "minute"), long=(4, "hour"), threshold=3.0,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("err_short", 6).alias("err_short"),
+        F.round("err_long", 6).alias("err_long"),
+        F.round("burn_short", 6).alias("burn_short"),
+        F.round("burn_long", 6).alias("burn_long"),
+        "is_breach",
+    )
+
+
+_SLO_BUDGET = 1.0 - 0.95  # the engine's float, inlined exactly (_dlit)
+
+SQL_SLO_BURN = f"""
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS e,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, ts,
+         SUM(e) OVER ws / COUNT(e) OVER ws AS err_short,
+         SUM(e) OVER wl / COUNT(e) OVER wl AS err_long
+  FROM o
+  WINDOW ws AS (PARTITION BY user_id ORDER BY ms
+                RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW),
+         wl AS (PARTITION BY user_id ORDER BY ms
+                RANGE BETWEEN 14400000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts,
+       ROUND(err_short, 6) AS err_short,
+       ROUND(err_long, 6) AS err_long,
+       ROUND(err_short / {{b}}, 6) AS burn_short,
+       ROUND(err_long / {{b}}, 6) AS burn_long,
+       (err_short / {{b}} > 3.0) AND (err_long / {{b}} > 3.0) AS is_breach
+FROM w
+""".format(b=_dlit(_SLO_BUDGET))
+
+
 SQL_TURN_METRICS = """
 WITH o AS (
   SELECT user_id,
@@ -3586,6 +3642,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "brown_forecast": [("forecast", "DOUBLE")],
     "holt_forecast": [("forecast", "DOUBLE")],
     "turn_metrics": [("duration_s", "DOUBLE"), ("mean_response_s", "DOUBLE"), ("p95_response_s", "DOUBLE")],
+    "slo_burn": [("err_short", "DOUBLE"), ("err_long", "DOUBLE"), ("burn_short", "DOUBLE"), ("burn_long", "DOUBLE")],
     "cusum_drift": [("cusum_pos", "DOUBLE"), ("cusum_neg", "DOUBLE")],
     "croston_intermittent": [("z_hat", "DOUBLE"), ("p_hat", "DOUBLE"), ("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
@@ -3663,6 +3720,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brown_forecast": q_brown_forecast,
         "holt_forecast": q_holt_forecast,
         "turn_metrics": q_turn_metrics,
+        "slo_burn": q_slo_burn,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -3739,6 +3797,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "brown_forecast": SQL_BROWN_FORECAST,
         "holt_forecast": SQL_HOLT_FORECAST,
         "turn_metrics": SQL_TURN_METRICS,
+        "slo_burn": SQL_SLO_BURN,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,

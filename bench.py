@@ -207,6 +207,18 @@ def main() -> None:
             events, "user_id", "ts", "value", 1, "day"
         ).count(),
     )
+    from tablecloth_time_spark.operators.counters import slo_burn_rate
+
+    slo_marked = events.select(
+        "user_id", "ts", (F.col("event_type") == "error").alias("err")
+    )
+    timed(
+        "slo_burn_rate_events",
+        lambda: slo_burn_rate(
+            slo_marked, "user_id", "ts", "err",
+            slo=0.95, short=(30, "minute"), long=(4, "hour"),
+        ).agg(F.sum("burn_long")).collect(),
+    )
     timed(
         "ewma_events",
         lambda: ewma(

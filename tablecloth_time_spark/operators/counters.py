@@ -436,3 +436,72 @@ def state_durations(
         )
         .agg(F.sum(covered).alias(duration_col))
     )
+
+
+def slo_burn_rate(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    error_col: str,
+    slo: float = 0.999,
+    short: tuple[int, str] = (5, "minute"),
+    long: tuple[int, str] = (1, "hour"),
+    threshold: float = 14.4,
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE Workbook
+    recipe): per sample, the trailing error RATIO over a short and a
+    long window, each divided by the error budget (1 - slo) to give a
+    BURN RATE — "how many times faster than sustainable are we spending
+    the budget". A breach fires only when BOTH windows exceed
+    ``threshold`` (short alone = blip, long alone = stale residue; the
+    14.4x default is the workbook's 1h/5m page pair for a 99.9% SLO:
+    2% of a 30-day budget in one hour).
+
+    Both window ratios ride the SAME per-key time sort as two RANGE
+    frames ([ts - w, ts] inclusive, tie rows are frame PEERS so the
+    result is deterministic under duplicate timestamps) — one Exchange
+    total, the ``rolling`` plan class. ``error_col`` may be boolean or
+    0/1 numeric. Null error values count toward neither errors nor
+    total (consistent ratio).
+
+    At 100 TB, feed a pre-aggregated tier (e.g. per-minute counts via
+    ``rollup``, passing the counts through ``sum``-weighted semantics is
+    then a two-line wrapper) or the raw stream — range frames cost the
+    same one shuffle either way; the frame buffers only ``width`` worth
+    of rows per key.
+
+    Output: input columns + err_short, err_long (ratios), burn_short,
+    burn_long, is_breach.
+    """
+    ks = _keys(keys)
+    if not (0.0 < slo < 1.0):
+        raise ValueError(f"slo must be in (0, 1), got {slo}")
+    budget = 1.0 - slo
+
+    def frame(width: int, unit: str):
+        width_ms = width * milliseconds_in(normalize_unit(unit))
+        return (
+            Window.partitionBy(*ks)
+            .orderBy(to_epoch_millis(ts_col))
+            .rangeBetween(-width_ms, 0)
+        )
+
+    e = F.col(error_col).cast("double")
+    w_s, w_l = frame(*short), frame(*long)
+    err_s = F.sum(e).over(w_s) / F.count(e).over(w_s)
+    err_l = F.sum(e).over(w_l) / F.count(e).over(w_l)
+    out = df.select(
+        "*",
+        err_s.alias("err_short"),
+        err_l.alias("err_long"),
+        (err_s / F.lit(budget)).alias("burn_short"),
+        (err_l / F.lit(budget)).alias("burn_long"),
+    )
+    return out.withColumn(
+        "is_breach",
+        F.coalesce(
+            (F.col("burn_short") > threshold)
+            & (F.col("burn_long") > threshold),
+            F.lit(False),
+        ),
+    )

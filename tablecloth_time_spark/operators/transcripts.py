@@ -49,13 +49,23 @@ def conversation_stats(
     tool_col: str | None = "tool",
     initiator: str = "user",
     responder: str = "assistant",
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """One row per conversation: turn counts and text mass by role,
     tool-call rate, wall-clock duration, and the response-latency
-    distribution (mean + exact p95 of the gap on initiator->responder
-    transitions — ``F.percentile``'s linear interpolation matches
-    DuckDB's ``quantile_cont``, the oracle convention percentile_rollup
-    pinned).
+    distribution (mean + p95 of the gap on initiator->responder
+    transitions).
+
+    ``exact=True`` uses ``F.percentile`` (sort-based, linear
+    interpolation — the definition DuckDB's ``quantile_cont`` shares, so
+    the driver oracle pins it); exact percentiles buffer each group's
+    latencies, which per-CONVERSATION groups comfortably afford. For
+    downstream re-aggregation at 100 TB (e.g. maintaining these rows
+    incrementally through the continuous-aggregate seam, where partial
+    states must MERGE) use ``exact=False`` -> ``approx_percentile``
+    (KLL-sketch-style, mergeable, map-side-combinable) — the same
+    exact/approx convention as ``percentile_rollup``.
 
     Latency is measured ONLY on adjacent initiator->responder turn
     pairs (the "user asked, assistant answered" gap); conversations
@@ -112,12 +122,17 @@ def conversation_stats(
         ]
     if tool_col:
         aggs.append(F.count("__tool").alias("tool_calls"))
+    p95 = (
+        F.percentile(F.col("__resp_s"), F.lit(0.95))
+        if exact
+        else F.approx_percentile(
+            F.col("__resp_s"), F.lit(0.95), F.lit(accuracy)
+        )
+    )
     aggs += [
         F.count("__resp_s").alias("n_responses"),
         F.avg("__resp_s").alias("mean_response_s"),
-        F.percentile(F.col("__resp_s"), F.lit(0.95)).alias(
-            "p95_response_s"
-        ),
+        p95.alias("p95_response_s"),
     ]
     out = base.groupBy(conv_col).agg(*aggs)
     if tool_col:

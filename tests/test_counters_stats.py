@@ -967,3 +967,119 @@ def test_cusum_degenerate_and_plan(spark):
     assert "Python" not in plan and "InPandas" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------ slo burn rate
+
+
+def test_slo_burn_rate_matches_pandas(spark):
+    """Both window ratios re-derived in pandas over [ts-w, ts] inclusive
+    frames, including duplicate-timestamp peer rows and null errors."""
+    import numpy as np
+
+    from tablecloth_time_spark.operators.counters import slo_burn_rate
+
+    rng = np.random.default_rng(13)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n).astype("int64"),
+            "ts": pd.to_datetime("2024-05-01")
+            + pd.to_timedelta(np.sort(rng.integers(0, 6 * 3600, n)), unit="s"),
+            "err": rng.random(n) < 0.05,
+        }
+    )
+    # duplicate timestamps -> RANGE peers; nulls -> excluded both sides
+    pdf.loc[pdf.index[5], "ts"] = pdf.loc[pdf.index[6], "ts"]
+    err_obj = pdf["err"].astype("object")
+    err_obj.iloc[::41] = None
+    pdf["err"] = err_obj
+
+    got = (
+        slo_burn_rate(
+            spark.createDataFrame(pdf), "k", "ts", "err",
+            slo=0.99, short=(5, "minute"), long=(1, "hour"), threshold=3.0,
+        )
+        .toPandas()
+        .sort_values(["k", "ts"], kind="stable")
+        .reset_index(drop=True)
+    )
+    budget = 0.01
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values("ts", kind="stable")
+        ms = g["ts"].astype("int64").to_numpy() // 10**6
+        e = g["err"].to_numpy()
+        sub = got[got["k"] == k].reset_index(drop=True)
+        for i in range(len(g)):
+            for col, width in (("err_short", 300_000), ("err_long", 3_600_000)):
+                in_frame = (ms >= ms[i] - width) & (ms <= ms[i])
+                vals = [x for x in e[in_frame] if x is not None]
+                exp = (
+                    sum(bool(x) for x in vals) / len(vals)
+                    if vals else None
+                )
+                if exp is None:
+                    assert pd.isna(sub.loc[i, col])
+                else:
+                    assert sub.loc[i, col] == pytest.approx(exp), (k, i, col)
+            if not pd.isna(sub.loc[i, "err_short"]):
+                assert sub.loc[i, "burn_short"] == pytest.approx(
+                    sub.loc[i, "err_short"] / budget
+                )
+                assert sub.loc[i, "is_breach"] == (
+                    sub.loc[i, "burn_short"] > 3.0
+                    and sub.loc[i, "burn_long"] > 3.0
+                )
+
+
+def test_slo_burn_rate_breach_golden(spark):
+    """A planted error burst breaches only while BOTH windows burn hot:
+    the short window recovers quickly after the burst, the long window
+    alone must not keep the alert firing (the workbook's two-window
+    rationale)."""
+    from tablecloth_time_spark.operators.counters import slo_burn_rate
+
+    t0 = pd.Timestamp("2024-05-01")
+    rows = []
+    # 1 request / 10 s over 40 min; errors only in minutes 10-14
+    for i in range(240):
+        ts = t0 + pd.Timedelta(seconds=10 * i)
+        minute = (10 * i) // 60
+        rows.append((1, ts, 10 <= minute < 14))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "err"])
+    out = (
+        slo_burn_rate(
+            spark.createDataFrame(pdf), "k", "ts", "err",
+            slo=0.9, short=(2, "minute"), long=(10, "minute"), threshold=3.0,
+        )
+        .toPandas()
+        .sort_values("ts", kind="stable")
+    )
+    breached = out[out["is_breach"]]
+    assert len(breached) > 0
+    # the LONG window gates the alert start: errors-in-frame/10min > 0.3
+    # first holds 3 minutes into the burst
+    assert breached["ts"].min() >= t0 + pd.Timedelta(minutes=13)
+    # ...and the SHORT window gates the clear: within one short width of
+    # the burst end, even though the long window still carries residue
+    assert breached["ts"].max() <= t0 + pd.Timedelta(minutes=16)
+    late = out[out["ts"] > t0 + pd.Timedelta(minutes=16)]
+    assert not late["is_breach"].any()
+    assert (late["burn_long"] > 3.0).any()  # residue visible, not alerted
+
+
+def test_slo_burn_rate_validates_and_plan(spark):
+    from tablecloth_time_spark.operators.counters import slo_burn_rate
+
+    pdf = pd.DataFrame(
+        {"k": [1], "ts": [pd.Timestamp("2024-05-01")], "err": [True]}
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="slo must be"):
+        slo_burn_rate(df, "k", "ts", "err", slo=1.0)
+    plan = (
+        slo_burn_rate(df, "k", "ts", "err")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

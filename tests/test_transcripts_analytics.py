@@ -150,3 +150,40 @@ def test_role_transitions_plan_two_exchanges(spark, tdata):
     )
     assert plan.count("Exchange") == 2
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_conversation_stats_approx_path(spark, tdata):
+    """exact=False swaps in the mergeable approx_percentile sketch; at
+    per-conversation sizes with full accuracy the sketch returns the
+    EXACT ceil-rank order statistic s[ceil(p*n)-1] (probed convention),
+    so it is re-derivable in pandas; everything else is identical."""
+    import math
+
+    df, pdf = tdata
+    exact = (
+        conversation_stats(df)
+        .toPandas().sort_values("conv_id", kind="stable")
+        .reset_index(drop=True)
+    )
+    approx = (
+        conversation_stats(df, exact=False)
+        .toPandas().sort_values("conv_id", kind="stable")
+        .reset_index(drop=True)
+    )
+    other = [c for c in exact.columns if c != "p95_response_s"]
+    pd.testing.assert_frame_equal(exact[other], approx[other])
+    got = approx.set_index("conv_id")["p95_response_s"]
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx", kind="stable")
+        ms = g["ts"].astype("int64").to_numpy() // 10**6
+        roles = g["role"].to_numpy()
+        resp = sorted(
+            (ms[i] - ms[i - 1]) / 1000.0
+            for i in range(1, len(g))
+            if roles[i] == "assistant" and roles[i - 1] == "user"
+        )
+        if not resp:
+            assert pd.isna(got.loc[conv])
+            continue
+        rank = min(len(resp) - 1, max(0, math.ceil(0.95 * len(resp)) - 1))
+        assert got.loc[conv] == pytest.approx(resp[rank], rel=1e-12)
