@@ -75,7 +75,10 @@ def conversation_stats(
 
     Output: conv, n_turns, duration_s, n_initiator, n_responder,
     [chars_initiator, chars_responder,] [tool_calls, tool_call_rate,]
-    n_responses, mean_response_s, p95_response_s.
+    n_responses, mean_response_s, p95_response_s, first_role, last_role
+    (``last_role == initiator`` marks an UNANSWERED conversation —
+    the abandonment signal; both come from the lexicographic
+    struct-min/max trick the rollup tiers use, so they stay mergeable).
     """
     ms = to_epoch_millis(ts_col)
     w = Window.partitionBy(conv_col).orderBy(*_order(order_cols))
@@ -85,6 +88,12 @@ def conversation_stats(
         is_resp, (ms - F.lag(ms).over(w)).cast("double") / 1000.0
     )
 
+    order_struct = F.struct(
+        *[F.col(c) for c in (
+            [order_cols] if isinstance(order_cols, str) else order_cols
+        )],
+        role.alias("r"),
+    )
     base = df.select(
         conv_col,
         ms.alias("__ms"),
@@ -92,6 +101,7 @@ def conversation_stats(
         *( [F.length(F.col(text_col)).alias("__chars")] if text_col else [] ),
         *( [F.col(tool_col).alias("__tool")] if tool_col else [] ),
         response_s.alias("__resp_s"),
+        order_struct.alias("__ord"),
     )
     aggs = [
         F.count(F.lit(1)).alias("n_turns"),
@@ -133,6 +143,11 @@ def conversation_stats(
         F.count("__resp_s").alias("n_responses"),
         F.avg("__resp_s").alias("mean_response_s"),
         p95.alias("p95_response_s"),
+        # lexicographic struct min/max over the turn order — the same
+        # mergeable first/last trick the rollup tiers use; a conversation
+        # whose last_role == initiator ended UNANSWERED (abandonment)
+        F.min("__ord").getField("r").alias("first_role"),
+        F.max("__ord").getField("r").alias("last_role"),
     ]
     out = base.groupBy(conv_col).agg(*aggs)
     if tool_col:

@@ -74,6 +74,8 @@ def test_conversation_stats_matches_pandas(spark, tdata):
         else:
             assert pd.isna(row["mean_response_s"])
             assert pd.isna(row["p95_response_s"])
+        assert row["first_role"] == roles[0]
+        assert row["last_role"] == roles[-1]
 
 
 def test_conversation_stats_generic_roles_and_optional_cols(spark):
