@@ -13,6 +13,7 @@ integer aggregates are exact.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -1890,7 +1891,10 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOLT_A, _HOLT_B = 0.8, 0.2
 _HOLT_TR = (1.0 - _HOLT_A) + (1.0 - _HOLT_A * _HOLT_B)
 _HOLT_DET = 1.0 - _HOLT_A
-_HOLT_SQ = (_HOLT_TR * _HOLT_TR - 4.0 * _HOLT_DET) ** 0.5
+_HOLT_SQ = math.sqrt(_HOLT_TR * _HOLT_TR - 4.0 * _HOLT_DET)  # math.sqrt,
+# NOT ** 0.5 — the engine uses math.sqrt and pow(x, 0.5) is not
+# guaranteed correctly rounded on every libm; the literals must be
+# bit-identical on both sides (_dlit rule)
 _HOLT_L1 = (_HOLT_TR + _HOLT_SQ) / 2.0
 _HOLT_L2 = (_HOLT_TR - _HOLT_SQ) / 2.0
 _HOLT_DL = _HOLT_L1 - _HOLT_L2

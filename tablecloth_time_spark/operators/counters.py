@@ -478,16 +478,27 @@ def slo_burn_rate(
         raise ValueError(f"slo must be in (0, 1), got {slo}")
     budget = 1.0 - slo
 
-    def frame(width: int, unit: str):
-        width_ms = width * milliseconds_in(normalize_unit(unit))
+    def width_ms(width: int, unit: str) -> int:
+        return width * milliseconds_in(normalize_unit(unit))
+
+    short_ms, long_ms = width_ms(*short), width_ms(*long)
+    if not (0 < short_ms < long_ms):
+        raise ValueError(
+            f"short window must be positive and narrower than long "
+            f"(got short={short!r} -> {short_ms} ms, "
+            f"long={long!r} -> {long_ms} ms) — the two-window semantics "
+            f"invert otherwise"
+        )
+
+    def frame(ms: int):
         return (
             Window.partitionBy(*ks)
             .orderBy(to_epoch_millis(ts_col))
-            .rangeBetween(-width_ms, 0)
+            .rangeBetween(-ms, 0)
         )
 
     e = F.col(error_col).cast("double")
-    w_s, w_l = frame(*short), frame(*long)
+    w_s, w_l = frame(short_ms), frame(long_ms)
     err_s = F.sum(e).over(w_s) / F.count(e).over(w_s)
     err_l = F.sum(e).over(w_l) / F.count(e).over(w_l)
     out = df.select(

@@ -39,6 +39,36 @@ from pyspark.sql.types import (
 from tablecloth_time_spark.functions.timeops import to_epoch_millis
 
 
+def _effective_prev(
+    ms: np.ndarray, last_ms: int | None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Effective predecessor timestamp per row of a ts-SORTED batch.
+
+    Row i's in-batch predecessor is row i-1 — but when that row is
+    itself LATE (older than the carried state), the true predecessor is
+    the state. Without this, a batch mixing one late row with in-order
+    rows silently differences the in-order row against the late one.
+    Shared by every cross-batch stateful kernel here (the same subtle
+    contract must not fork per operator).
+
+    Returns (prev_ms float64 — NaN where undefined, has_prev bool —
+    False only on the first row of a never-seen key, use_state bool —
+    rows whose predecessor is the carried state, for substituting any
+    carried companion values such as counter_rate's last_v).
+    """
+    prev_ms = np.roll(ms, 1).astype(np.float64)
+    has_prev = np.ones(len(ms), dtype=bool)
+    use_state = np.zeros(len(ms), dtype=bool)
+    if last_ms is None:
+        has_prev[0] = False
+        prev_ms[0] = np.nan
+    else:
+        use_state[0] = True
+        use_state[1:] = prev_ms[1:] < float(last_ms)
+        prev_ms = np.where(use_state, float(last_ms), prev_ms)
+    return prev_ms, has_prev, use_state
+
+
 def streaming_counter_rate(
     stream: DataFrame,
     key_col: str,
@@ -80,22 +110,11 @@ def streaming_counter_rate(
         else:
             last_ms, last_v = None, None
 
-        # Effective predecessor per ROW: the batch is sorted, so row i's
-        # in-batch predecessor is row i-1 — but when that row is itself
-        # LATE (older than the carried state), the true predecessor is the
-        # state. Without this, a batch mixing one late row with in-order
-        # rows silently differences the in-order row against the late one.
-        prev_ms = np.roll(ms, 1).astype(np.float64)
+        prev_ms, has_prev, use_state = _effective_prev(ms, last_ms)
         prev_v = np.roll(v, 1)
-        has_prev = np.ones(len(ms), dtype=bool)
         if last_ms is None:
-            has_prev[0] = False
-            prev_ms[0] = prev_v[0] = np.nan
+            prev_v[0] = np.nan
         else:
-            use_state = np.zeros(len(ms), dtype=bool)
-            use_state[0] = True
-            use_state[1:] = prev_ms[1:] < float(last_ms)
-            prev_ms = np.where(use_state, float(last_ms), prev_ms)
             prev_v = np.where(use_state, last_v, prev_v)
 
         ooo = has_prev & (ms < prev_ms)  # older than the effective predecessor
@@ -171,8 +190,11 @@ def streaming_cusum(
     (matching the batch plan, where null terms pass through the window
     sum); rows BEFORE a key's first valid sample emit null scores, again
     matching batch (the window sum over all-null terms is NULL) — state
-    absent encodes "no valid sample seen yet". A non-positive or null
-    ``sd`` yields null scores, false flag, untouched state.
+    absent encodes "no valid sample seen yet". A non-positive, null, or
+    non-finite ``sd`` is handled PER ROW (a batch may mix baselines):
+    the row emits null scores and a false flag, contributes zero drift,
+    and the carried trajectory passes through it untouched — z = inf
+    from a zero sd never reaches the cumsum or the state.
 
     Output (append): key, ts_ms, value, cusum_pos, cusum_neg, is_drift.
     """
@@ -200,22 +222,28 @@ def streaming_cusum(
         mu = pdf["__mu"].to_numpy(dtype=np.float64)
         sd = pdf["__sd"].to_numpy(dtype=np.float64)
 
-        valid_base = np.isfinite(sd) & (sd > 0)
-        if not valid_base.any():
-            nulls = np.full(len(v), np.nan)
-            yield pd.DataFrame(
+        def frame(sp: np.ndarray, sn: np.ndarray) -> pd.DataFrame:
+            return pd.DataFrame(
                 {
                     key_col: pdf[key_col].to_numpy(),
                     "ts_ms": pdf["ts_ms"].to_numpy(dtype=np.int64),
                     "value": v,
-                    "cusum_pos": nulls,
-                    "cusum_neg": nulls,
-                    "is_drift": np.zeros(len(v), dtype=bool),
+                    "cusum_pos": sp,
+                    "cusum_neg": sn,
+                    "is_drift": np.where(
+                        np.isnan(sp), False, (sp > h) | (sn > h)
+                    ).astype(bool),
                 }
             )
-            return
 
-        z = (v - mu) / sd
+        # PER-ROW baseline validity (mu/sd may ride the stream as
+        # columns, so a batch can MIX valid and invalid-sd rows): an
+        # invalid-sd row contributes zero drift, emits null scores, and
+        # the carried trajectory passes through it untouched — z=inf
+        # from sd=0 must never reach the cumsum or the state.
+        bad_sd = ~(np.isfinite(sd) & (sd > 0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(bad_sd, np.nan, (v - mu) / sd)
         # null/NaN values drift nothing and emit the carried score
         # (batch parity: null terms pass through the window sum)
         nan_z = np.isnan(z)
@@ -232,16 +260,7 @@ def streaming_cusum(
             valid_idx = np.flatnonzero(~nan_z)
             if not len(valid_idx):
                 nulls = np.full(len(v), np.nan)
-                yield pd.DataFrame(
-                    {
-                        key_col: pdf[key_col].to_numpy(),
-                        "ts_ms": pdf["ts_ms"].to_numpy(dtype=np.int64),
-                        "value": v,
-                        "cusum_pos": nulls,
-                        "cusum_neg": nulls,
-                        "is_drift": np.zeros(len(v), dtype=bool),
-                    }
-                )
+                yield frame(nulls, nulls)
                 return
             sp0, sn0 = 0.0, 0.0
             start = int(valid_idx[0])
@@ -256,18 +275,12 @@ def streaming_cusum(
         sp[start:] = one_sided(xp[start:], sp0)
         sn[start:] = one_sided(xn[start:], sn0)
         state.update((float(sp[-1]), float(sn[-1])))
-        yield pd.DataFrame(
-            {
-                key_col: pdf[key_col].to_numpy(),
-                "ts_ms": pdf["ts_ms"].to_numpy(dtype=np.int64),
-                "value": v,
-                "cusum_pos": sp,
-                "cusum_neg": sn,
-                "is_drift": np.where(
-                    np.isnan(sp), False, (sp > h) | (sn > h)
-                ).astype(bool),
-            }
-        )
+        # emit null (not carried) scores on invalid-sd rows — the
+        # documented contract; the state update above already took the
+        # pass-through trajectory value
+        sp = np.where(bad_sd, np.nan, sp)
+        sn = np.where(bad_sd, np.nan, sn)
+        yield frame(sp, sn)
 
     base = stream.select(
         key_col,
@@ -341,18 +354,9 @@ def streaming_detect_gaps(
         ms = pdf["ts_ms"].to_numpy(dtype=np.int64)
         last_ms = state.get[0] if state.exists else None
 
-        prev_ms = np.roll(ms, 1)
-        has_prev = np.ones(len(ms), dtype=bool)
-        if last_ms is None:
-            has_prev[0] = False
-        else:
-            use_state = np.zeros(len(ms), dtype=bool)
-            use_state[0] = True
-            use_state[1:] = prev_ms[1:] < last_ms
-            prev_ms = np.where(use_state, last_ms, prev_ms)
-
+        prev_ms, has_prev, _ = _effective_prev(ms, last_ms)
         ooo = has_prev & (ms < prev_ms)
-        gap_ms = ms - prev_ms
+        gap_ms = ms - prev_ms  # float64; ms values are far below 2**53
         emit = (has_prev & ~ooo & (gap_ms > thresh_ms)) | ooo
 
         if last_ms is None or int(ms[-1]) >= last_ms:

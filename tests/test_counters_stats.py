@@ -1077,6 +1077,12 @@ def test_slo_burn_rate_validates_and_plan(spark):
     df = spark.createDataFrame(pdf)
     with pytest.raises(ValueError, match="slo must be"):
         slo_burn_rate(df, "k", "ts", "err", slo=1.0)
+    with pytest.raises(ValueError, match="narrower than long"):
+        slo_burn_rate(
+            df, "k", "ts", "err", short=(4, "hour"), long=(30, "minute")
+        )
+    with pytest.raises(ValueError, match="narrower than long"):
+        slo_burn_rate(df, "k", "ts", "err", short=(0, "minute"))
     plan = (
         slo_burn_rate(df, "k", "ts", "err")
         ._jdf.queryExecution().executedPlan().toString()

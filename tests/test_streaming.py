@@ -889,3 +889,74 @@ def test_streaming_detect_gaps_flags_late_and_first_sample(spark, tmp_path):
     assert not gap["out_of_order"]
     assert gap["gap_start_ms"] == int(t0.timestamp() * 1000)
     assert gap["gap_s"] == 3 * 3600.0
+
+
+def test_streaming_cusum_mixed_invalid_sd_rows(spark, tmp_path):
+    """A micro-batch MIXING valid rows with sd=0 rows must not poison the
+    trajectory: invalid rows emit null scores / false flags, valid rows
+    score exactly as if the invalid rows carried zero drift, and the
+    state stays finite across batches."""
+    import numpy as np
+
+    from tablecloth_time_spark.streaming.stateful import streaming_cusum
+
+    t0 = pd.Timestamp("2024-03-01")
+    mk = lambda secs, vals, sds: pd.DataFrame(
+        {
+            "k": [1] * len(secs),
+            "ts": [t0 + pd.Timedelta(seconds=s) for s in secs],
+            "v": vals,
+            "mu": [10.0] * len(secs),
+            "sd": sds,
+        }
+    )
+    waves = [
+        mk([0, 10, 20], [12.0, 14.0, 11.0], [2.0, 0.0, 2.0]),
+        mk([30, 40], [13.0, 15.0], [float("nan"), 2.0]),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, w in enumerate(waves):
+        sdf = spark.createDataFrame(w)
+        schema = sdf.schema
+        sdf.coalesce(1).write.parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_cusum(stream, "k", "ts", "v", k=0.5, h=2.0)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.read.parquet(sink)
+        .toPandas()
+        .sort_values("ts_ms", kind="stable")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 5
+    # reference trajectory: invalid rows (idx 1, 3) PASS THROUGH — they
+    # contribute neither drift nor the slack -k
+    zs = [(12.0 - 10) / 2, None, (11.0 - 10) / 2, None, (15.0 - 10) / 2]
+    sp, exp = 0.0, []
+    for z in zs:
+        if z is not None:
+            sp = max(0.0, sp + z - 0.5)
+        exp.append(sp)
+    valid = [0, 2, 4]
+    for i in valid:
+        assert np.isfinite(got.loc[i, "cusum_pos"])
+        assert got.loc[i, "cusum_pos"] == pytest.approx(exp[i])
+    for i in (1, 3):
+        assert pd.isna(got.loc[i, "cusum_pos"])
+        assert pd.isna(got.loc[i, "cusum_neg"])
+        assert not got.loc[i, "is_drift"]
+    assert got.loc[4, "is_drift"] == (exp[4] > 2.0)
