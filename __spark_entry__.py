@@ -2015,6 +2015,57 @@ def q_turn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step conversion funnel (view -> click -> purchase) per
+    user with a 72 h conversion window: step i counts only at/after the
+    key's step i-1 time, so each step is its own pushed-down filtered
+    scan + key equi-join + min aggregate — k small passes, no window
+    over the fact table (operators/cohorts.py:funnel)."""
+    from tablecloth_time_spark.operators.cohorts import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within=72, unit="hour",
+    )
+
+
+SQL_FUNNEL = """
+WITH b AS (
+  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+         event_type AS step
+  FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(ms) AS ms1 FROM b WHERE step = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT b.user_id, MIN(b.ms) AS ms2
+  FROM b JOIN s1 USING (user_id)
+  WHERE b.step = 'click' AND b.ms >= s1.ms1
+    AND b.ms <= s1.ms1 + 259200000
+  GROUP BY 1
+),
+s3 AS (
+  SELECT b.user_id, MIN(b.ms) AS ms3
+  FROM b JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+  WHERE b.step = 'purchase' AND b.ms >= s2.ms2
+    AND b.ms <= s1.ms1 + 259200000
+  GROUP BY 1
+)
+SELECT s1.user_id,
+       make_timestamp(ms1 * 1000) AS ts_1,
+       make_timestamp(ms2 * 1000) AS ts_2,
+       make_timestamp(ms3 * 1000) AS ts_3,
+       CAST(CAST(ms1 IS NOT NULL AS INTEGER)
+            + CAST(ms2 IS NOT NULL AS INTEGER)
+            + CAST(ms3 IS NOT NULL AS INTEGER) AS INTEGER)
+         AS steps_completed,
+       ms3 IS NOT NULL AS converted
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-window SLO burn-rate alerting (Google SRE Workbook recipe)
     per user over events: trailing error ratio over a 30-minute and a
@@ -3725,6 +3776,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast": q_holt_forecast,
         "turn_metrics": q_turn_metrics,
         "slo_burn": q_slo_burn,
+        "funnel": q_funnel,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -3802,6 +3854,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "holt_forecast": SQL_HOLT_FORECAST,
         "turn_metrics": SQL_TURN_METRICS,
         "slo_burn": SQL_SLO_BURN,
+        "funnel": SQL_FUNNEL,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,

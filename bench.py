@@ -219,6 +219,15 @@ def main() -> None:
             slo=0.95, short=(30, "minute"), long=(4, "hour"),
         ).agg(F.sum("burn_long")).collect(),
     )
+    from tablecloth_time_spark.operators.cohorts import funnel
+
+    timed(
+        "funnel_events",
+        lambda: funnel(
+            events, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], within=72, unit="hour",
+        ).agg(F.sum("steps_completed")).collect(),
+    )
     timed(
         "ewma_events",
         lambda: ewma(

@@ -97,3 +97,87 @@ def cohort_retention(
         size.alias("cohort_size"),
         (F.col("n_users") / size).alias("retention"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+    within: int | None = None,
+    unit: str = "hour",
+) -> DataFrame:
+    """Ordered k-step funnel (the Amplitude/Mixpanel-style conversion
+    query): per key, the FIRST time each step completes IN ORDER —
+    step i counts only at/after the key's step i-1 completion time
+    (``ts >= prev``, so a same-timestamp pair completes both). ``within``
+    bounds the whole funnel to ``within x unit`` after step 1 (the
+    conversion window).
+
+    "First B after the first A" is NOT min(B): a key can click before
+    ever viewing and again after — so each step is its own conditional
+    re-aggregation. The plan is k passes, each one:
+
+      scan(step == s_i, PUSHED to parquet — only that step's rows are
+      read) -> equi-join to the per-key funnel frame (keys shuffle; the
+      frame is one row per key, orders of magnitude under the fact
+      table) -> min() hash aggregate
+
+    chained left joins keep keys that stall mid-funnel (null later
+    steps). k is small and fixed (3-5 steps); there is no window over
+    the big table at all, and each pass reads only its own step's rows —
+    at 100 TB the funnel costs k filtered scans + k key-partitioned
+    aggregates, never a sort of the full fact table.
+
+    Output: keys..., ts_1..ts_k (timestamps), steps_completed,
+    converted (completed every step; within-window if ``within``).
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {steps!r}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
+    deadline_ms = (
+        within * milliseconds_in(normalize_unit(unit))
+        if within is not None
+        else None
+    )
+
+    ms = to_epoch_millis(ts_col)
+    base = df.select(*ks, ms.alias("__ms"), F.col(step_col).alias("__step"))
+    result = (
+        base.filter(F.col("__step") == steps[0])
+        .groupBy(*ks)
+        .agg(F.min("__ms").alias("__ms_1"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        prev = F.col(f"__ms_{i - 1}")
+        cond = F.col("__ms") >= prev
+        if deadline_ms is not None:
+            cond = cond & (F.col("__ms") <= F.col("__ms_1") + deadline_ms)
+        carry = [f"__ms_{j}" for j in range(1, i)]
+        stepped = (
+            base.filter(F.col("__step") == s)
+            .join(result.select(*ks, *carry), ks)
+            .filter(cond)
+            .groupBy(*ks)
+            .agg(F.min("__ms").alias(f"__ms_{i}"))
+        )
+        result = result.join(stepped, ks, "left")
+
+    ts_cols = [
+        F.timestamp_millis(F.col(f"__ms_{i}")).alias(f"ts_{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    completed = sum(
+        (F.col(f"__ms_{i}").isNotNull().cast("int") for i in
+         range(1, len(steps) + 1)),
+        start=F.lit(0),
+    )
+    return result.select(
+        *ks,
+        *ts_cols,
+        completed.alias("steps_completed"),
+        F.col(f"__ms_{len(steps)}").isNotNull().alias("converted"),
+    )

@@ -694,3 +694,137 @@ def test_interval_coverage_rejects_zero_interval(spark):
     df = spark.createDataFrame([_iv(0, 10)], ["k", "start", "end"])
     with pytest.raises(ValueError, match="interval must be >= 1"):
         interval_coverage(df, "k", "start", "end", 0, "hour")
+
+
+# ------------------------------------------------------------------ funnel
+
+
+def _funnel_ref(g: pd.DataFrame, steps, within_ms=None):
+    """Sequential per-key oracle: first completion of each step at/after
+    the previous step's time (>=), optionally within the window."""
+    g = g.sort_values("ts", kind="stable")
+    ms = g["ts"].astype("int64").to_numpy() // 10**6
+    st = g["step"].to_numpy()
+    out, prev, t1 = [], None, None
+    for s in steps:
+        hit = None
+        for m, x in zip(ms, st):
+            if x != s:
+                continue
+            if prev is not None and m < prev:
+                continue
+            if within_ms is not None and t1 is not None and m > t1 + within_ms:
+                continue
+            hit = m
+            break
+        out.append(hit)
+        if hit is None:
+            break
+        prev = hit
+        if t1 is None:
+            t1 = hit
+    out += [None] * (len(steps) - len(out))
+    return out
+
+
+def test_funnel_matches_sequential_oracle(spark):
+    import numpy as np
+
+    from tablecloth_time_spark.operators.cohorts import funnel
+
+    rng = np.random.default_rng(21)
+    n = 900
+    pdf = pd.DataFrame(
+        {
+            "u": rng.integers(0, 60, n).astype("int64"),
+            "ts": pd.to_datetime("2024-06-01")
+            + pd.to_timedelta(rng.integers(0, 30 * 86400, n), unit="s"),
+            "step": rng.choice(
+                ["view", "click", "purchase", "other"], n,
+                p=[0.5, 0.25, 0.1, 0.15],
+            ),
+        }
+    )
+    steps = ["view", "click", "purchase"]
+    got = (
+        funnel(spark.createDataFrame(pdf), "u", "ts", "step", steps)
+        .toPandas()
+        .sort_values("u", kind="stable")
+        .set_index("u")
+    )
+    seen = pdf[pdf["step"] == "view"]["u"].unique()
+    assert set(got.index) == set(seen)
+    for u in seen:
+        exp = _funnel_ref(pdf[pdf["u"] == u], steps)
+        row = got.loc[u]
+        for i, e in enumerate(exp, start=1):
+            if e is None:
+                assert pd.isna(row[f"ts_{i}"]), (u, i)
+            else:
+                assert row[f"ts_{i}"].value // 10**6 == e, (u, i)
+        n_done = sum(e is not None for e in exp)
+        assert row["steps_completed"] == n_done
+        assert bool(row["converted"]) == (n_done == len(steps))
+
+
+def test_funnel_order_and_window_goldens(spark):
+    from tablecloth_time_spark.operators.cohorts import funnel
+
+    t0 = pd.Timestamp("2024-06-01")
+    pdf = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 2, 2, 3, 3],
+            "ts": [
+                # u1: click BEFORE view doesn't count; the later one does
+                t0, t0 + pd.Timedelta(hours=1), t0 + pd.Timedelta(hours=2),
+                # u2: same-ts view+click completes both (>= contract)
+                t0, t0, t0 + pd.Timedelta(hours=50),
+                # u3: full funnel but purchase outside the 24h window
+                t0, t0 + pd.Timedelta(hours=30),
+            ],
+            "step": ["click", "view", "click",
+                     "view", "click", "purchase",
+                     "view", "click"],
+        }
+    )
+    steps = ["view", "click", "purchase"]
+    got = (
+        funnel(spark.createDataFrame(pdf), "u", "ts", "step", steps)
+        .toPandas().set_index("u")
+    )
+    assert got.loc[1, "ts_1"] == t0 + pd.Timedelta(hours=1)
+    assert got.loc[1, "ts_2"] == t0 + pd.Timedelta(hours=2)  # not the early click
+    assert got.loc[2, "ts_1"] == got.loc[2, "ts_2"] == t0
+    assert bool(got.loc[2, "converted"])
+    windowed = (
+        funnel(
+            spark.createDataFrame(pdf), "u", "ts", "step", steps,
+            within=24, unit="hour",
+        )
+        .toPandas().set_index("u")
+    )
+    # u2's purchase at +50h falls outside the 24h conversion window
+    assert pd.isna(windowed.loc[2, "ts_3"])
+    assert not bool(windowed.loc[2, "converted"])
+    assert windowed.loc[2, "steps_completed"] == 2
+    # u3 never purchases at all
+    assert pd.isna(got.loc[3, "ts_3"])
+    assert got.loc[3, "steps_completed"] == 2
+
+
+def test_funnel_validates_and_plan(spark):
+    from tablecloth_time_spark.operators.cohorts import funnel
+
+    pdf = pd.DataFrame(
+        {"u": [1], "ts": [pd.Timestamp("2024-06-01")], "step": ["view"]}
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match=">= 2 steps"):
+        funnel(df, "u", "ts", "step", ["view"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(df, "u", "ts", "step", ["view", "view"])
+    plan = (
+        funnel(df, "u", "ts", "step", ["view", "click"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
