@@ -29,8 +29,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -377,6 +379,127 @@ def streaming_detect_gaps(
 
     base = stream.select(
         key_col, to_epoch_millis(ts_col).alias("ts_ms")
+    )
+    return base.groupBy(key_col).applyInPandasWithState(
+        kernel,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+    within: int | None = None,
+    unit: str = "hour",
+) -> DataFrame:
+    """Streaming ordered k-step funnel — the batch
+    ``operators/cohorts.funnel`` re-expressed with per-key progress
+    state, so a conversion is visible the micro-batch it completes
+    instead of at the next batch job.
+
+    State per key is (stage, first-step time, last-completed time) plus
+    the completed step times — a few dozen bytes. Within a micro-batch
+    the advance is computed with at most k VECTORIZED passes over the
+    batch's rows (first qualifying row per remaining step — the same
+    "first B at/after A" contract as batch, ``>=`` on ties within the
+    sorted batch order); no per-row Python. Samples are assumed in-order
+    per key across micro-batches (the ``streaming_counter_rate``
+    contract). ``within`` bounds completion to ``within x unit`` after
+    step 1, exactly as in batch.
+
+    Output (append): one row per key per micro-batch IN WHICH THE KEY
+    ADVANCED at least one stage — (key, steps_completed, step_ts_ms
+    array<long> with nulls for uncompleted steps, converted). The last
+    emitted row per key always equals the batch ``funnel`` verdict on
+    the same closed input (pinned by tests).
+    """
+    from tablecloth_time_spark.functions.units import (
+        milliseconds_in,
+        normalize_unit,
+    )
+
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {steps!r}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
+    k = len(steps)
+    deadline_ms = (
+        within * milliseconds_in(normalize_unit(unit))
+        if within is not None
+        else None
+    )
+
+    key_field = stream.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("steps_completed", IntegerType()),
+            StructField("step_ts_ms", ArrayType(LongType())),
+            StructField("converted", BooleanType()),
+        ]
+    )
+    # stage + k completed-step times (null past the stage)
+    state_schema = StructType(
+        [StructField("stage", IntegerType())]
+        + [StructField(f"t{i}", LongType()) for i in range(1, k + 1)]
+    )
+
+    def kernel(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values("ts_ms", kind="stable")
+        ms = pdf["ts_ms"].to_numpy(dtype=np.int64)
+        st = pdf["step"].to_numpy()
+
+        if state.exists:
+            got = state.get
+            stage = int(got[0])
+            times = [got[i] for i in range(1, k + 1)]
+        else:
+            stage, times = 0, [None] * k
+
+        advanced = False
+        while stage < k:
+            target = steps[stage]
+            mask = st == target
+            if stage > 0:
+                mask &= ms >= times[stage - 1]
+                if deadline_ms is not None:
+                    mask &= ms <= times[0] + deadline_ms
+            hits = np.flatnonzero(mask)
+            if not len(hits):
+                break
+            times[stage] = int(ms[hits[0]])
+            stage += 1
+            advanced = True
+
+        if not advanced:
+            return
+        state.update(
+            (stage, *[None if t is None else int(t) for t in times])
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "steps_completed": np.array([stage], dtype="int32"),
+                "step_ts_ms": [
+                    [None if t is None else int(t) for t in times]
+                ],
+                "converted": [stage == k],
+            }
+        )
+
+    base = stream.select(
+        key_col,
+        to_epoch_millis(ts_col).alias("ts_ms"),
+        F.col(step_col).alias("step"),
     )
     return base.groupBy(key_col).applyInPandasWithState(
         kernel,

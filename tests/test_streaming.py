@@ -960,3 +960,79 @@ def test_streaming_cusum_mixed_invalid_sd_rows(spark, tmp_path):
         assert pd.isna(got.loc[i, "cusum_neg"])
         assert not got.loc[i, "is_drift"]
     assert got.loc[4, "is_drift"] == (exp[4] > 2.0)
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """The LAST emitted progress row per key over 3 in-order micro-batches
+    must equal the batch funnel verdict on the same closed input —
+    including conversions whose steps SPAN micro-batch boundaries."""
+    import numpy as np
+
+    from tablecloth_time_spark.operators.cohorts import funnel
+    from tablecloth_time_spark.streaming.stateful import streaming_funnel
+
+    rng = np.random.default_rng(31)
+    n = 600
+    rows = pd.DataFrame(
+        {
+            "u": rng.integers(0, 40, n).astype("int64"),
+            "ts": pd.to_datetime("2024-06-01")
+            + pd.to_timedelta(np.sort(rng.integers(0, 20 * 86400, n)), unit="s"),
+            "step": rng.choice(
+                ["view", "click", "purchase", "other"], n,
+                p=[0.45, 0.25, 0.15, 0.15],
+            ),
+        }
+    )
+    steps = ["view", "click", "purchase"]
+    full = spark.createDataFrame(rows)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, part in enumerate(np.array_split(np.arange(n), 3)):
+        spark.createDataFrame(rows.iloc[part]).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_funnel(
+        stream, "u", "ts", "step", steps, within=120, unit="hour"
+    )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(sink).toPandas()
+    # progress is monotone: take each key's furthest emission
+    last = (
+        got.sort_values("steps_completed", kind="stable")
+        .groupby("u").tail(1).set_index("u")
+    )
+    exp = (
+        funnel(full, "u", "ts", "step", steps, within=120, unit="hour")
+        .toPandas().set_index("u")
+    )
+    assert set(last.index) == set(exp.index)
+    for u, erow in exp.iterrows():
+        grow = last.loc[u]
+        assert grow["steps_completed"] == erow["steps_completed"], u
+        assert bool(grow["converted"]) == bool(erow["converted"]), u
+        ts_ms = list(grow["step_ts_ms"])
+        for i in range(len(steps)):
+            e = erow[f"ts_{i + 1}"]
+            if pd.isna(e):
+                assert ts_ms[i] is None or pd.isna(ts_ms[i]), (u, i)
+            else:
+                assert int(ts_ms[i]) == e.value // 10**6, (u, i)
+    # spanning conversions exist (state carried across batches)
+    multi = got.groupby("u").size()
+    assert (multi > 1).any()
