@@ -2015,6 +2015,68 @@ def q_turn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style histogram_quantile over the daily value-histogram
+    tier per event type: quantiles recovered at read time from MERGEABLE
+    histogram counts (the storable alternative to exact-percentile
+    buffers and non-persistable sketches) by linear interpolation inside
+    the target bin (operators/stats.py:histogram_quantile; one window +
+    one aggregate over the tiny histogram frame)."""
+    from tablecloth_time_spark.operators.stats import (
+        histogram_quantile,
+        histogram_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hist = histogram_rollup(
+        ev, ["event_type"], "ts", "value", 1, "day",
+        lo=0.0, hi=200.0, n_bins=20,
+    )
+    out = histogram_quantile(hist, ["event_type", "bucket"])
+    return out.select(
+        "event_type", "bucket", "total",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
+SQL_HISTOGRAM_QUANTILE = """
+WITH h AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+         CAST(LEAST(19, GREATEST(0, FLOOR((value - 0.0) / 10.0)))
+           AS INTEGER) AS bin,
+         COUNT(*) AS cnt
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2, 3
+),
+c AS (
+  SELECT event_type, bucket, bin,
+         CAST(cnt AS DOUBLE) AS n,
+         0.0 + bin * 10.0 AS lo,
+         0.0 + (bin + 1) * 10.0 AS hi,
+         SUM(CAST(cnt AS DOUBLE)) OVER (
+           PARTITION BY event_type, bucket ORDER BY bin
+           ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(CAST(cnt AS DOUBLE)) OVER (
+           PARTITION BY event_type, bucket) AS total
+  FROM h
+)
+SELECT event_type, bucket, MAX(total) AS total,
+       ROUND(min_by(LEAST(hi, GREATEST(lo,
+               lo + (hi - lo) * ((0.5 * total - (cum - n)) / n))), bin)
+             FILTER (WHERE cum >= 0.5 * total), 6) AS p50,
+       ROUND(min_by(LEAST(hi, GREATEST(lo,
+               lo + (hi - lo) * ((0.95 * total - (cum - n)) / n))), bin)
+             FILTER (WHERE cum >= 0.95 * total), 6) AS p95,
+       ROUND(min_by(LEAST(hi, GREATEST(lo,
+               lo + (hi - lo) * ((0.99 * total - (cum - n)) / n))), bin)
+             FILTER (WHERE cum >= 0.99 * total), 6) AS p99
+FROM c GROUP BY 1, 2
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-step conversion funnel (view -> click -> purchase) per
     user with a 72 h conversion window: step i counts only at/after the
@@ -3698,6 +3760,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "holt_forecast": [("forecast", "DOUBLE")],
     "turn_metrics": [("duration_s", "DOUBLE"), ("mean_response_s", "DOUBLE"), ("p95_response_s", "DOUBLE")],
     "slo_burn": [("err_short", "DOUBLE"), ("err_long", "DOUBLE"), ("burn_short", "DOUBLE"), ("burn_long", "DOUBLE")],
+    "histogram_quantile": [("total", "DOUBLE"), ("p50", "DOUBLE"), ("p95", "DOUBLE"), ("p99", "DOUBLE")],
     "cusum_drift": [("cusum_pos", "DOUBLE"), ("cusum_neg", "DOUBLE")],
     "croston_intermittent": [("z_hat", "DOUBLE"), ("p_hat", "DOUBLE"), ("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
@@ -3777,6 +3840,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_metrics": q_turn_metrics,
         "slo_burn": q_slo_burn,
         "funnel": q_funnel,
+        "histogram_quantile": q_histogram_quantile,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -3855,6 +3919,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "turn_metrics": SQL_TURN_METRICS,
         "slo_burn": SQL_SLO_BURN,
         "funnel": SQL_FUNNEL,
+        "histogram_quantile": SQL_HISTOGRAM_QUANTILE,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,

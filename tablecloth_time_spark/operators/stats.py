@@ -462,3 +462,80 @@ def mad_anomalies(
         )
         .drop("__med", "__mad")
     )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    group_cols: list[str],
+    quantiles: dict[str, float] | None = None,
+    bin_col: str = "bin",
+    count_col: str = "n",
+    lo_col: str = "bin_lo",
+    hi_col: str = "bin_hi",
+) -> DataFrame:
+    """Prometheus-style ``histogram_quantile``: estimate quantiles FROM a
+    long-format histogram (``histogram_rollup`` output) by linear
+    interpolation inside the target bin — rank = q * total, target = the
+    lowest bin whose cumulative count reaches the rank, estimate =
+    bin_lo + bin_width * (rank - cum_prev) / bin_n.
+
+    This closes the mergeable-quantile loop for the retention tiers:
+    exact percentiles buffer raw values and approx_percentile sketches
+    can't be STORED, but histogram counts are plain sums — they cascade
+    through every tier and through continuous-aggregate maintenance like
+    any rollup, and this operator turns the stored tier back into
+    quantiles at read time. Accuracy is bounded by the bin width (and by
+    the edge-bin clamp for out-of-range mass, exactly as in Prometheus).
+
+    ONE cumulative window over the tiny histogram frame (rows ∝ groups x
+    bins, not events) + ONE aggregate: per quantile, a conditional
+    struct-min picks the lowest qualifying bin — all quantiles ride the
+    same pass. q = 0 -> first non-empty bin's lower edge; q = 1 -> last
+    non-empty bin's upper edge.
+
+    Output: group_cols..., total, <one column per ``quantiles`` name>
+    (default p50/p95/p99).
+    """
+    qs = quantiles or {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+    for name, q in qs.items():
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {name}={q} outside [0, 1]")
+    w = Window.partitionBy(*group_cols).orderBy(F.col(bin_col).asc())
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    whole = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n = F.col(count_col).cast("double")
+    cum = F.sum(n).over(run)
+    total = F.sum(n).over(whole)
+    prev = cum - n
+    lo, hi = F.col(lo_col), F.col(hi_col)
+
+    base = hist.select(
+        *group_cols,
+        F.col(bin_col),
+        cum.alias("__cum"),
+        total.alias("__total"),
+        prev.alias("__prev"),
+        n.alias("__n"),
+        lo.alias("__lo"),
+        hi.alias("__hi"),
+    )
+    # the aggregate reads the materialized window columns, not window
+    # expressions (windows can't nest inside aggregate functions)
+    cols = [F.first(F.col("__total")).alias("total")]
+    for name, q in qs.items():
+        rank = F.lit(float(q)) * F.col("__total")
+        # linear interpolation inside the bin, clamped to its edges
+        # (rank==prev -> lo, rank==cum -> hi; float noise must not
+        # escape the bin)
+        est = F.col("__lo") + (F.col("__hi") - F.col("__lo")) * (
+            (rank - F.col("__prev")) / F.col("__n")
+        )
+        est = F.least(F.col("__hi"), F.greatest(F.col("__lo"), est))
+        cand = F.when(
+            F.col("__cum") >= rank,
+            F.struct(F.col(bin_col).alias("b"), est.alias("v")),
+        )
+        cols.append(F.min(cand).getField("v").alias(name))
+    return base.groupBy(*group_cols).agg(*cols)

@@ -828,3 +828,104 @@ def test_funnel_validates_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------- histogram_quantile
+
+
+def _hq_ref(bins, q):
+    """bins: sorted [(bin, n, lo, hi)]; Prometheus-style interpolation."""
+    total = sum(n for _, n, _, _ in bins)
+    rank = q * total
+    cum = 0.0
+    for _, n, lo, hi in bins:
+        prev, cum = cum, cum + n
+        if cum >= rank:
+            est = lo + (hi - lo) * ((rank - prev) / n)
+            return min(hi, max(lo, est))
+    return bins[-1][3]
+
+
+def test_histogram_quantile_matches_python_oracle(spark):
+    import numpy as np
+
+    from tablecloth_time_spark.operators.stats import (
+        histogram_quantile,
+        histogram_rollup,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n).astype("int64"),
+            "ts": pd.to_datetime("2024-04-01")
+            + pd.to_timedelta(rng.integers(0, 4 * 86400, n), unit="s"),
+            "v": np.round(rng.lognormal(3, 1, n), 3),
+        }
+    )
+    hist = histogram_rollup(
+        spark.createDataFrame(pdf), ["k"], "ts", "v", 1, "day",
+        lo=0.0, hi=100.0, n_bins=25,
+    )
+    got = (
+        histogram_quantile(hist, ["k", "bucket"])
+        .toPandas()
+        .sort_values(["k", "bucket"], kind="stable")
+        .set_index(["k", "bucket"])
+    )
+    hist_pd = hist.toPandas()
+    assert len(got) == hist_pd.groupby(["k", "bucket"]).ngroups
+    for (k, b), g in hist_pd.groupby(["k", "bucket"]):
+        g = g.sort_values("bin", kind="stable")
+        bins = list(zip(g["bin"], g["n"], g["bin_lo"], g["bin_hi"]))
+        row = got.loc[(k, b)]
+        assert row["total"] == sum(x[1] for x in bins)
+        for name, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+            assert row[name] == pytest.approx(_hq_ref(bins, q), rel=1e-12), (
+                k, b, name,
+            )
+
+
+def test_histogram_quantile_uniform_golden_and_edges(spark):
+    """On exactly-uniform bin mass the interpolation is exact: q maps to
+    lo + q * range. q=0 -> first bin's lower edge, q=1 -> last bin's
+    upper edge."""
+    from tablecloth_time_spark.operators.stats import histogram_quantile
+
+    rows = [
+        # key, bin, n, lo, hi — 4 bins x 10 each over [0, 40)
+        (1, i, 10, float(10 * i), float(10 * (i + 1)))
+        for i in range(4)
+    ]
+    hist = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "bin", "n", "bin_lo", "bin_hi"])
+    )
+    got = histogram_quantile(
+        hist, ["k"],
+        {"q0": 0.0, "q25": 0.25, "q50": 0.5, "q95": 0.95, "q1": 1.0},
+    ).toPandas().iloc[0]
+    assert got["q0"] == 0.0
+    assert got["q25"] == pytest.approx(10.0)
+    assert got["q50"] == pytest.approx(20.0)
+    assert got["q95"] == pytest.approx(38.0)
+    assert got["q1"] == pytest.approx(40.0)
+    with pytest.raises(ValueError, match="outside"):
+        histogram_quantile(hist, ["k"], {"bad": 1.5})
+
+
+def test_histogram_quantile_plan_no_python(spark):
+    from tablecloth_time_spark.operators.stats import histogram_quantile
+
+    hist = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 0, 5, 0.0, 1.0)],
+            columns=["k", "bin", "n", "bin_lo", "bin_hi"],
+        )
+    )
+    plan = (
+        histogram_quantile(hist, ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") == 1  # window partitioning reused by agg
