@@ -408,6 +408,18 @@ def main() -> None:
             lo=0.0, hi=1000.0, n_bins=20,
         ).agg(F.sum("n")).collect(),
     )
+    from tablecloth_time_spark.operators.stats import histogram_quantile
+
+    timed(
+        "histogram_quantile_events",
+        lambda: histogram_quantile(
+            histogram_rollup(
+                events, ["event_type"], "ts", "value", 1, "hour",
+                lo=0.0, hi=1000.0, n_bins=20,
+            ),
+            ["event_type", "bucket"],
+        ).agg(F.sum("p95")).collect(),
+    )
     timed(
         "state_durations_events",
         lambda: state_durations(
