@@ -2015,6 +2015,63 @@ def q_turn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical survival curve of session durations (30-min-gap
+    sessions per user, 10-minute grid): the fraction of sessions
+    lasting >= t, i.e. the "how long do conversations last" retention
+    view. One bucket aggregate + windows over the tiny curve frame
+    (operators/cohorts.py:survival_curve over
+    operators/sessions.py:session_stats)."""
+    from tablecloth_time_spark.operators.cohorts import survival_curve
+    from tablecloth_time_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    sess = session_stats(
+        ev, "user_id", "ts", 30, "minute", order_cols=["event_id"]
+    ).select((F.col("duration_ms").cast("double") / 1000.0).alias("dur"))
+    out = survival_curve(sess, "dur", step=600.0)
+    return out.select(
+        "t",
+        "n_at_least",
+        F.round("survival", 6).alias("survival"),
+    )
+
+
+SQL_SESSION_SURVIVAL = """
+WITH so AS (
+  SELECT user_id, ts, event_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+         lag(epoch_ms(CAST(ts AS TIMESTAMP)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+sg AS (
+  SELECT user_id, ms,
+         SUM(CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM so
+),
+sess AS (
+  SELECT user_id, sid,
+         CAST(MAX(ms) - MIN(ms) AS DOUBLE) / 1000.0 AS dur
+  FROM sg GROUP BY 1, 2
+),
+b AS (
+  SELECT CAST(FLOOR(dur / 600.0) AS BIGINT) AS bkt, COUNT(*) AS n
+  FROM sess WHERE dur IS NOT NULL AND dur >= 0 GROUP BY 1
+)
+SELECT CAST(bkt AS DOUBLE) * 600.0 AS t,
+       CAST(SUM(n) OVER (ORDER BY bkt
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+         AS n_at_least,
+       ROUND(CAST(SUM(n) OVER (ORDER BY bkt
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
+             / CAST(SUM(n) OVER () AS DOUBLE), 6) AS survival
+FROM b
+"""
+
+
 def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus-style histogram_quantile over the daily value-histogram
     tier per event type: quantiles recovered at read time from MERGEABLE
@@ -3761,6 +3818,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "turn_metrics": [("duration_s", "DOUBLE"), ("mean_response_s", "DOUBLE"), ("p95_response_s", "DOUBLE")],
     "slo_burn": [("err_short", "DOUBLE"), ("err_long", "DOUBLE"), ("burn_short", "DOUBLE"), ("burn_long", "DOUBLE")],
     "histogram_quantile": [("total", "DOUBLE"), ("p50", "DOUBLE"), ("p95", "DOUBLE"), ("p99", "DOUBLE")],
+    "session_survival": [("t", "DOUBLE"), ("survival", "DOUBLE")],
     "cusum_drift": [("cusum_pos", "DOUBLE"), ("cusum_neg", "DOUBLE")],
     "croston_intermittent": [("z_hat", "DOUBLE"), ("p_hat", "DOUBLE"), ("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
@@ -3841,6 +3899,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slo_burn": q_slo_burn,
         "funnel": q_funnel,
         "histogram_quantile": q_histogram_quantile,
+        "session_survival": q_session_survival,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -3920,6 +3979,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "slo_burn": SQL_SLO_BURN,
         "funnel": SQL_FUNNEL,
         "histogram_quantile": SQL_HISTOGRAM_QUANTILE,
+        "session_survival": SQL_SESSION_SURVIVAL,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,

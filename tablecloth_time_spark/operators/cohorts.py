@@ -181,3 +181,61 @@ def funnel(
         completed.alias("steps_completed"),
         F.col(f"__ms_{len(steps)}").isNotNull().alias("converted"),
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    duration_col: str,
+    step: float,
+    keys: list[str] | None = None,
+    max_steps: int | None = None,
+) -> DataFrame:
+    """Empirical survival curve over a duration column: for each grid
+    point t = 0, step, 2*step, ... the fraction of entities whose
+    duration is >= t (the product-analytics view of "how long do
+    sessions/conversations last", the complement of the duration CDF;
+    with complete durations and no censoring the Kaplan-Meier estimator
+    reduces to exactly this empirical curve).
+
+    Plan: ONE hash aggregate buckets durations to the grid
+    (floor(d/step) — map-side combinable, the rollup shape), then the
+    descending cumulative sum and the divide-by-total run as window
+    expressions over the TINY bucket frame (rows ∝ distinct grid
+    points, not entities). ``keys`` gives one curve per group (e.g. per
+    cohort week); ``max_steps`` clips the tail into a final catch-all
+    point (like the histogram edge bins).
+
+    Output: keys..., t (grid point, double), n_at_least (entities with
+    duration >= t), survival (fraction of the group's total). Grid
+    points with no exact-bucket mass still appear implicitly via the
+    next lower bucket — downstream plotting can gap-fill with ffill,
+    but the curve's VALUE at every emitted t is exact.
+    """
+    if step <= 0:
+        raise ValueError(f"step must be positive, got {step}")
+    ks = list(keys or [])
+    d = F.col(duration_col).cast("double")
+    bucket = F.floor(d / F.lit(float(step))).cast("long")
+    if max_steps is not None:
+        bucket = F.least(F.lit(int(max_steps)), bucket)
+    binned = (
+        df.filter(d.isNotNull() & (d >= 0))
+        .groupBy(*ks, bucket.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy(*ks).orderBy(F.col("__b").asc())
+    # entities with duration >= t are ALL buckets at or above t
+    from_here = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    whole = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_at_least = F.sum("__n").over(from_here)
+    total = F.sum("__n").over(whole)
+    return binned.select(
+        *ks,
+        (F.col("__b").cast("double") * F.lit(float(step))).alias("t"),
+        n_at_least.alias("n_at_least"),
+        (n_at_least.cast("double") / total.cast("double")).alias(
+            "survival"
+        ),
+    )

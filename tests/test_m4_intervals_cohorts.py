@@ -929,3 +929,59 @@ def test_histogram_quantile_plan_no_python(spark):
     )
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert plan.count("Exchange") == 1  # window partitioning reused by agg
+
+
+# --------------------------------------------------------------- survival
+
+
+def test_survival_curve_matches_numpy(spark):
+    import numpy as np
+
+    from tablecloth_time_spark.operators.cohorts import survival_curve
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "g": rng.integers(0, 3, n).astype("int64"),
+            "dur": np.round(rng.exponential(600, n), 2),
+        }
+    )
+    got = (
+        survival_curve(spark.createDataFrame(pdf), "dur", step=120.0,
+                       keys=["g"])
+        .toPandas()
+        .sort_values(["g", "t"], kind="stable")
+        .reset_index(drop=True)
+    )
+    for g, grp in pdf.groupby("g"):
+        durs = grp["dur"].to_numpy()
+        sub = got[got["g"] == g]
+        # emitted grid points = non-empty buckets
+        exp_ts = sorted({np.floor(d / 120.0) * 120.0 for d in durs})
+        assert list(sub["t"]) == exp_ts
+        for _, row in sub.iterrows():
+            exp_n = int((durs >= row["t"]).sum())
+            assert row["n_at_least"] == exp_n
+            assert row["survival"] == pytest.approx(exp_n / len(durs))
+    # monotone non-increasing, starts at 1.0 (bucket 0 exists here)
+    for g in got["g"].unique():
+        s = got[got["g"] == g]["survival"].to_numpy()
+        assert s[0] == pytest.approx(1.0)
+        assert (np.diff(s) <= 1e-12).all()
+
+
+def test_survival_curve_max_steps_and_validation(spark):
+    from tablecloth_time_spark.operators.cohorts import survival_curve
+
+    pdf = pd.DataFrame({"dur": [5.0, 15.0, 25.0, 1000.0]})
+    df = spark.createDataFrame(pdf)
+    got = (
+        survival_curve(df, "dur", step=10.0, max_steps=2)
+        .toPandas().sort_values("t").reset_index(drop=True)
+    )
+    # tail clipped into the catch-all at t=20
+    assert list(got["t"]) == [0.0, 10.0, 20.0]
+    assert list(got["n_at_least"]) == [4, 3, 2]
+    with pytest.raises(ValueError, match="positive"):
+        survival_curve(df, "dur", step=0.0)
