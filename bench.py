@@ -219,8 +219,21 @@ def main() -> None:
             slo=0.95, short=(30, "minute"), long=(4, "hour"),
         ).agg(F.sum("burn_long")).collect(),
     )
-    from tablecloth_time_spark.operators.cohorts import funnel
+    from tablecloth_time_spark.operators.cohorts import funnel, survival_curve
+    from tablecloth_time_spark.operators.sessions import session_stats
 
+    timed(
+        "session_survival_events",
+        lambda: survival_curve(
+            session_stats(
+                events, "user_id", "ts", 30, "minute",
+                order_cols=["event_id"],
+            ).select(
+                (F.col("duration_ms").cast("double") / 1000.0).alias("dur")
+            ),
+            "dur", step=600.0,
+        ).agg(F.sum("survival")).collect(),
+    )
     timed(
         "funnel_events",
         lambda: funnel(

@@ -99,3 +99,82 @@ def test_origin_floor_algebra(ms, origin, interval, unit):
     assert 0 <= ms - f < d
     f2 = f - ((f - origin) % d + d) % d
     assert f2 == f
+
+
+def _holt_weights(alpha: float, beta: float, phi: float, T: int):
+    """Pure-numpy mirror of holt_forecast's Cayley-Hamilton weights:
+    returns (wl, wb) arrays indexed by rn-1 (0 = newest observation)."""
+    import math
+
+    tr = (1.0 - alpha) + phi * (1.0 - alpha * beta)
+    det = phi * (1.0 - alpha)
+    disc = tr * tr - 4.0 * det
+
+    def pq(j):
+        j = np.asarray(j, dtype=np.float64)
+        if disc > 1e-12:
+            sq = math.sqrt(disc)
+            l1, l2 = (tr + sq) / 2.0, (tr - sq) / 2.0
+            p = (l1**j - l2**j) / (l1 - l2)
+            q = (l1 * l2**j - l2 * l1**j) / (l1 - l2)
+        elif disc < -1e-12:
+            r = math.sqrt(det)
+            th = math.acos(tr / (2.0 * r))
+            s = math.sin(th)
+            p = r ** (j - 1) * np.sin(j * th) / s
+            q = -(r**j) * np.sin((j - 1) * th) / s
+        else:
+            lam = tr / 2.0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                p = np.where(j == 0, 0.0, j * lam ** np.maximum(j - 1, 0))
+            q = (1.0 - j) * lam**j
+        return p, q
+
+    g = np.array([alpha, alpha * beta])
+    F = np.array([[1 - alpha, (1 - alpha) * phi],
+                  [-alpha * beta, phi * (1 - alpha * beta)]])
+    fg = F @ g
+    fc2 = F @ np.array([1.0, 1.0])
+    fc1 = F @ np.array([0.0, 1.0])
+
+    rn = np.arange(1, T + 1)  # 1 = newest
+    p_s, q_s = pq(rn - 1.0)
+    p_i, q_i = pq(float(T - 2))
+    wl = p_s * fg[0] + q_s * g[0]
+    wb = p_s * fg[1] + q_s * g[1]
+    # init rows: rn == T-1 carries y_2's share of s_2, rn == T carries
+    # -y_1's share
+    wl[T - 2], wb[T - 2] = p_i * fc2[0] + q_i, p_i * fc2[1] + q_i
+    wl[T - 1], wb[T - 1] = -(p_i * fc1[0]), -(p_i * fc1[1] + q_i)
+    return wl, wb
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=0.02, max_value=1.0),
+    st.floats(min_value=0.0, max_value=1.0),
+    st.floats(min_value=0.5, max_value=1.0),
+    st.integers(min_value=2, max_value=60),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_holt_cayley_hamilton_weights_equal_recurrence(
+    alpha, beta, phi, T, seed
+):
+    """Across the WHOLE (alpha, beta, phi) space — all three discriminant
+    branches — the closed-form weighted sum must reproduce the
+    sequential Holt recurrence's (l_T, b_T)."""
+    rng = np.random.default_rng(seed)
+    y = rng.normal(50, 10, T)
+
+    l, b = y[1], y[1] - y[0]
+    for t in range(2, T):
+        l_new = alpha * y[t] + (1 - alpha) * (l + phi * b)
+        b = beta * (l_new - l) + (1 - beta) * phi * b
+        l = l_new
+
+    wl, wb = _holt_weights(alpha, beta, phi, T)
+    y_desc = y[::-1]  # index by rn-1: newest first
+    l_hat = float(wl @ y_desc)
+    b_hat = float(wb @ y_desc)
+    assert np.isclose(l_hat, l, rtol=1e-8, atol=1e-8)
+    assert np.isclose(b_hat, b, rtol=1e-8, atol=1e-8)
