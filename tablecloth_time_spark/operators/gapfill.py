@@ -49,6 +49,7 @@ def resample_to_regular_grid(
     unit: str,
     method: str = "none",
     agg: str = "avg",
+    zone: str | None = None,
 ) -> DataFrame:
     """Regularize each series to an (interval x unit) grid and fill gaps.
 
@@ -64,6 +65,19 @@ def resample_to_regular_grid(
     development-plan.md:566-585 allows any interval x unit). ``linear``
     interpolates over real elapsed time (epoch-millis x-axis), so unequal
     month lengths weight correctly.
+
+    ``zone`` builds the grid on that zone's LOCAL calendar (the
+    reference's floor-to-* ``{:zone}`` option carried through to
+    gridding): buckets are the UTC instants of local boundaries — a
+    Europe/Berlin daily grid steps 24 LOCAL hours, i.e. 23/25 UTC hours
+    across the DST transitions — via the same from/to_utc_timestamp
+    sandwich as ``down_to_nearest(zone=)``, stepping the sequence in
+    local wall time so grid points join exactly onto the zoned observed
+    buckets (to_utc resolves fall-back ambiguity identically on both
+    sides). Same caveat as the floor: a zone whose DST transition falls
+    exactly ON a grid boundary's local midnight (historical Brazil)
+    shifts that point by the gap. ``linear`` still interpolates over
+    real elapsed UTC time.
     """
     method = method.lower()
     if method not in FILL_METHODS:
@@ -75,7 +89,7 @@ def resample_to_regular_grid(
         step_ms = interval * milliseconds_in(u)
         step = F.expr(f"INTERVAL {step_ms * 1000} MICROSECOND")
 
-    bucket = down_to_nearest(ts_col, interval, u).alias("bucket")
+    bucket = down_to_nearest(ts_col, interval, u, zone=zone).alias("bucket")
     agg_expr = {
         "avg": F.avg(value_col),
         "sum": F.sum(value_col),
@@ -91,10 +105,27 @@ def resample_to_regular_grid(
     spans = observed.groupBy(*keys).agg(
         F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
     )
-    grid = spans.select(
-        *keys,
-        F.explode(F.sequence("__lo", "__hi", step)).alias("bucket"),
-    )
+    if zone is None:
+        grid = spans.select(
+            *keys,
+            F.explode(F.sequence("__lo", "__hi", step)).alias("bucket"),
+        )
+    else:
+        # step in LOCAL wall time, then back to UTC — grid points land
+        # exactly on the zoned observed buckets (same to_utc both sides;
+        # explode first, a generator can't nest inside to_utc_timestamp)
+        grid = spans.select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    F.from_utc_timestamp("__lo", zone),
+                    F.from_utc_timestamp("__hi", zone),
+                    step,
+                )
+            ).alias("__loc"),
+        ).select(
+            *keys, F.to_utc_timestamp("__loc", zone).alias("bucket")
+        )
     joined = grid.join(observed, [*keys, "bucket"], "left")
 
     if method == "none":

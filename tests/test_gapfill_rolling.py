@@ -290,3 +290,117 @@ def test_rolling_rows_rejects_bad_window(stocks_df):
 
     with pytest.raises(ValueError, match="window must be >= 1"):
         rolling_rows(stocks_df, ["symbol"], ["date"], 0, {"r": ("avg", "close")})
+
+
+def test_gapfill_zoned_daily_grid_dst_golden(spark):
+    """A Europe/Berlin daily grid steps 24 LOCAL hours: 23 UTC hours into
+    the spring-forward day, 25 out of the fall-back day; every grid point
+    is the UTC instant of a Berlin local midnight, and ffill crosses the
+    transitions like any other gap."""
+    from tablecloth_time_spark.operators.gapfill import (
+        resample_to_regular_grid,
+    )
+
+    # observations straddling the 2024-03-31 spring-forward (Berlin):
+    # one before, a 3-day gap, one after
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime(
+                ["2024-03-29 12:00:00", "2024-04-02 09:00:00"]  # UTC
+            ),
+            "v": [10.0, 20.0],
+        }
+    )
+    out = (
+        resample_to_regular_grid(
+            spark.createDataFrame(pdf), ["k"], "ts", "v", 1, "day",
+            method="ffill", zone="Europe/Berlin",
+        )
+        .toPandas()
+        .sort_values("bucket", kind="stable")
+        .reset_index(drop=True)
+    )
+    buckets = pd.to_datetime(out["bucket"])
+    # local midnights as UTC instants: 23:00 UTC while CET, 22:00 in CEST
+    exp = pd.to_datetime(
+        [
+            "2024-03-28 23:00:00",  # Mar 29 local midnight (CET)
+            "2024-03-29 23:00:00",  # Mar 30
+            "2024-03-30 23:00:00",  # Mar 31 (the 23h local day)
+            "2024-03-31 22:00:00",  # Apr 1 local midnight (CEST)
+            "2024-04-01 22:00:00",  # Apr 2
+        ]
+    )
+    assert list(buckets) == list(exp)
+    gaps_h = buckets.diff().dropna().dt.total_seconds().to_numpy() / 3600
+    assert list(gaps_h) == [24.0, 24.0, 23.0, 24.0]
+    # ffill carries the pre-gap value across the transition
+    assert list(out["v"]) == [10.0, 10.0, 10.0, 10.0, 20.0]
+
+
+def test_gapfill_zoned_fall_back_25h_day(spark):
+    """The fall-back day (2024-10-27 Berlin) is 25 UTC hours wide on the
+    zoned daily grid."""
+    from tablecloth_time_spark.operators.gapfill import (
+        resample_to_regular_grid,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime(["2024-10-26 10:00:00", "2024-10-29 10:00:00"]),
+            "v": [1.0, 2.0],
+        }
+    )
+    out = (
+        resample_to_regular_grid(
+            spark.createDataFrame(pdf), ["k"], "ts", "v", 1, "day",
+            method="none", zone="Europe/Berlin",
+        )
+        .toPandas()
+        .sort_values("bucket", kind="stable")
+        .reset_index(drop=True)
+    )
+    gaps_h = (
+        pd.to_datetime(out["bucket"]).diff().dropna().dt.total_seconds() / 3600
+    )
+    assert 25.0 in list(gaps_h)
+    # observed buckets joined onto the zoned grid (no orphan rows)
+    assert out["v"].notna().sum() == 2
+
+
+def test_gapfill_zoned_monthly_grid(spark):
+    """Zone-aware CALENDAR grid: Berlin month starts as UTC instants,
+    joining exactly onto the zoned monthly buckets."""
+    from tablecloth_time_spark.operators.gapfill import (
+        resample_to_regular_grid,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime(["2024-01-15", "2024-05-20"]),
+            "v": [1.0, 5.0],
+        }
+    )
+    out = (
+        resample_to_regular_grid(
+            spark.createDataFrame(pdf), ["k"], "ts", "v", 1, "month",
+            method="none", zone="Europe/Berlin",
+        )
+        .toPandas()
+        .sort_values("bucket", kind="stable")
+        .reset_index(drop=True)
+    )
+    exp = pd.to_datetime(
+        [
+            "2023-12-31 23:00:00",  # Jan 1 local midnight, CET
+            "2024-01-31 23:00:00",
+            "2024-02-29 23:00:00",
+            "2024-03-31 22:00:00",  # Apr 1, CEST
+            "2024-04-30 22:00:00",
+        ]
+    )
+    assert list(pd.to_datetime(out["bucket"])) == list(exp)
+    assert out["v"].notna().sum() == 2
