@@ -411,3 +411,70 @@ def test_empty_increment_is_noop(spark, tmp_path):
     ca.refresh()
     final = ca.read_tier("hour").collect()
     assert {(r["k"], r["n"], r["s"]) for r in final} == {("a", 3, 7.0)}
+
+
+def test_continuous_histogram_tier_serves_quantiles(spark, tmp_path, batches):
+    """Mergeable histogram counts ride the continuous-aggregate seam like
+    any rollup (bin is just another grouping key, derived in prepare),
+    and histogram_quantile reads the INCREMENTALLY maintained tier to the
+    exact same quantiles as a one-shot histogram over the full data —
+    the storable-quantile story end to end."""
+    from tablecloth_time_spark.operators.stats import (
+        histogram_quantile,
+        histogram_rollup,
+    )
+
+    b1, b2 = batches
+    lo, hi, n_bins = 0.0, 60.0, 12
+    width = (hi - lo) / n_bins
+
+    def prepare(df):
+        d = _with_len(df)
+        v = F.col("text_len").cast("double")
+        return d.withColumn(
+            "bin",
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width))),
+            ).cast("int"),
+        )
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    ca = ContinuousAggregate(
+        spark, src, str(tmp_path / "agg"),
+        keys=["role", "bin"], ts_col="ts",
+        aggs={"n": ("count", "turn_idx")},
+        tiers=(TierSpec("hour", 1, "hour", retention_days=None),),
+        order_cols=["ts", "turn_idx"], prepare=prepare,
+    )
+    src.append(b1)
+    ca.refresh()
+    src.append(b2)
+    ca.refresh()
+
+    maintained = ca.read_tier("hour").withColumns(
+        {
+            "bin_lo": F.lit(lo) + F.col("bin") * F.lit(width),
+            "bin_hi": F.lit(lo) + (F.col("bin") + 1) * F.lit(width),
+        }
+    )
+    full = b1.unionByName(b2)
+    oneshot = histogram_rollup(
+        full, ["role"], "ts", "text_len", 1, "hour",
+        lo=lo, hi=hi, n_bins=n_bins,
+    )
+
+    got_q = (
+        histogram_quantile(maintained, ["role", "bucket"])
+        .toPandas()
+        .sort_values(["role", "bucket"], kind="stable")
+        .reset_index(drop=True)
+    )
+    exp_q = (
+        histogram_quantile(oneshot, ["role", "bucket"])
+        .toPandas()
+        .sort_values(["role", "bucket"], kind="stable")
+        .reset_index(drop=True)
+    )
+    cols = ["role", "bucket", "total", "p50", "p95", "p99"]
+    pd.testing.assert_frame_equal(got_q[cols], exp_q[cols])
