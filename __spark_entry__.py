@@ -2015,6 +2015,64 @@ def q_turn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-safe MoM/YoY growth of monthly revenue per return flag: each
+    prior value comes from a RANGE frame pinned at exactly -k on the
+    epoch-month index — a missing month yields NULL growth, never a
+    silently misaligned row-lag comparison
+    (operators/shift.py:growth_rates; one window sort shared by both
+    offsets, no self-join)."""
+    from tablecloth_time_spark.operators.shift import growth_rates
+
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_returnflag", F.date_trunc("month", "l_shipdate").alias("bucket")
+    ).agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    out = growth_rates(monthly, "l_returnflag", "bucket", "revenue")
+    return out.select(
+        "l_returnflag", "bucket", "revenue",
+        F.round("mom_prev", 6).alias("mom_prev"),
+        F.round("mom_growth", 6).alias("mom_growth"),
+        F.round("yoy_prev", 6).alias("yoy_prev"),
+        F.round("yoy_growth", 6).alias("yoy_growth"),
+    )
+
+
+SQL_GROWTH_RATES = """
+WITH m AS (
+  SELECT l_returnflag,
+         date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS bucket,
+         ROUND(SUM(l_extendedprice), 2) AS revenue
+  FROM lineitem GROUP BY 1, 2
+),
+i AS (
+  SELECT l_returnflag, bucket, revenue,
+         (EXTRACT(year FROM bucket) - 1970) * 12
+           + EXTRACT(month FROM bucket) - 1 AS midx
+  FROM m
+)
+SELECT l_returnflag, bucket, revenue,
+       ROUND(mom_prev, 6) AS mom_prev,
+       ROUND(CASE WHEN mom_prev <> 0
+                  THEN (CAST(revenue AS DOUBLE) - mom_prev) / mom_prev
+             END, 6) AS mom_growth,
+       ROUND(yoy_prev, 6) AS yoy_prev,
+       ROUND(CASE WHEN yoy_prev <> 0
+                  THEN (CAST(revenue AS DOUBLE) - yoy_prev) / yoy_prev
+             END, 6) AS yoy_growth
+FROM (
+  SELECT l_returnflag, bucket, revenue,
+         FIRST(CAST(revenue AS DOUBLE)) OVER (
+           PARTITION BY l_returnflag ORDER BY midx
+           RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS mom_prev,
+         FIRST(CAST(revenue AS DOUBLE)) OVER (
+           PARTITION BY l_returnflag ORDER BY midx
+           RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING) AS yoy_prev
+  FROM i
+)
+"""
+
+
 def q_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical survival curve of session durations (30-min-gap
     sessions per user, 10-minute grid): the fraction of sessions
@@ -3819,6 +3877,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "slo_burn": [("err_short", "DOUBLE"), ("err_long", "DOUBLE"), ("burn_short", "DOUBLE"), ("burn_long", "DOUBLE")],
     "histogram_quantile": [("total", "DOUBLE"), ("p50", "DOUBLE"), ("p95", "DOUBLE"), ("p99", "DOUBLE")],
     "session_survival": [("t", "DOUBLE"), ("survival", "DOUBLE")],
+    "growth_rates": [("revenue", "DOUBLE"), ("mom_prev", "DOUBLE"), ("mom_growth", "DOUBLE"), ("yoy_prev", "DOUBLE"), ("yoy_growth", "DOUBLE")],
     "cusum_drift": [("cusum_pos", "DOUBLE"), ("cusum_neg", "DOUBLE")],
     "croston_intermittent": [("z_hat", "DOUBLE"), ("p_hat", "DOUBLE"), ("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
@@ -3900,6 +3959,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "histogram_quantile": q_histogram_quantile,
         "session_survival": q_session_survival,
+        "growth_rates": q_growth_rates,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -3980,6 +4040,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "funnel": SQL_FUNNEL,
         "histogram_quantile": SQL_HISTOGRAM_QUANTILE,
         "session_survival": SQL_SESSION_SURVIVAL,
+        "growth_rates": SQL_GROWTH_RATES,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,

@@ -166,6 +166,17 @@ def main() -> None:
             order_by=["ts", "event_id"], partition_by=["user_id"],
         ).count(),
     )
+    from tablecloth_time_spark.operators.shift import growth_rates
+
+    monthly_rev = events.groupBy(
+        "user_id", F.date_trunc("month", "ts").alias("bucket")
+    ).agg(F.sum("value").alias("revenue"))
+    timed(
+        "growth_rates_monthly",
+        lambda: growth_rates(
+            monthly_rev, "user_id", "bucket", "revenue"
+        ).agg(F.sum("yoy_growth"), F.sum("mom_growth")).collect(),
+    )
     from tablecloth_time_spark.operators.asof import asof_join
     from tablecloth_time_spark.operators.sessions import session_stats
 

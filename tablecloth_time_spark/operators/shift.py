@@ -168,3 +168,68 @@ def add_lag_time(
         F.col(src).alias("v"),
     )
     return df.withColumn(target, F.max(ordered).over(w).getField("v"))
+
+
+def growth_rates(
+    df: DataFrame,
+    keys: str | list[str],
+    bucket_col: str,
+    value_col: str,
+    periods: dict[str, int] | None = None,
+    unit: str = "month",
+) -> DataFrame:
+    """Gap-safe calendar growth rates over a bucketed series: for each
+    named offset (default MoM = 1, YoY = 12 in months), the value at
+    EXACTLY that many calendar units earlier and the fractional change
+    vs it — the month-over-month / year-over-year view every business
+    rollup ends in.
+
+    ``lag(k)`` over rows is WRONG on gappy series (a missing month
+    silently shifts the comparison); instead each prior value comes from
+    a RANGE frame pinned at exactly -k on the epoch-month (or
+    epoch-quarter/year) integer index — one window sort shared by every
+    offset, no self-join, and a hole where the prior bucket is absent
+    (null growth, never a misaligned one). Input contract: one row per
+    (keys, bucket) with ``bucket_col`` on the calendar floor
+    (``down_to_nearest``/``rollup`` output).
+
+    At 100 TB this is a single per-key Exchange over the BUCKETED frame
+    (rows ∝ keys x periods present, already tiers-sized) — the raw fact
+    table was reduced by the upstream rollup.
+
+    Output: input columns + per period name: <name>_prev, <name>_growth
+    ((v - prev)/prev; null when prev is null or zero).
+    """
+    from tablecloth_time_spark.functions.timeops import (
+        epoch_month,
+        epoch_quarter,
+    )
+    from tablecloth_time_spark.functions.units import normalize_unit
+
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    pers = periods or {"mom": 1, "yoy": 12}
+    u = normalize_unit(unit)
+    if u == "month":
+        idx = epoch_month(bucket_col)
+    elif u == "quarter":
+        idx = epoch_quarter(bucket_col)
+    elif u == "year":
+        idx = F.year(bucket_col).cast("long")
+    else:
+        raise ValueError(
+            f"growth_rates wants a calendar unit (month/quarter/year), "
+            f"got {unit!r} — metric-grid differences are first_difference's job"
+        )
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(*ks).orderBy(idx)
+    out = df
+    cols = []
+    for name, k in pers.items():
+        if k < 1:
+            raise ValueError(f"period {name!r} must be >= 1, got {k}")
+        prev = F.first(v).over(w.rangeBetween(-k, -k))
+        cols.append(prev.alias(f"{name}_prev"))
+        cols.append(
+            F.try_divide(v - prev, prev).alias(f"{name}_growth")
+        )
+    return out.select("*", *cols)

@@ -227,3 +227,96 @@ class TestAddLagTime:
         }
         assert out[3] == 99.0
         assert out[1] is None and out[2] is None
+
+
+# -------------------------------------------------------------- growth_rates
+
+
+def test_growth_rates_gap_safe_golden(spark):
+    """A missing month must yield NULL MoM growth (never a silently
+    misaligned row-lag comparison), and YoY compares exactly 12 months
+    back across the gap."""
+    from tablecloth_time_spark.operators.shift import growth_rates
+
+    months = ["2023-01-01", "2023-02-01", "2023-04-01", "2024-01-01",
+              "2024-02-01", "2024-04-01"]
+    vals = [100.0, 110.0, 120.0, 150.0, 165.0, 180.0]
+    pdf = pd.DataFrame(
+        {"k": 1, "bucket": pd.to_datetime(months), "v": vals}
+    )
+    got = (
+        growth_rates(spark.createDataFrame(pdf), "k", "bucket", "v")
+        .toPandas()
+        .sort_values("bucket", kind="stable")
+        .set_index("bucket")
+    )
+    t = pd.to_datetime
+    # Feb 2023: MoM vs Jan
+    assert got.loc[t("2023-02-01"), "mom_growth"] == pytest.approx(0.10)
+    # Apr 2023: March missing -> NULL MoM (a row-lag would compare Feb!)
+    assert pd.isna(got.loc[t("2023-04-01"), "mom_growth"])
+    # Jan 2024: YoY vs Jan 2023 across the gap
+    assert got.loc[t("2024-01-01"), "yoy_growth"] == pytest.approx(0.50)
+    assert got.loc[t("2024-01-01"), "yoy_prev"] == 100.0
+    # Apr 2024 YoY vs Apr 2023
+    assert got.loc[t("2024-04-01"), "yoy_growth"] == pytest.approx(0.50)
+    # series head: no priors
+    assert pd.isna(got.loc[t("2023-01-01"), "mom_growth"])
+    assert pd.isna(got.loc[t("2023-01-01"), "yoy_growth"])
+
+
+def test_growth_rates_matches_pandas(spark):
+    import numpy as np
+
+    from tablecloth_time_spark.operators.shift import growth_rates
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for k in range(4):
+        # random subset of 30 months -> plenty of gaps
+        months = np.sort(rng.choice(30, size=18, replace=False))
+        for m in months:
+            rows.append(
+                (k, pd.Timestamp("2022-01-01") + pd.DateOffset(months=int(m)),
+                 round(float(rng.uniform(50, 150)), 3))
+            )
+    pdf = pd.DataFrame(rows, columns=["k", "bucket", "v"])
+    got = (
+        growth_rates(spark.createDataFrame(pdf), "k", "bucket", "v",
+                     periods={"mom": 1, "qoq": 3, "yoy": 12})
+        .toPandas()
+        .set_index(["k", "bucket"])
+        .sort_index()
+    )
+    by_key = {
+        (k, ts): v for k, ts, v in pdf.itertuples(index=False, name=None)
+    }
+    for (k, ts), row in got.iterrows():
+        for name, off in (("mom", 1), ("qoq", 3), ("yoy", 12)):
+            prior = by_key.get((k, ts - pd.DateOffset(months=off)))
+            if prior is None:
+                assert pd.isna(row[f"{name}_growth"]), (k, ts, name)
+            else:
+                assert row[f"{name}_prev"] == pytest.approx(prior)
+                assert row[f"{name}_growth"] == pytest.approx(
+                    (row["v"] - prior) / prior
+                )
+
+
+def test_growth_rates_validation_and_plan(spark):
+    from tablecloth_time_spark.operators.shift import growth_rates
+
+    pdf = pd.DataFrame(
+        {"k": [1], "bucket": [pd.Timestamp("2024-01-01")], "v": [1.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="calendar unit"):
+        growth_rates(df, "k", "bucket", "v", unit="hour")
+    with pytest.raises(ValueError, match=">= 1"):
+        growth_rates(df, "k", "bucket", "v", periods={"bad": 0})
+    plan = (
+        growth_rates(df, "k", "bucket", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "BatchEvalPython" not in plan
