@@ -2015,6 +2015,40 @@ def q_turn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weekly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-active-user counts (WAU per day) — the
+    interval-merge formulation: activity days become coverage spans
+    [d, d+7), merged per user, exploded to days and SUMMED (a user's
+    merged spans never overlap, so no COUNT DISTINCT and no range join
+    ever touches a sliding window;
+    operators/cohorts.py:rolling_active_users). The DuckDB oracle IS the
+    naive trailing-window distinct count, proving the reformulation."""
+    from tablecloth_time_spark.operators.cohorts import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active_users(ev, "user_id", "ts", window=7)
+
+
+SQL_WEEKLY_ACTIVE = """
+WITH a AS (
+  SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+  FROM events
+),
+g AS (
+  SELECT DISTINCT dd AS day FROM (
+    SELECT unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))
+      AS dd
+    FROM a
+  )
+)
+SELECT g.day,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM g JOIN a
+  ON a.d BETWEEN g.day - INTERVAL 6 DAY AND g.day
+GROUP BY 1
+"""
+
+
 def q_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-safe MoM/YoY growth of monthly revenue per return flag: each
     prior value comes from a RANGE frame pinned at exactly -k on the
@@ -3960,6 +3994,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantile": q_histogram_quantile,
         "session_survival": q_session_survival,
         "growth_rates": q_growth_rates,
+        "weekly_active": q_weekly_active,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -4041,6 +4076,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "histogram_quantile": SQL_HISTOGRAM_QUANTILE,
         "session_survival": SQL_SESSION_SURVIVAL,
         "growth_rates": SQL_GROWTH_RATES,
+        "weekly_active": SQL_WEEKLY_ACTIVE,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,

@@ -230,7 +230,17 @@ def main() -> None:
             slo=0.95, short=(30, "minute"), long=(4, "hour"),
         ).agg(F.sum("burn_long")).collect(),
     )
-    from tablecloth_time_spark.operators.cohorts import funnel, survival_curve
+    from tablecloth_time_spark.operators.cohorts import (
+        funnel,
+        rolling_active_users,
+        survival_curve,
+    )
+
+    timed(
+        "weekly_active_events",
+        lambda: rolling_active_users(events, "user_id", "ts", window=7)
+        .agg(F.sum("active_users")).collect(),
+    )
     from tablecloth_time_spark.operators.sessions import session_stats
 
     timed(

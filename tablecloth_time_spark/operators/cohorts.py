@@ -239,3 +239,64 @@ def survival_curve(
             "survival"
         ),
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window: int = 7,
+    out_day: str = "day",
+    out_count: str = "active_users",
+) -> DataFrame:
+    """Rolling distinct-active-user counts — DAU/WAU/MAU: for each day,
+    how many distinct users were active in the trailing ``window`` days
+    ([day - window + 1, day] inclusive).
+
+    COUNT(DISTINCT) over a sliding window is the naive trap (a range
+    join or a per-day re-scan). Instead each user's activity is turned
+    into COVERAGE INTERVALS: an active day d covers output days
+    [d, d + window) — merge those per user into disjoint spans
+    (``merge_intervals``, one windowed pass), then the day's active
+    count is simply how many spans cover it: explode spans to days
+    (``sequence``, executor-side, <= window rows per merged-span day)
+    and COUNT — a plain sum, no distinct, because a user's merged spans
+    never overlap. Three rollup-class shuffles of (user, day)-sized
+    frames; the raw fact table is touched once by the initial distinct.
+
+    Trailing semantics mean days up to ``window - 1`` past the last
+    activity still carry that activity (a Monday-active user is WAU
+    through Sunday) — filter the tail caller-side if the grid should
+    stop at the data's horizon.
+
+    Output: (out_day timestamp, out_count) — one row per day covered by
+    at least one user's window.
+    """
+    from tablecloth_time_spark.operators.intervals import merge_intervals
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    day = down_to_nearest(ts_col, 1, "day")
+    acts = df.select(
+        F.col(user_col).alias("__u"), day.alias("__d")
+    ).distinct()
+    iv = acts.select(
+        "__u",
+        F.col("__d").alias("__start"),
+        (F.col("__d") + F.expr(f"INTERVAL {int(window)} DAY")).alias(
+            "__end"
+        ),
+    )
+    merged = merge_intervals(
+        iv, ["__u"], "__start", "__end", out_start="__s", out_end="__e"
+    )
+    days = merged.select(
+        F.explode(
+            F.sequence(
+                F.col("__s"),
+                F.col("__e") - F.expr("INTERVAL 1 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias(out_day)
+    )
+    return days.groupBy(out_day).agg(F.count(F.lit(1)).alias(out_count))

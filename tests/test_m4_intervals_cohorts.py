@@ -985,3 +985,63 @@ def test_survival_curve_max_steps_and_validation(spark):
     assert list(got["n_at_least"]) == [4, 3, 2]
     with pytest.raises(ValueError, match="positive"):
         survival_curve(df, "dur", step=0.0)
+
+
+# ------------------------------------------------------ rolling active users
+
+
+def test_rolling_active_users_matches_bruteforce(spark):
+    """The interval-merge formulation must equal the naive per-day
+    COUNT(DISTINCT) over the trailing window, on every emitted day."""
+    import numpy as np
+
+    from tablecloth_time_spark.operators.cohorts import rolling_active_users
+
+    rng = np.random.default_rng(37)
+    n = 800
+    pdf = pd.DataFrame(
+        {
+            "u": rng.integers(0, 50, n).astype("int64"),
+            "ts": pd.to_datetime("2024-02-01")
+            + pd.to_timedelta(rng.integers(0, 40 * 86400, n), unit="s"),
+        }
+    )
+    for window in (1, 7, 28):
+        got = (
+            rolling_active_users(
+                spark.createDataFrame(pdf), "u", "ts", window=window
+            )
+            .toPandas()
+            .sort_values("day", kind="stable")
+            .reset_index(drop=True)
+        )
+        acts = pdf.assign(d=pdf["ts"].dt.floor("D"))[["u", "d"]].drop_duplicates()
+        exp_days = sorted(
+            {d + pd.Timedelta(days=j) for d in acts["d"] for j in range(window)}
+        )
+        assert list(pd.to_datetime(got["day"])) == exp_days
+        for _, row in got.iterrows():
+            day = row["day"]
+            lo = day - pd.Timedelta(days=window - 1)
+            exp = acts[(acts["d"] >= lo) & (acts["d"] <= day)]["u"].nunique()
+            assert row["active_users"] == exp, (window, day)
+
+
+def test_rolling_active_users_no_distinct_over_window_plan(spark):
+    """The plan must contain NO range join and no distinct aggregation
+    after the initial (user, day) dedup — the count is a plain sum of
+    disjoint merged spans."""
+    from tablecloth_time_spark.operators.cohorts import rolling_active_users
+
+    pdf = pd.DataFrame(
+        {"u": [1], "ts": [pd.Timestamp("2024-02-01 10:00:00")]}
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match=">= 1"):
+        rolling_active_users(df, "u", "ts", window=0)
+    plan = (
+        rolling_active_users(df, "u", "ts", window=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
