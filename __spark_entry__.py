@@ -2015,6 +2015,97 @@ def q_turn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) Yule-Walker forecasts of the daily event-count series per
+    event type, 7 days ahead: coefficients from the closed-form
+    Yule-Walker solution over the series' own autocorrelations (one
+    window pass + one aggregate, the ACF plan class), recursion unrolled
+    into chained expressions on the tiny per-key frame
+    (operators/forecast.py:ar_forecast)."""
+    from tablecloth_time_spark.operators.forecast import ar_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = ar_forecast(
+        daily, "event_type", "day", "y", horizon=7, interval=1,
+        unit="day", p=2,
+    )
+    return out.select(
+        "event_type",
+        F.col("h").cast("long").alias("h"),
+        "ts",
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
+def _ar2_sql() -> str:
+    # unroll d_h = f1*d_{h-1} + f2*d_{h-2} exactly as the engine chains it
+    chain = ""
+    inner = "yw"
+    for h in range(1, 8):
+        chain += (
+            f", u{h} AS (SELECT *, f1 * "
+            f"{'d0' if h == 1 else f'dh{h-1}'} + f2 * "
+            f"{'dm1' if h == 1 else ('d0' if h == 2 else f'dh{h-2}')}"
+            f" AS dh{h} FROM {inner})"
+        )
+        inner = f"u{h}"
+    dhs = ", ".join(f"dh{h}" for h in range(1, 8))
+    return f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, day, y,
+         AVG(y) OVER (PARTITION BY event_type) AS mu,
+         row_number() OVER (PARTITION BY event_type ORDER BY day DESC)
+           AS rn
+  FROM d
+),
+pr AS (
+  SELECT event_type, mu, y, rn, day,
+         (y - mu) * (y - mu) AS p0,
+         (y - mu) * lag(y - mu, 1) OVER w AS p1,
+         (y - mu) * lag(y - mu, 2) OVER w AS p2
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+a AS (
+  SELECT event_type,
+         COUNT(*) AS T, MAX(mu) AS mu, MAX(day) AS last_day,
+         SUM(p0) AS denom, SUM(p1) AS n1, SUM(p2) AS n2,
+         MAX(CASE WHEN rn = 1 THEN y END) AS y1,
+         MAX(CASE WHEN rn = 2 THEN y END) AS y2
+  FROM pr GROUP BY 1
+),
+yw AS (
+  SELECT event_type, T, mu, last_day,
+         (n1 / denom) * (1.0 - (n2 / denom))
+           / (1.0 - (n1 / denom) * (n1 / denom)) AS f1,
+         ((n2 / denom) - (n1 / denom) * (n1 / denom))
+           / (1.0 - (n1 / denom) * (n1 / denom)) AS f2,
+         y1 - mu AS d0, y2 - mu AS dm1
+  FROM a
+){chain}
+SELECT event_type, CAST(h AS BIGINT) AS h,
+       last_day + h * INTERVAL 1 DAY AS ts,
+       ROUND(CASE WHEN T >= 4 THEN mu + dd END, 6) AS forecast
+FROM (
+  SELECT event_type, T, mu, last_day,
+         unnest(generate_series(1, 7)) AS h,
+         unnest([{dhs}]) AS dd
+  FROM {inner}
+)
+"""
+
+
+SQL_AR2_FORECAST = _ar2_sql()
+
+
 def q_weekly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct-active-user counts (WAU per day) — the
     interval-merge formulation: activity days become coverage spans
@@ -3912,6 +4003,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "histogram_quantile": [("total", "DOUBLE"), ("p50", "DOUBLE"), ("p95", "DOUBLE"), ("p99", "DOUBLE")],
     "session_survival": [("t", "DOUBLE"), ("survival", "DOUBLE")],
     "growth_rates": [("revenue", "DOUBLE"), ("mom_prev", "DOUBLE"), ("mom_growth", "DOUBLE"), ("yoy_prev", "DOUBLE"), ("yoy_growth", "DOUBLE")],
+    "ar2_forecast": [("forecast", "DOUBLE")],
     "cusum_drift": [("cusum_pos", "DOUBLE"), ("cusum_neg", "DOUBLE")],
     "croston_intermittent": [("z_hat", "DOUBLE"), ("p_hat", "DOUBLE"), ("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
@@ -3995,6 +4087,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_survival": q_session_survival,
         "growth_rates": q_growth_rates,
         "weekly_active": q_weekly_active,
+        "ar2_forecast": q_ar2_forecast,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -4077,6 +4170,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "session_survival": SQL_SESSION_SURVIVAL,
         "growth_rates": SQL_GROWTH_RATES,
         "weekly_active": SQL_WEEKLY_ACTIVE,
+        "ar2_forecast": SQL_AR2_FORECAST,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,

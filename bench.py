@@ -399,7 +399,17 @@ def main() -> None:
             methods=("brown",), alpha=0.3,
         ).agg(F.sum("forecast")).collect(),
     )
-    from tablecloth_time_spark.operators.forecast import holt_forecast
+    from tablecloth_time_spark.operators.forecast import (
+        ar_forecast,
+        holt_forecast,
+    )
+
+    timed(
+        "ar2_forecast_daily",
+        lambda: ar_forecast(
+            daily_by_user, "user_id", "day", "y", 14, 1, "day", p=2,
+        ).agg(F.sum("forecast")).collect(),
+    )
 
     timed(
         "holt_forecast_daily",

@@ -702,3 +702,151 @@ def holt_forecast(
         future_ts.alias(out_ts),
         fc.cast("double").alias(out_col),
     )
+
+
+def ar_forecast(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    horizon: int,
+    interval: int,
+    unit: str,
+    p: int = 2,
+    method_col: str = "method",
+    h_col: str = "h",
+    out_ts: str = "ts",
+    out_col: str = "forecast",
+) -> DataFrame:
+    """AR(p) forecasts by Yule-Walker (fpp3 ch. 9's autoregression,
+    method-of-moments fit): estimate the autoregressive coefficients
+    from the series' own autocorrelations and iterate the recursion on
+    mean deviations,
+
+        d_{T+h} = phi_1 d_{T+h-1} + ... + phi_p d_{T+h-p},
+        yhat_{T+h} = mu + d_{T+h}.
+
+    ``p`` in {1, 2} uses the CLOSED-FORM Yule-Walker solutions
+
+        p=1: phi_1 = r_1
+        p=2: phi_1 = r_1 (1 - r_2) / (1 - r_1^2),
+             phi_2 = (r_2 - r_1^2) / (1 - r_1^2)
+
+    so the whole fit is ONE window pass (mean-centering + lag products —
+    the ACF plan class) + ONE hash aggregate per key; the horizon
+    recursion unrolls into ``horizon`` chained column expressions on the
+    tiny per-key frame and posexplodes to long output. No Python, no
+    linear solver. (Higher p needs the Durbin-Levinson kernel ``pacf``
+    already uses over the tiny ACF frame — out of scope here, where the
+    point is the pure-plan fit.)
+
+    Input contract: regular grid, unique (key, ts), NULL/NaN values
+    dropped (the series compacts, matching ``acf``). Keys with fewer
+    than p+2 observations, zero variance, or a degenerate r_1^2 = 1 get
+    null forecasts. Output long: (keys..., method='ar{p}', h, ts,
+    forecast), unionable with ``benchmark_forecast``/``holt_forecast``.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    if p not in (1, 2):
+        raise ValueError(
+            f"ar_forecast supports p in {{1, 2}} (closed-form Yule-Walker);"
+            f" got {p}. Higher orders go through the pacf kernel."
+        )
+    u = normalize_unit(unit)
+
+    v = F.col(value_col).cast("double")
+    ms = to_epoch_millis(ts_col)
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        *ks, ms.alias("__ms"), v.alias("__v")
+    )
+    w = Window.partitionBy(*ks).orderBy("__ms")
+    whole = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_desc = Window.partitionBy(*ks).orderBy(F.col("__ms").desc())
+    yc = F.col("__v") - F.avg("__v").over(whole)
+    rn = F.row_number().over(w_desc)  # 1 = last observation
+    prods = base.select(
+        *ks,
+        "__v",
+        "__ms",
+        rn.alias("__rn"),
+        (yc * yc).alias("__p0"),
+        *[
+            (yc * F.lag(yc, k).over(w)).alias(f"__p{k}")
+            for k in range(1, p + 1)
+        ],
+    )
+    agg = prods.groupBy(*ks).agg(
+        F.count(F.lit(1)).alias("__T"),
+        F.avg("__v").alias("__mu"),
+        F.max("__ms").alias("__last_ms"),
+        F.sum("__p0").alias("__denom"),
+        *[F.sum(f"__p{k}").alias(f"__n{k}") for k in range(1, p + 1)],
+        F.max(F.when(F.col("__rn") == 1, F.col("__v"))).alias("__y1"),
+        F.max(F.when(F.col("__rn") == 2, F.col("__v"))).alias("__y2"),
+    )
+    r1 = F.try_divide(F.col("__n1"), F.col("__denom"))
+    if p == 1:
+        phi1, phi2 = r1, F.lit(0.0)
+    else:
+        r2 = F.try_divide(F.col("__n2"), F.col("__denom"))
+        one_minus = F.lit(1.0) - r1 * r1
+        phi1 = F.try_divide(r1 * (F.lit(1.0) - r2), one_minus)
+        phi2 = F.try_divide(r2 - r1 * r1, one_minus)
+    frame = agg.select(
+        *ks,
+        "__T",
+        "__mu",
+        "__last_ms",
+        phi1.alias("__f1"),
+        phi2.alias("__f2"),
+        (F.col("__y1") - F.col("__mu")).alias("__d0"),
+        (F.col("__y2") - F.col("__mu")).alias("__dm1"),
+    )
+    # unroll the recursion: d_h named columns chained on the tiny frame
+    names = []
+    prev, prev2 = F.col("__d0"), F.col("__dm1")
+    for h in range(1, horizon + 1):
+        name = f"__dh{h}"
+        frame = frame.withColumn(
+            name, F.col("__f1") * prev + F.col("__f2") * prev2
+        )
+        prev2, prev = prev, F.col(name)
+        names.append(name)
+
+    hs = frame.select(
+        *ks,
+        "__T",
+        "__mu",
+        "__last_ms",
+        F.posexplode(F.array(*[F.col(n) for n in names])).alias(
+            "__pos", "__d"
+        ),
+    ).withColumn(h_col, (F.col("__pos") + 1).cast("int"))
+
+    if is_calendar_unit(u):
+        months_per = months_in(u) * interval
+        stepped_date = F.add_months(
+            F.timestamp_millis(F.col("__last_ms")).cast("date"),
+            F.col(h_col) * F.lit(months_per),
+        )
+        future_ts = F.timestamp_millis(
+            F.unix_millis(stepped_date.cast("timestamp"))
+            + F.pmod(F.col("__last_ms"), F.lit(86_400_000))
+        )
+    else:
+        step_ms = interval * milliseconds_in(u)
+        future_ts = F.timestamp_millis(
+            F.col("__last_ms") + F.col(h_col) * F.lit(step_ms)
+        )
+    fc = F.when(
+        F.col("__T") >= p + 2, F.col("__mu") + F.col("__d")
+    )
+    return hs.select(
+        *ks,
+        F.lit(f"ar{p}").alias(method_col),
+        F.col(h_col),
+        future_ts.alias(out_ts),
+        fc.cast("double").alias(out_col),
+    )

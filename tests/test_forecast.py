@@ -832,3 +832,118 @@ def test_backtest_accuracy_includes_holt(spark, daily):
     mae = float(np.mean(np.abs(y[-7:] - fcs)))
     got = {r["k"]: r["mae"] for r in out if r["method"] == "holt"}
     assert got[0] == pytest.approx(mae, rel=1e-9)
+
+
+# ----------------------------------------------------------------- ar
+
+
+def _ar_ref(y, p, horizon):
+    """Numpy mirror of ar_forecast: biased-ACF Yule-Walker closed form
+    (p in {1,2}) + the deviation recursion."""
+    y = np.asarray(y, dtype="float64")
+    mu = y.mean()
+    yc = y - mu
+    denom = float(yc @ yc)
+    r = [float(yc[k:] @ yc[:-k]) / denom for k in (1, 2)]
+    if p == 1:
+        f1, f2 = r[0], 0.0
+    else:
+        one = 1.0 - r[0] * r[0]
+        f1 = r[0] * (1.0 - r[1]) / one
+        f2 = (r[1] - r[0] * r[0]) / one
+    d_prev, d_prev2 = y[-1] - mu, y[-2] - mu
+    out = []
+    for _ in range(horizon):
+        d = f1 * d_prev + f2 * d_prev2
+        out.append(mu + d)
+        d_prev2, d_prev = d_prev, d
+    return out
+
+
+@pytest.mark.parametrize("p", [1, 2])
+def test_ar_forecast_matches_numpy(spark, daily, p):
+    from tablecloth_time_spark.operators.forecast import ar_forecast
+
+    df, pdf = daily
+    got = (
+        ar_forecast(df, "k", "ts", "v", 5, 1, "day", p=p)
+        .toPandas()
+        .sort_values(["k", "h"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert (got["method"] == f"ar{p}").all()
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values("ts", kind="stable")
+        exp = _ar_ref(g["v"].to_numpy(), p, 5)
+        sub = got[got["k"] == k].reset_index(drop=True)
+        assert list(sub["h"]) == [1, 2, 3, 4, 5]
+        for i in range(5):
+            assert sub.loc[i, "forecast"] == pytest.approx(
+                exp[i], rel=1e-9
+            ), (k, p, i)
+            assert sub.loc[i, "ts"] == g["ts"].max() + (i + 1) * DAY
+
+
+def test_ar2_recovers_planted_coefficients(spark):
+    """On a long simulated AR(2) series the Yule-Walker fit must land
+    near the generating coefficients — the statistical sanity check on
+    top of the exact-parity oracle."""
+    from tablecloth_time_spark.operators.forecast import ar_forecast
+
+    rng = np.random.default_rng(8)
+    f1, f2 = 0.6, -0.3
+    n = 4000
+    y = np.zeros(n)
+    for t in range(2, n):
+        y[t] = f1 * y[t - 1] + f2 * y[t - 2] + rng.normal(0, 1)
+    pdf = pd.DataFrame(
+        {"k": 1, "ts": [T0 + i * DAY for i in range(n)], "v": y + 100}
+    )
+    exp = _ar_ref(pdf["v"].to_numpy(), 2, 3)
+    got = (
+        ar_forecast(spark.createDataFrame(pdf), "k", "ts", "v", 3, 1,
+                    "day", p=2)
+        .toPandas().sort_values("h")
+    )
+    for i, row in enumerate(got.itertuples()):
+        assert row.forecast == pytest.approx(exp[i], rel=1e-9)
+    # the implied phis steer h=1 close to the true one-step expectation
+    mu = pdf["v"].mean()
+    true_next = mu + f1 * (pdf["v"].iloc[-1] - mu) + f2 * (
+        pdf["v"].iloc[-2] - mu
+    )
+    assert abs(got["forecast"].iloc[0] - true_next) < 1.0
+
+
+def test_ar_forecast_degenerate_cases(spark):
+    from tablecloth_time_spark.operators.forecast import ar_forecast
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 2, 2],
+            "ts": [T0 + i * DAY for i in range(3)]
+            + [T0 + i * DAY for i in range(4)],
+            "v": [5.0, 6.0, 7.0, 3.0, 3.0, 3.0, 3.0],
+        }
+    )
+    got = (
+        ar_forecast(spark.createDataFrame(pdf), "k", "ts", "v", 2, 1,
+                    "day", p=2)
+        .toPandas().set_index(["k", "h"])
+    )
+    # k=1: T=3 < p+2 -> null; k=2: constant series, zero variance -> null
+    assert got["forecast"].isna().all()
+    with pytest.raises(ValueError, match="p in"):
+        ar_forecast(spark.createDataFrame(pdf), "k", "ts", "v", 2, 1,
+                    "day", p=3)
+
+
+def test_ar_forecast_plan_no_python(spark, daily):
+    from tablecloth_time_spark.operators.forecast import ar_forecast
+
+    df, _ = daily
+    plan = (
+        ar_forecast(df, "k", "ts", "v", 5, 1, "day")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
