@@ -437,6 +437,7 @@ def backtest_accuracy(
     alpha: float = 0.3,
     method_col: str = "method",
     holt_params: dict | None = None,
+    ar_params: dict | None = None,
 ) -> DataFrame:
     """fpp3 §5.8 accuracy evaluation: hold out each key's last
     ``test_steps`` observations, forecast them from the remaining
@@ -455,9 +456,10 @@ def backtest_accuracy(
     Regular-grid input contract, like the forecaster.
 
     ``holt_params`` (e.g. ``{"alpha": 0.8, "beta": 0.2, "phi": 1.0}``)
-    additionally scores ``holt_forecast`` on the same train/test split —
-    its long output unions straight into the benchmark frame, so Holt
-    competes under identical MAE/RMSE/MAPE/MASE scoring.
+    and ``ar_params`` (e.g. ``{"p": 2}``) additionally score
+    ``holt_forecast`` / ``ar_forecast`` on the same train/test split —
+    their long output unions straight into the benchmark frame, so they
+    compete under identical MAE/RMSE/MAPE/MASE scoring.
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
     ms = to_epoch_millis(ts_col)
@@ -485,6 +487,14 @@ def backtest_accuracy(
                 train, ks, ts_col, value_col, test_steps, interval, unit,
                 method_col=method_col, out_ts="__fts", out_col="__fc",
                 **holt_params,
+            )
+        )
+    if ar_params is not None:
+        fc = fc.unionByName(
+            ar_forecast(
+                train, ks, ts_col, value_col, test_steps, interval, unit,
+                method_col=method_col, out_ts="__fts", out_col="__fc",
+                **ar_params,
             )
         )
     joined = fc.join(

@@ -947,3 +947,20 @@ def test_ar_forecast_plan_no_python(spark, daily):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_backtest_accuracy_includes_ar(spark, daily):
+    from tablecloth_time_spark.operators.forecast import backtest_accuracy
+
+    df, pdf = daily
+    out = backtest_accuracy(
+        df, "k", "ts", "v", test_steps=7, interval=1, unit="day",
+        methods=("naive",), ar_params={"p": 2},
+    ).collect()
+    assert {r["method"] for r in out} == {"naive", "ar2"}
+    g = pdf[pdf["k"] == 0].sort_values("ts", kind="stable")
+    y = g["v"].to_numpy()
+    fcs = np.array(_ar_ref(y[:-7], 2, 7))
+    mae = float(np.mean(np.abs(y[-7:] - fcs)))
+    got = {r["k"]: r["mae"] for r in out if r["method"] == "ar2"}
+    assert got[0] == pytest.approx(mae, rel=1e-9)
