@@ -241,7 +241,6 @@ def main() -> None:
         lambda: rolling_active_users(events, "user_id", "ts", window=7)
         .agg(F.sum("active_users")).collect(),
     )
-    from tablecloth_time_spark.operators.sessions import session_stats
 
     timed(
         "session_survival_events",

@@ -219,7 +219,9 @@ def survival_curve(
     if max_steps is not None:
         bucket = F.least(F.lit(int(max_steps)), bucket)
     binned = (
-        df.filter(d.isNotNull() & (d >= 0))
+        # NaN >= 0 is TRUE in Spark and floor(NaN) casts to bucket 0 —
+        # the histogram module's phantom-sample hazard; drop NaN like null
+        df.filter(d.isNotNull() & ~F.isnan(d) & (d >= 0))
         .groupBy(*ks, bucket.alias("__b"))
         .agg(F.count(F.lit(1)).alias("__n"))
     )
@@ -277,9 +279,13 @@ def rolling_active_users(
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     day = down_to_nearest(ts_col, 1, "day")
-    acts = df.select(
-        F.col(user_col).alias("__u"), day.alias("__d")
-    ).distinct()
+    # a NULL user id must not become its own "distinct user" (matches
+    # COUNT(DISTINCT user) semantics and cohort_retention's filter)
+    acts = (
+        df.filter(F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), day.alias("__d"))
+        .distinct()
+    )
     iv = acts.select(
         "__u",
         F.col("__d").alias("__start"),

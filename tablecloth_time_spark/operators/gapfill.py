@@ -77,7 +77,10 @@ def resample_to_regular_grid(
     sides). Same caveat as the floor: a zone whose DST transition falls
     exactly ON a grid boundary's local midnight (historical Brazil)
     shifts that point by the gap. ``linear`` still interpolates over
-    real elapsed UTC time.
+    real elapsed UTC time. The grid step must be >= 1 day with ``zone``
+    (a sub-daily LOCAL grid is ill-defined across spring-forward:
+    stepping local wall time would emit duplicate UTC buckets; sub-daily
+    grids are zone-independent anyway).
     """
     method = method.lower()
     if method not in FILL_METHODS:
@@ -87,6 +90,14 @@ def resample_to_regular_grid(
         step = F.expr(f"INTERVAL {interval * _MONTHS_PER[u]} MONTH")
     else:
         step_ms = interval * milliseconds_in(u)
+        if zone is not None and step_ms < 86_400_000:
+            raise ValueError(
+                "zone= needs a grid step of at least one day: a sub-daily "
+                "LOCAL grid is ill-defined across DST (the spring-forward "
+                "hour does not exist locally, so stepping local wall time "
+                "emits duplicate UTC buckets) — sub-daily grids are "
+                "zone-independent, drop zone="
+            )
         step = F.expr(f"INTERVAL {step_ms * 1000} MICROSECOND")
 
     bucket = down_to_nearest(ts_col, interval, u, zone=zone).alias("bucket")

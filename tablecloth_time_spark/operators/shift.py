@@ -207,8 +207,15 @@ def growth_rates(
     from tablecloth_time_spark.functions.units import normalize_unit
 
     ks = [keys] if isinstance(keys, str) else list(keys)
-    pers = periods or {"mom": 1, "yoy": 12}
     u = normalize_unit(unit)
+    # defaults are denominated in the GRID unit — 12 on a quarterly grid
+    # would silently mean 3 years while still being labeled yoy
+    default_periods = {
+        "month": {"mom": 1, "yoy": 12},
+        "quarter": {"qoq": 1, "yoy": 4},
+        "year": {"yoy": 1},
+    }
+    pers = periods or default_periods.get(u, {})
     if u == "month":
         idx = epoch_month(bucket_col)
     elif u == "quarter":

@@ -404,3 +404,24 @@ def test_gapfill_zoned_monthly_grid(spark):
     )
     assert list(pd.to_datetime(out["bucket"])) == list(exp)
     assert out["v"].notna().sum() == 2
+
+
+def test_gapfill_zone_rejects_subdaily_grid(spark):
+    """A sub-daily LOCAL grid is ill-defined across spring-forward
+    (duplicate UTC buckets) — zone= requires a >= 1 day step."""
+    from tablecloth_time_spark.operators.gapfill import (
+        resample_to_regular_grid,
+    )
+
+    pdf = pd.DataFrame(
+        {"k": [1], "ts": [pd.Timestamp("2024-03-31 00:30:00")], "v": [1.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="at least one day"):
+        resample_to_regular_grid(
+            df, ["k"], "ts", "v", 1, "hour", zone="Europe/Berlin"
+        )
+    # daily and calendar zoned grids remain fine
+    resample_to_regular_grid(
+        df, ["k"], "ts", "v", 1, "day", zone="Europe/Berlin"
+    ).collect()

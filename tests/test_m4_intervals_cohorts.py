@@ -1045,3 +1045,37 @@ def test_rolling_active_users_no_distinct_over_window_plan(spark):
     )
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_survival_curve_drops_nan_durations(spark):
+    """NaN >= 0 is TRUE in Spark and floor(NaN) casts into bucket 0 —
+    NaN durations must be dropped like nulls, not become phantom
+    samples."""
+    from tablecloth_time_spark.operators.cohorts import survival_curve
+
+    pdf = pd.DataFrame({"dur": [5.0, 15.0, float("nan"), None]})
+    got = (
+        survival_curve(spark.createDataFrame(pdf), "dur", step=10.0)
+        .toPandas().sort_values("t").reset_index(drop=True)
+    )
+    assert list(got["t"]) == [0.0, 10.0]
+    assert list(got["n_at_least"]) == [2, 1]
+    assert got.loc[1, "survival"] == pytest.approx(0.5)
+
+
+def test_rolling_active_users_ignores_null_users(spark):
+    """A NULL user id is unattributed traffic, not a distinct user —
+    COUNT(DISTINCT user) semantics, matching the driver oracle."""
+    from tablecloth_time_spark.operators.cohorts import rolling_active_users
+
+    pdf = pd.DataFrame(
+        {
+            "u": pd.array([1, None], dtype="Int64"),
+            "ts": pd.to_datetime(["2024-02-01 10:00", "2024-02-01 11:00"]),
+        }
+    )
+    got = rolling_active_users(
+        spark.createDataFrame(pdf), "u", "ts", window=1
+    ).toPandas()
+    assert len(got) == 1
+    assert got.loc[0, "active_users"] == 1

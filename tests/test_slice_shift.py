@@ -320,3 +320,45 @@ def test_growth_rates_validation_and_plan(spark):
     )
     assert plan.count("Exchange") == 1
     assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+def test_growth_rates_unit_aware_defaults(spark):
+    """Defaults are denominated in the grid unit: a quarterly grid gets
+    QoQ + YoY(4), a yearly grid YoY(1) — 12 on a quarterly grid would
+    silently mean 3 years while still labeled yoy."""
+    from tablecloth_time_spark.operators.shift import growth_rates
+
+    q = pd.DataFrame(
+        {
+            "k": 1,
+            "bucket": pd.to_datetime(
+                ["2023-01-01", "2023-04-01", "2023-07-01", "2023-10-01",
+                 "2024-01-01"]
+            ),
+            "v": [100.0, 110.0, 121.0, 133.1, 150.0],
+        }
+    )
+    got = (
+        growth_rates(spark.createDataFrame(q), "k", "bucket", "v",
+                     unit="quarter")
+        .toPandas().set_index("bucket")
+    )
+    assert {"qoq_prev", "qoq_growth", "yoy_prev", "yoy_growth"} <= set(
+        got.columns
+    )
+    t = pd.to_datetime
+    assert got.loc[t("2023-04-01"), "qoq_growth"] == pytest.approx(0.10)
+    assert got.loc[t("2024-01-01"), "yoy_growth"] == pytest.approx(0.50)
+    y = pd.DataFrame(
+        {
+            "k": 1,
+            "bucket": pd.to_datetime(["2022-01-01", "2023-01-01"]),
+            "v": [100.0, 130.0],
+        }
+    )
+    goty = (
+        growth_rates(spark.createDataFrame(y), "k", "bucket", "v",
+                     unit="year")
+        .toPandas().set_index("bucket")
+    )
+    assert goty.loc[t("2023-01-01"), "yoy_growth"] == pytest.approx(0.30)
