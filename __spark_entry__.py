@@ -2015,6 +2015,64 @@ def q_turn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness (DAU/MAU per day): two interval-merge
+    rolling-actives frames (window 1 and window 28) equi-joined on the
+    day — the classic habit-formation ratio, here with NO sliding
+    distinct and no range join on either side
+    (operators/cohorts.py:rolling_active_users twice; both frames are
+    tiny day-grain curves). Days inside the MAU horizon but without
+    same-day activity carry dau=0."""
+    from tablecloth_time_spark.operators.cohorts import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events")
+    dau = rolling_active_users(ev, "user_id", "ts", window=1).select(
+        "day", F.col("active_users").alias("dau")
+    )
+    mau = rolling_active_users(ev, "user_id", "ts", window=28).select(
+        "day", F.col("active_users").alias("mau")
+    )
+    out = mau.join(dau, "day", "left").select(
+        "day",
+        F.coalesce("dau", F.lit(0)).alias("dau"),
+        "mau",
+        F.round(
+            F.coalesce("dau", F.lit(0)).cast("double") / F.col("mau"), 6
+        ).alias("stickiness"),
+    )
+    return out
+
+
+SQL_STICKINESS = """
+WITH a AS (
+  SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+  FROM events
+),
+g AS (
+  SELECT DISTINCT dd AS day FROM (
+    SELECT unnest(generate_series(d, d + INTERVAL 27 DAY, INTERVAL 1 DAY))
+      AS dd
+    FROM a
+  )
+),
+mau AS (
+  SELECT g.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS mau
+  FROM g JOIN a ON a.d BETWEEN g.day - INTERVAL 27 DAY AND g.day
+  GROUP BY 1
+),
+dau AS (
+  SELECT d AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM a GROUP BY 1
+)
+SELECT m.day,
+       COALESCE(d.dau, 0) AS dau,
+       m.mau,
+       ROUND(CAST(COALESCE(d.dau, 0) AS DOUBLE) / CAST(m.mau AS DOUBLE), 6)
+         AS stickiness
+FROM mau m LEFT JOIN dau d USING (day)
+"""
+
+
 def q_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AR(2) Yule-Walker forecasts of the daily event-count series per
     event type, 7 days ahead: coefficients from the closed-form
@@ -4004,6 +4062,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "session_survival": [("t", "DOUBLE"), ("survival", "DOUBLE")],
     "growth_rates": [("revenue", "DOUBLE"), ("mom_prev", "DOUBLE"), ("mom_growth", "DOUBLE"), ("yoy_prev", "DOUBLE"), ("yoy_growth", "DOUBLE")],
     "ar2_forecast": [("forecast", "DOUBLE")],
+    "stickiness": [("stickiness", "DOUBLE")],
     "cusum_drift": [("cusum_pos", "DOUBLE"), ("cusum_neg", "DOUBLE")],
     "croston_intermittent": [("z_hat", "DOUBLE"), ("p_hat", "DOUBLE"), ("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
@@ -4088,6 +4147,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "growth_rates": q_growth_rates,
         "weekly_active": q_weekly_active,
         "ar2_forecast": q_ar2_forecast,
+        "stickiness": q_stickiness,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -4171,6 +4231,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "growth_rates": SQL_GROWTH_RATES,
         "weekly_active": SQL_WEEKLY_ACTIVE,
         "ar2_forecast": SQL_AR2_FORECAST,
+        "stickiness": SQL_STICKINESS,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
