@@ -7,6 +7,7 @@ from tablecloth_time_spark.streaming.stateful import (
     streaming_counter_rate,
     streaming_cusum,
     streaming_detect_gaps,
+    streaming_ewma,
     streaming_funnel,
 )
 from tablecloth_time_spark.streaming.dedup import streaming_dedup_exact
@@ -19,6 +20,7 @@ __all__ = [
     "streaming_counter_rate",
     "streaming_cusum",
     "streaming_detect_gaps",
+    "streaming_ewma",
     "streaming_funnel",
     "streaming_dedup_exact",
     "streaming_m4",

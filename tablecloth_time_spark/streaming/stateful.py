@@ -508,3 +508,143 @@ def streaming_funnel(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    halflife: int,
+    unit: str = "minute",
+) -> DataFrame:
+    """Streaming time-decay EWMA (adjusted form) — the batch
+    ``operators/counters.ewma`` re-expressed with per-key carried sums.
+
+    Same definition: ewma_i = sum_j 0.5^((t_i-t_j)/h) x_j / sum_j of the
+    weights, over the key's ENTIRE history. The carried state is the
+    pair of weighted sums expressed at the key's latest 512-halflife
+    segment anchor (the same ABSOLUTE epoch-anchored segments the batch
+    plan uses): (last_seg, A_num, A_den) — with every decay exponent
+    non-negative, nothing overflows however far apart samples are.
+
+    Within a micro-batch the work is vectorized: per-segment anchored
+    prefix sums (2^dloc stays in [1, 2^512]) plus a carry chain ACROSS
+    segments — a Python loop over 512-halflife segments, never over
+    rows. A row's ewma is (carry + prefix)_num / (carry + prefix)_den:
+    the row's own 0.5^dloc factor cancels in the ratio.
+
+    Semantics shared with batch: null/NaN values contribute nothing and
+    emit the carried mean; rows before a key's first valid sample emit
+    null. In the batch plan's documented deep-gap corner (the whole
+    history >= ~1025 halflives back) batch may null where this chain
+    still emits the (sub-ULP-weighted) stale mean — both are inside the
+    batch docstring's fuzzy band, and for any gap >= 2560 halflives both
+    underflow to exactly null.
+
+    Output (append): key, ts_ms, value, ewma. In-order contract across
+    micro-batches (the ``streaming_counter_rate`` contract).
+    """
+    from tablecloth_time_spark.functions.units import (
+        milliseconds_in,
+        normalize_unit,
+    )
+
+    halflife_ms = int(halflife * milliseconds_in(normalize_unit(unit)))
+    seg_ms = 512 * halflife_ms
+
+    key_field = stream.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("ts_ms", LongType()),
+            StructField("value", DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_seg", LongType()),
+            StructField("a_num", DoubleType()),
+            StructField("a_den", DoubleType()),
+        ]
+    )
+
+    def kernel(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values("ts_ms", kind="stable")
+        ms = pdf["ts_ms"].to_numpy(dtype=np.int64)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+
+        seg = ms // seg_ms
+        dloc = (ms - seg * seg_ms).astype(np.float64) / float(halflife_ms)
+        w = np.exp2(dloc)
+        valid = ~np.isnan(v)  # null AND NaN are missing (batch parity)
+        wx = np.where(valid, w * v, 0.0)
+        wd = np.where(valid, w, 0.0)
+
+        # per-segment anchored prefix sums. Each segment's cumsum runs
+        # over ITS OWN slice — a single global cumsum would mix scales
+        # 2^512 apart and float64-absorb the next segment's rows into
+        # the previous segment's huge total (then the base subtraction
+        # cancels them to noise). Loop is over SEGMENTS, not rows.
+        starts = np.flatnonzero(np.diff(seg, prepend=seg[0] - 1))
+        bounds = np.append(starts, len(ms))
+        px = np.empty_like(wx)
+        pd_ = np.empty_like(wd)
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            px[b0:b1] = np.cumsum(wx[b0:b1])
+            pd_[b0:b1] = np.cumsum(wd[b0:b1])
+
+        # carry chain across the batch's segments (loop over SEGMENTS)
+        segs = seg[starts]
+        if state.exists:
+            last_seg, a_num, a_den = state.get
+        else:
+            last_seg, a_num, a_den = None, 0.0, 0.0
+        carry_x = np.empty(len(starts))
+        carry_d = np.empty(len(starts))
+        cx, cd, prev_seg = a_num, a_den, last_seg
+        for k, s in enumerate(segs):
+            if prev_seg is not None:
+                f = 2.0 ** (-512.0 * float(s - prev_seg))
+                cx, cd = cx * f, cd * f
+            else:
+                cx, cd = 0.0, 0.0
+            carry_x[k], carry_d[k] = cx, cd
+            # close this segment into the carry for the next one
+            end = starts[k + 1] - 1 if k + 1 < len(starts) else len(ms) - 1
+            cx, cd = cx + px[end], cd + pd_[end]
+            prev_seg = s
+        row_cx = np.repeat(carry_x, np.diff(np.append(starts, len(ms))))
+        row_cd = np.repeat(carry_d, np.diff(np.append(starts, len(ms))))
+
+        num = row_cx + px
+        den = row_cd + pd_
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ewma = np.where(den > 0, num / den, np.nan)
+
+        state.update((int(segs[-1]), float(cx), float(cd)))
+        yield pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                "ts_ms": ms,
+                "value": v,
+                "ewma": ewma,
+            }
+        )
+
+    base = stream.select(
+        key_col,
+        to_epoch_millis(ts_col).alias("ts_ms"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return base.groupBy(key_col).applyInPandasWithState(
+        kernel,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

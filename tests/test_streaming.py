@@ -1036,3 +1036,78 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     # spanning conversions exist (state carried across batches)
     multi = got.groupby("u").size()
     assert (multi > 1).any()
+
+
+def test_streaming_ewma_matches_batch(spark, tmp_path):
+    """Streamed time-decay EWMA over 3 in-order micro-batches must equal
+    the batch window-plan ewma exactly — including histories spanning
+    512-halflife segment boundaries and cross-batch carries, null values
+    (carried mean), and a series-head null."""
+    import numpy as np
+
+    from tablecloth_time_spark.operators.counters import ewma
+    from tablecloth_time_spark.streaming.stateful import streaming_ewma
+
+    rng = np.random.default_rng(41)
+    n = 500
+    # gaps up to ~3 days with halflife=1h -> many 512h segments spanned
+    gaps = rng.exponential(3600, n).astype("int64") + 1
+    gaps[100] = 520 * 3600  # force a full segment skip mid-series
+    ts = pd.to_datetime("2024-03-01") + pd.to_timedelta(
+        np.cumsum(gaps), unit="s"
+    )
+    rows = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n).astype("int64"),
+            "ts": ts,
+            "v": np.round(rng.uniform(10, 90, n), 3),
+        }
+    )
+    val = rows["v"].astype("object")
+    val.iloc[::53] = None  # nulls sprinkle in, incl. possible heads
+    rows["v"] = val
+
+    full = spark.createDataFrame(rows)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, part in enumerate(np.array_split(np.arange(n), 3)):
+        spark.createDataFrame(rows.iloc[part]).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_ewma(stream, "k", "ts", "v", halflife=1, unit="hour")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(sink)
+        .toPandas()
+        .sort_values(["k", "ts_ms"], kind="stable")
+        .reset_index(drop=True)
+    )
+    exp = (
+        ewma(full, "k", "ts", "v", halflife=1, unit="hour")
+        .select("k", "ts_ms", "value", "ewma")
+        .toPandas()
+        .sort_values(["k", "ts_ms"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == n
+    # nulls present and identical placement
+    assert got["ewma"].isna().equals(exp["ewma"].isna())
+    both = got["ewma"].notna()
+    assert np.allclose(
+        got.loc[both, "ewma"], exp.loc[both, "ewma"], rtol=1e-9, atol=1e-9
+    )
