@@ -2015,6 +2015,61 @@ def q_turn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema time rollup: quarterly order revenue per region and
+    nation — the fact table joins DIMENSIONS that are explicitly
+    broadcast (customer/nation/region are orders-of-magnitude smaller
+    than facts at any scale; `F.broadcast` pins BroadcastHashJoin so the
+    fact side never shuffles for the dim lookups), then one mergeable
+    rollup on the calendar-quarter floor. The canonical
+    dims-broadcast + facts-shuffle-once shape every warehouse time
+    series query wants at 100 TB."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    from tablecloth_time_spark.functions.timeops import floor_to_quarter
+
+    joined = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        joined.groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            floor_to_quarter("o_orderdate").cast("timestamp").alias("quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_STAR_ROLLUP = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       date_trunc('quarter', CAST(o.o_orderdate AS TIMESTAMP)) AS quarter,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2, 3
+"""
+
+
 def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engagement stickiness (DAU/MAU per day): two interval-merge
     rolling-actives frames (window 1 and window 28) equi-joined on the
@@ -4063,6 +4118,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "growth_rates": [("revenue", "DOUBLE"), ("mom_prev", "DOUBLE"), ("mom_growth", "DOUBLE"), ("yoy_prev", "DOUBLE"), ("yoy_growth", "DOUBLE")],
     "ar2_forecast": [("forecast", "DOUBLE")],
     "stickiness": [("stickiness", "DOUBLE")],
+    "star_rollup": [("revenue", "DOUBLE")],
     "cusum_drift": [("cusum_pos", "DOUBLE"), ("cusum_neg", "DOUBLE")],
     "croston_intermittent": [("z_hat", "DOUBLE"), ("p_hat", "DOUBLE"), ("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
@@ -4148,6 +4204,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_active": q_weekly_active,
         "ar2_forecast": q_ar2_forecast,
         "stickiness": q_stickiness,
+        "star_rollup": q_star_rollup,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -4232,6 +4289,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "weekly_active": SQL_WEEKLY_ACTIVE,
         "ar2_forecast": SQL_AR2_FORECAST,
         "stickiness": SQL_STICKINESS,
+        "star_rollup": SQL_STAR_ROLLUP,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,

@@ -375,3 +375,21 @@ def test_gapfill_linear_has_no_python(events):
         )
         assert "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p, p
         assert "Window" in p, p
+
+
+def test_star_rollup_broadcasts_all_dims(spark):
+    """The star-schema quarterly rollup broadcasts every dimension —
+    three BroadcastHashJoins, no SortMergeJoin/ShuffledHashJoin: the
+    fact table shuffles exactly once, for the final aggregate."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    df = E.q_star_rollup(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # AQE may plan the small-SF agg without a shuffle stage boundary
+    # visible pre-execution; the invariant is the JOIN side
+    assert "BatchEvalPython" not in plan
