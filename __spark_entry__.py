@@ -2069,6 +2069,92 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY 1, 2, 3
 """
 
+# weekday holidays inside the orders date range (1995-2001); weekend
+# holidays are no-ops by construction so only weekdays are listed
+_BUSDAY_HOLIDAYS = ["1995-12-25", "1996-07-04", "1997-01-01", "1998-11-26"]
+
+
+def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day calendar arithmetic over order dates: validity flag
+    (Mon-Fri minus a literal holiday list), the monotone business-day
+    index, next business day, T+5 settlement date, and the numpy
+    busday_count-semantics count of valid days in [orderdate,
+    orderdate+30d). Pure integer div/mod codegen riding the scan — no
+    join, no shuffle, no Python; numpy busday_offset/busday_count is the
+    pytest oracle (functions/busdays.py; extends the reference's
+    calendar-field surface, src/tablecloth/time/column/api.clj)."""
+    from tablecloth_time_spark.functions.busdays import (
+        add_business_days,
+        business_day_index,
+        business_days_between,
+        is_business_day,
+        next_business_day,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    # temporal outputs go out as timestamps (house rule: DateType maps to
+    # python-object cells in Arrow->pandas, which the driver hash and the
+    # byte-exact self-check can't canonicalize)
+    return o.select(
+        "o_orderkey",
+        d.cast("timestamp").alias("d"),
+        is_business_day(d, holidays=_BUSDAY_HOLIDAYS).alias("is_bd"),
+        business_day_index(d).alias("bidx"),
+        next_business_day(d).cast("timestamp").alias("next_bd"),
+        add_business_days(d, 5).cast("timestamp").alias("settle_t5"),
+        business_days_between(
+            d, F.date_add(d, 30), holidays=_BUSDAY_HOLIDAYS
+        ).alias("bd_next30"),
+    )
+
+
+def _sql_business_days() -> str:
+    hol_days = ", ".join(
+        str((__import__("datetime").date.fromisoformat(h)
+             - __import__("datetime").date(1970, 1, 1)).days)
+        for h in _BUSDAY_HOLIDAYS
+    )
+    # same closed-form integer arithmetic as functions/busdays.py:
+    # dow0 Mon=0..Sun=6 from epoch days (day 0 = Thursday), Monday-aligned
+    # week number, bidx = 5*week + min(dow0, 4); inverse via div/mod 5.
+    # bd_next30 interval is forward-only, so no reversed-pair correction.
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(o_orderdate AS DATE) AS d,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS days
+  FROM orders
+),
+ix AS (
+  SELECT *,
+         (days + 3) % 7 AS dow0,
+         5 * ((days + 3) // 7) + LEAST((days + 3) % 7, 4) AS bidx,
+         days + 30 AS days30,
+         (days + 33) % 7 AS dow30
+  FROM base
+)
+SELECT o_orderkey,
+       CAST(d AS TIMESTAMP) AS d,
+       dow0 <= 4 AND days NOT IN ({hol_days}) AS is_bd,
+       CAST(bidx AS BIGINT) AS bidx,
+       CAST(DATE '1970-01-01'
+         + CAST(7 * ((bidx + 1) // 5) + (bidx + 1) % 5 - 3 AS INTEGER)
+         AS TIMESTAMP) AS next_bd,
+       CAST(DATE '1970-01-01'
+         + CAST(7 * ((bidx + 5) // 5) + (bidx + 5) % 5 - 3 AS INTEGER)
+         AS TIMESTAMP) AS settle_t5,
+       CAST(
+         (5 * ((days30 + 3) // 7) + LEAST(dow30, 4)
+            + CASE WHEN dow30 <= 4 THEN 0 ELSE 1 END)
+         - (bidx + CASE WHEN dow0 <= 4 THEN 0 ELSE 1 END)
+         - (SELECT COUNT(*) FROM (VALUES ({hol_days.replace(", ", "), (")}))
+              AS h(hd)
+            WHERE h.hd >= ix.days AND h.hd < ix.days30)
+       AS BIGINT) AS bd_next30
+FROM ix
+"""
+
 
 def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engagement stickiness (DAU/MAU per day): two interval-merge
@@ -4205,6 +4291,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar2_forecast": q_ar2_forecast,
         "stickiness": q_stickiness,
         "star_rollup": q_star_rollup,
+        "business_days": q_business_days,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -4290,6 +4377,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ar2_forecast": SQL_AR2_FORECAST,
         "stickiness": SQL_STICKINESS,
         "star_rollup": SQL_STAR_ROLLUP,
+        "business_days": _sql_business_days(),
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
