@@ -2954,6 +2954,99 @@ FROM scored
 """
 
 
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly scoring — the composition a monitoring
+    user actually wants: classical decomposition removes trend +
+    day-of-week effects first, THEN the robust modified z-score (Iglewicz
+    & Hoaglin, |0.6745*(r - median)/MAD| > 3.5) runs on the remainder, so
+    a busy-Monday spike isn't an anomaly but the same count on a Sunday
+    is. Both components are independently oracled queries
+    (seasonal_decompose, mad_anomalies); this pins their composition.
+    Scoring uses the ROUNDED remainder and the flag uses the ROUNDED
+    score on both engines — medians of near-equal doubles and a
+    threshold-boundary comparison are exactly the places cross-engine
+    last-ULP noise could flip a row. Plan: one window pass + broadcast
+    seasonal join (decompose) + two tiny per-key median aggregates
+    broadcast back — the events table never shuffles."""
+    from tablecloth_time_spark.operators.decompose import (
+        classical_decomposition,
+    )
+    from tablecloth_time_spark.operators.stats import mad_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    dec = classical_decomposition(
+        daily, ["event_type"], "day", "y", 7, season_col=F.dayofweek("day")
+    )
+    rem = dec.filter(F.col("trend").isNotNull()).select(
+        "event_type",
+        "day",
+        F.col("y").cast("long").alias("n_events"),
+        F.round("remainder", 6).alias("r"),
+    )
+    scored = mad_anomalies(rem, ["event_type"], "r", threshold=3.5)
+    s6 = F.round("score", 6)
+    return scored.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("r").alias("remainder"),
+        s6.alias("score"),
+        F.coalesce(F.abs(s6) > F.lit(3.5), F.lit(False)).alias("is_anomaly"),
+    )
+
+
+SQL_SEASONAL_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, day, y,
+         CASE WHEN COUNT(*) OVER w = 7 THEN AVG(y) OVER w END AS trend,
+         dayofweek(day) AS season
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+s AS (
+  SELECT event_type, season, AVG(y - trend) AS s_raw
+  FROM t GROUP BY 1, 2
+),
+adj AS (SELECT event_type, AVG(s_raw) AS s_adj FROM s GROUP BY 1),
+si AS (
+  SELECT s.event_type, s.season, s.s_raw - adj.s_adj AS seasonal
+  FROM s JOIN adj USING (event_type)
+),
+rem AS (
+  SELECT t.event_type, t.day, CAST(t.y AS BIGINT) AS n_events,
+         ROUND(t.y - t.trend - si.seasonal, 6) AS r
+  FROM t JOIN si ON t.event_type = si.event_type AND t.season = si.season
+  WHERE t.trend IS NOT NULL
+),
+med AS (SELECT event_type, median(r) AS med FROM rem GROUP BY 1),
+m2 AS (
+  SELECT rem.event_type, median(ABS(rem.r - med.med)) AS mad
+  FROM rem JOIN med USING (event_type) GROUP BY 1
+),
+scored AS (
+  SELECT rem.event_type, rem.day, rem.n_events, rem.r,
+         ROUND(CASE WHEN m2.mad IS NOT NULL AND m2.mad <> 0
+                    THEN 0.6745 * (rem.r - med.med) / m2.mad END, 6) AS s
+  FROM rem
+  JOIN med USING (event_type)
+  JOIN m2 USING (event_type)
+)
+SELECT event_type, day, n_events, r AS remainder,
+       s AS score,
+       COALESCE(ABS(s) > 3.5, FALSE) AS is_anomaly
+FROM scored
+"""
+
+
 def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided tabular CUSUM drift scores (Page 1954) of each event
     type's value stream, k=0.5 / h=5. The clipped recurrence S+_t =
@@ -4193,6 +4286,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "window_features": [("value", "DOUBLE"), ("value_1h_ago", "DOUBLE"), ("zscore", "DOUBLE")],
     "level_shifts": [("shift", "DOUBLE"), ("shift_score", "DOUBLE")],
     "mad_anomalies": [("value", "DOUBLE"), ("score", "DOUBLE")],
+    "seasonal_anomalies": [("remainder", "DOUBLE"), ("score", "DOUBLE")],
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "theta_forecast": [("forecast", "DOUBLE")],
     "brown_forecast": [("forecast", "DOUBLE")],
@@ -4292,6 +4386,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stickiness": q_stickiness,
         "star_rollup": q_star_rollup,
         "business_days": q_business_days,
+        "seasonal_anomalies": q_seasonal_anomalies,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -4378,6 +4473,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "stickiness": SQL_STICKINESS,
         "star_rollup": SQL_STAR_ROLLUP,
         "business_days": _sql_business_days(),
+        "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
