@@ -2954,6 +2954,81 @@ FROM scored
 """
 
 
+def q_bollinger_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling technical indicators per event type — 20-row Bollinger
+    bands (mid/upper/lower, %B, bandwidth) and 14-diff Cutler RSI over
+    the value series ordered by (ts, event_id). Both are compositions of
+    the archived rolling-row-window aggregates (reference
+    development-plan.md:645-666) and share ONE Exchange + one sorted pass
+    (operators/indicators.py; plan pinned in tests)."""
+    from tablecloth_time_spark.operators.indicators import (
+        bollinger_bands,
+        rsi_cutler,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    order = ["ts", "event_id"]
+    out = rsi_cutler(
+        bollinger_bands(ev, ["event_type"], order, "value", n=20, k=2.0),
+        ["event_type"], order, "value", n=14,
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("mid", 6).alias("mid"),
+        F.round("upper", 6).alias("upper"),
+        F.round("lower", 6).alias("lower"),
+        F.round("pct_b", 6).alias("pct_b"),
+        F.round("bandwidth", 6).alias("bandwidth"),
+        F.round("rsi", 6).alias("rsi"),
+    )
+
+
+SQL_BOLLINGER_RSI = """
+WITH b AS (
+  SELECT event_id, event_type, ts, CAST(value AS DOUBLE) AS v,
+         CASE WHEN COUNT(value) OVER w20 >= 20
+              THEN AVG(value) OVER w20 END AS mid,
+         CASE WHEN COUNT(value) OVER w20 >= 20
+              THEN stddev_samp(value) OVER w20 END AS sd,
+         CAST(value AS DOUBLE)
+           - lag(CAST(value AS DOUBLE)) OVER wo AS diff
+  FROM events
+  WINDOW wo AS (PARTITION BY event_type ORDER BY ts, event_id),
+         w20 AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+r AS (
+  SELECT *,
+         CASE WHEN COUNT(g) OVER w14 >= 14 THEN AVG(g) OVER w14 END AS ag,
+         CASE WHEN COUNT(l) OVER w14 >= 14 THEN AVG(l) OVER w14 END AS al
+  FROM (
+    SELECT *,
+           CASE WHEN diff > 0 THEN diff
+                WHEN diff IS NOT NULL THEN 0.0 END AS g,
+           CASE WHEN diff < 0 THEN -diff
+                WHEN diff IS NOT NULL THEN 0.0 END AS l
+    FROM b
+  )
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type,
+       ROUND(mid, 6) AS mid,
+       ROUND(u, 6) AS upper,
+       ROUND(lo, 6) AS lower,
+       ROUND(CASE WHEN u - lo <> 0 THEN (v - lo) / (u - lo) END, 6) AS pct_b,
+       ROUND(CASE WHEN mid <> 0 THEN (u - lo) / mid END, 6) AS bandwidth,
+       ROUND(CASE WHEN ag + al <> 0
+                  THEN 100.0 * ag / (ag + al) END, 6) AS rsi
+FROM (
+  SELECT *, mid + 2.0 * sd AS u, mid - 2.0 * sd AS lo FROM r
+)
+"""
+
+
 def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality-aware anomaly scoring — the composition a monitoring
     user actually wants: classical decomposition removes trend +
@@ -4287,6 +4362,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "level_shifts": [("shift", "DOUBLE"), ("shift_score", "DOUBLE")],
     "mad_anomalies": [("value", "DOUBLE"), ("score", "DOUBLE")],
     "seasonal_anomalies": [("remainder", "DOUBLE"), ("score", "DOUBLE")],
+    "bollinger_rsi": [("mid", "DOUBLE"), ("upper", "DOUBLE"), ("lower", "DOUBLE"), ("pct_b", "DOUBLE"), ("bandwidth", "DOUBLE"), ("rsi", "DOUBLE")],
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "theta_forecast": [("forecast", "DOUBLE")],
     "brown_forecast": [("forecast", "DOUBLE")],
@@ -4387,6 +4463,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_rollup": q_star_rollup,
         "business_days": q_business_days,
         "seasonal_anomalies": q_seasonal_anomalies,
+        "bollinger_rsi": q_bollinger_rsi,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -4474,6 +4551,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "star_rollup": SQL_STAR_ROLLUP,
         "business_days": _sql_business_days(),
         "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
+        "bollinger_rsi": SQL_BOLLINGER_RSI,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
