@@ -3029,6 +3029,70 @@ FROM (
 """
 
 
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-seasonality detection: Schuster periodogram power of each
+    event type's hourly count series at candidate periods 24h / 96h /
+    168h — ONE mergeable hash aggregate (4 sums per candidate period),
+    the rollup plan class; the phase is reduced with exact integer
+    arithmetic before the trig call so both engines evaluate identical
+    small arguments (operators/spectral.py)."""
+    from tablecloth_time_spark.operators.spectral import periodogram
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = periodogram(hourly, "event_type", "h", "y", [24, 96, 168], "hour")
+    return out.select(
+        "event_type",
+        "period",
+        "n",
+        F.round("amp", 6).alias("amp"),
+        F.round("power_frac", 6).alias("power_frac"),
+    )
+
+
+SQL_PERIODOGRAM = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+terms AS (
+  SELECT event_type, p.period, y,
+         6.283185307179586
+           * (CAST(epoch_ms(h) % (p.period * 3600000) AS DOUBLE)
+              / CAST(p.period * 3600000 AS DOUBLE)) AS ang
+  FROM hourly CROSS JOIN (VALUES (24), (96), (168)) AS p(period)
+),
+s AS (
+  SELECT event_type, period,
+         COUNT(y) AS n,
+         SUM(y) AS sx, SUM(y * y) AS sxx,
+         SUM(cos(ang)) AS sc, SUM(sin(ang)) AS ss,
+         SUM(y * cos(ang)) AS sxc, SUM(y * sin(ang)) AS sxs
+  FROM terms GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, period, n,
+         CAST(n AS DOUBLE) AS nd,
+         sxc - (sx / CAST(n AS DOUBLE)) * sc AS a,
+         sxs - (sx / CAST(n AS DOUBLE)) * ss AS b,
+         sxx - sx * (sx / CAST(n AS DOUBLE)) AS sst
+  FROM s
+)
+SELECT event_type,
+       CAST(period AS BIGINT) AS period,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN n >= 2
+                  THEN 2.0 * sqrt(a * a + b * b) / nd END, 6) AS amp,
+       ROUND(CASE WHEN n >= 2 AND sst > 0
+                  THEN 2.0 * (a * a + b * b) / nd / sst END, 6)
+         AS power_frac
+FROM d
+"""
+
+
 def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality-aware anomaly scoring — the composition a monitoring
     user actually wants: classical decomposition removes trend +
@@ -4363,6 +4427,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "mad_anomalies": [("value", "DOUBLE"), ("score", "DOUBLE")],
     "seasonal_anomalies": [("remainder", "DOUBLE"), ("score", "DOUBLE")],
     "bollinger_rsi": [("mid", "DOUBLE"), ("upper", "DOUBLE"), ("lower", "DOUBLE"), ("pct_b", "DOUBLE"), ("bandwidth", "DOUBLE"), ("rsi", "DOUBLE")],
+    "periodogram": [("amp", "DOUBLE"), ("power_frac", "DOUBLE")],
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "theta_forecast": [("forecast", "DOUBLE")],
     "brown_forecast": [("forecast", "DOUBLE")],
@@ -4464,6 +4529,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "business_days": q_business_days,
         "seasonal_anomalies": q_seasonal_anomalies,
         "bollinger_rsi": q_bollinger_rsi,
+        "periodogram": q_periodogram,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -4552,6 +4618,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "business_days": _sql_business_days(),
         "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
         "bollinger_rsi": SQL_BOLLINGER_RSI,
+        "periodogram": SQL_PERIODOGRAM,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
