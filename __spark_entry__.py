@@ -3029,6 +3029,114 @@ FROM (
 """
 
 
+def q_ewma_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-index EMA (pandas ewm(alpha=0.5, adjust=True) parity) of each
+    event type's value stream — the segment-anchored prefix-sum plan:
+    one Exchange, sorted window passes, no Python
+    (operators/counters.py:ewma_rows). alpha=0.5 makes every weight an
+    exact power of two, so the DuckDB oracle re-derives the ENTIRE
+    segmented computation (row positions, 150-row segments, per-segment
+    prefix sums, two-hop closed-segment carries) bit-for-bit."""
+    from tablecloth_time_spark.operators.counters import ewma_rows
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    out = ewma_rows(
+        ev, "event_type", ["ts", "event_id"], "value", alpha=0.5
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+# S = 150 must match ewma_rows' segment derivation for alpha=0.5:
+# floor(150*ln2 / -ln(0.5)) = 150. The oracle mirrors the operator's
+# exact arithmetic: w = (1/b)^local = pow(2.0, local), closes carry
+# (seg, num, den) structs, hops rescale by pow(0.5, gap*150).
+SQL_EWMA_ROWS = """
+WITH base AS (
+  SELECT event_id, event_type, ts, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           - 1 AS pos
+  FROM events
+),
+stepped AS (
+  SELECT *, pos // 150 AS seg,
+         pow(2.0, CAST(pos % 150 AS DOUBLE)) AS w
+  FROM base
+),
+masked AS (
+  SELECT *,
+         CASE WHEN x IS NOT NULL AND NOT isnan(x) THEN w * x END AS wx,
+         CASE WHEN x IS NOT NULL AND NOT isnan(x) THEN w END AS wd
+  FROM stepped
+),
+pfx AS (
+  SELECT *,
+         SUM(wx) OVER wp AS numpfx,
+         SUM(wd) OVER wp AS denpfx,
+         CASE WHEN lead(seg) OVER wo IS NULL OR lead(seg) OVER wo <> seg
+              THEN struct_pack(
+                     s := seg,
+                     n := COALESCE(SUM(wx) OVER wsg, 0.0),
+                     d := COALESCE(SUM(wd) OVER wsg, 0.0)
+                   ) END AS cl
+  FROM masked
+  WINDOW wo AS (PARTITION BY event_type ORDER BY seg, ts, event_id),
+         wp AS (PARTITION BY event_type, seg ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wsg AS (PARTITION BY event_type, seg)
+),
+p1 AS (
+  SELECT *,
+         last_value(cl IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY seg, ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+  FROM pfx
+),
+c2 AS (
+  SELECT *,
+         CASE WHEN cl IS NOT NULL
+              THEN struct_pack(c1 := cl, c0 := prev) END AS cl2
+  FROM p1
+),
+carried AS (
+  SELECT *,
+         last_value(cl2 IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY seg, ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev2
+  FROM c2
+),
+hopped AS (
+  SELECT *,
+         struct_extract(struct_extract(prev2, 'c1'), 'n')
+           * pow(0.5, CAST(seg - struct_extract(struct_extract(prev2, 'c1'), 's')
+                      AS DOUBLE) * 150.0) AS n1,
+         struct_extract(struct_extract(prev2, 'c1'), 'd')
+           * pow(0.5, CAST(seg - struct_extract(struct_extract(prev2, 'c1'), 's')
+                      AS DOUBLE) * 150.0) AS d1,
+         struct_extract(struct_extract(prev2, 'c0'), 'n')
+           * pow(0.5, CAST(seg - struct_extract(struct_extract(prev2, 'c0'), 's')
+                      AS DOUBLE) * 150.0) AS n0,
+         struct_extract(struct_extract(prev2, 'c0'), 'd')
+           * pow(0.5, CAST(seg - struct_extract(struct_extract(prev2, 'c0'), 's')
+                      AS DOUBLE) * 150.0) AS d0
+  FROM carried
+)
+SELECT event_id, event_type,
+       ROUND(CASE WHEN COALESCE(denpfx, 0.0) + COALESCE(d1, 0.0)
+                       + COALESCE(d0, 0.0) > 0.0
+                  THEN (COALESCE(numpfx, 0.0) + COALESCE(n1, 0.0)
+                        + COALESCE(n0, 0.0))
+                       / (COALESCE(denpfx, 0.0) + COALESCE(d1, 0.0)
+                          + COALESCE(d0, 0.0)) END, 6) AS ewma
+FROM hopped
+"""
+
+
 def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant-seasonality detection: Schuster periodogram power of each
     event type's hourly count series at candidate periods 24h / 96h /
@@ -4428,6 +4536,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "seasonal_anomalies": [("remainder", "DOUBLE"), ("score", "DOUBLE")],
     "bollinger_rsi": [("mid", "DOUBLE"), ("upper", "DOUBLE"), ("lower", "DOUBLE"), ("pct_b", "DOUBLE"), ("bandwidth", "DOUBLE"), ("rsi", "DOUBLE")],
     "periodogram": [("amp", "DOUBLE"), ("power_frac", "DOUBLE")],
+    "ewma_rows": [("ewma", "DOUBLE")],
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "theta_forecast": [("forecast", "DOUBLE")],
     "brown_forecast": [("forecast", "DOUBLE")],
@@ -4530,6 +4639,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies": q_seasonal_anomalies,
         "bollinger_rsi": q_bollinger_rsi,
         "periodogram": q_periodogram,
+        "ewma_rows": q_ewma_rows,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -4619,6 +4729,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
         "bollinger_rsi": SQL_BOLLINGER_RSI,
         "periodogram": SQL_PERIODOGRAM,
+        "ewma_rows": SQL_EWMA_ROWS,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,

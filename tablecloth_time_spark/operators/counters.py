@@ -353,6 +353,193 @@ def ewma(
     )
 
 
+def ewma_rows(
+    df: DataFrame,
+    keys: str | list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float | None = None,
+    span: float | None = None,
+    halflife_rows: float | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Row-index exponentially weighted moving average per key — pandas
+    ``ewm(alpha/span/halflife, adjust=True, ignore_na=False).mean()``
+    parity, as a PURE window plan (one Exchange, one sorted pass, no
+    Python). Exactly one of ``alpha`` / ``span`` / ``halflife_rows``
+    selects the decay (pandas' parameterization: alpha = 2/(span+1) =
+    1 - 2^(-1/halflife_rows)), with 0 < alpha < 1.
+
+        ewma_i = sum_{j<=i} (1-alpha)^(i-j) * x_j
+                 / sum_{j<=i} (1-alpha)^(i-j)      over valid j
+
+    The same decay-factor cancellation as time-decay :func:`ewma` applies
+    with the ROW POSITION as the exponent: b^(i-j) = b^i * b^(-j), and
+    b^i cancels between numerator and denominator, leaving prefix sums of
+    b^(-j)-weighted values. b^(-j) overflows for long series, so the
+    exponent anchors per S-row segment with S chosen from the decay rate
+    itself:
+
+        S = clamp(floor(150 * ln 2 / -ln(1-alpha)), 1, 2^40)
+
+    which makes the largest within-segment weight b^(-(S-1)) ~ 2^150
+    (never overflows) AND the per-segment decay b^S ~ 2^-150 (so the
+    two-hop carried history truncation is sub-ULP). The carry itself is
+    the ewma() machinery verbatim: per-segment prefix sums + the two most
+    recent closed segments' totals rescaled by b^(S*seg_gap). For a VALID
+    sample, everything older than both kept segments is >= 2S+1 rows
+    back — relative weight < 2^-300 of the row's own — so the truncation
+    is invisible; a null-value row reports the carried (previous) mean,
+    with the same many-segments-of-nulls staleness corner ewma()
+    documents.
+
+    Nulls and NaNs are missing data: they keep their row position (the
+    pandas ``ignore_na=False`` default — later weights still step by
+    position) but contribute to neither sum. ``adjust=False`` is not
+    offered: its recurrence seeds on the first value and renormalizes
+    around missing data in a way that is no longer a ratio of prefix
+    sums; the adjusted form is the one with clean masked-sum semantics.
+    """
+    import math as _math
+
+    ks = _keys(keys)
+    given = [p is not None for p in (alpha, span, halflife_rows)]
+    if sum(given) != 1:
+        raise ValueError(
+            "ewma_rows: pass exactly one of alpha / span / halflife_rows"
+        )
+    if span is not None:
+        if span < 1:
+            raise ValueError(f"ewma_rows: span must be >= 1, got {span}")
+        alpha = 2.0 / (span + 1.0)
+    elif halflife_rows is not None:
+        if halflife_rows <= 0:
+            raise ValueError(
+                f"ewma_rows: halflife_rows must be > 0, got {halflife_rows}"
+            )
+        alpha = 1.0 - 2.0 ** (-1.0 / halflife_rows)
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"ewma_rows: need 0 < alpha < 1, got {alpha}")
+    b = 1.0 - alpha
+    seg_rows = max(1, min(int(150.0 * _math.log(2.0) / -_math.log(b)), 2**40))
+
+    base = df.select(
+        "*", F.col(value_col).cast("double").alias("__x")
+    )
+    wk = Window.partitionBy(*ks).orderBy(*order_cols)
+    # 0-based row position; exact integer div/mod anchor per segment
+    pos = F.row_number().over(wk) - F.lit(1)
+    seg = F.floor(pos / F.lit(seg_rows))
+    dloc = (pos - seg * F.lit(seg_rows)).cast("double")
+    w = F.pow(F.lit(1.0 / b), dloc)
+    valid = F.col("__x").isNotNull() & ~F.isnan(F.col("__x"))
+    stepped = base.select(
+        "*",
+        seg.alias("__seg"),
+        F.when(valid, w * F.col("__x")).alias("__wx"),
+        F.when(valid, w).alias("__wd"),
+    )
+
+    wk_ord = Window.partitionBy(*ks).orderBy(F.col("__seg"), *order_cols)
+    wseg = Window.partitionBy(*ks, "__seg")
+    wseg_pfx = wseg.orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    is_last_in_seg = (
+        F.lead("__seg", 1).over(wk_ord).isNull()
+        | (F.lead("__seg", 1).over(wk_ord) != F.col("__seg"))
+    )
+    scored = stepped.select(
+        "*",
+        F.sum("__wx").over(wseg_pfx).alias("__numpfx"),
+        F.sum("__wd").over(wseg_pfx).alias("__denpfx"),
+        F.when(
+            is_last_in_seg,
+            F.struct(
+                F.col("__seg").alias("s"),
+                F.coalesce(F.sum("__wx").over(wseg), F.lit(0.0)).alias("n"),
+                F.coalesce(F.sum("__wd").over(wseg), F.lit(0.0)).alias("d"),
+            ),
+        ).alias("__close"),
+    )
+    prev1 = scored.select(
+        "*",
+        F.last("__close", ignorenulls=True)
+        .over(wk_ord.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__prev"),
+    )
+    closing2 = prev1.select(
+        "*",
+        F.when(
+            F.col("__close").isNotNull(),
+            F.struct(
+                F.col("__close").alias("c1"), F.col("__prev").alias("c0")
+            ),
+        ).alias("__close2"),
+    )
+    carried = closing2.select(
+        "*",
+        F.last("__close2", ignorenulls=True)
+        .over(wk_ord.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("__prev2"),
+    )
+
+    def hop(c):
+        # b^(S * seg_gap): seg_gap >= 1, so the base is b^S ~ 2^-150 —
+        # magnitude <= 1, arbitrarily many segments can't overflow
+        rescale = F.pow(
+            F.lit(b),
+            (F.col("__seg") - c["s"]).cast("double") * F.lit(float(seg_rows)),
+        )
+        return c["n"] * rescale, c["d"] * rescale
+
+    n1, d1 = hop(F.col("__prev2")["c1"])
+    n0, d0 = hop(F.col("__prev2")["c0"])
+    num = (
+        F.coalesce(F.col("__numpfx"), F.lit(0.0))
+        + F.coalesce(n1, F.lit(0.0))
+        + F.coalesce(n0, F.lit(0.0))
+    )
+    den = (
+        F.coalesce(F.col("__denpfx"), F.lit(0.0))
+        + F.coalesce(d1, F.lit(0.0))
+        + F.coalesce(d0, F.lit(0.0))
+    )
+    drop = ["__x", "__seg", "__wx", "__wd", "__numpfx", "__denpfx",
+            "__close", "__prev", "__close2", "__prev2"]
+    return carried.select(
+        "*", F.when(den > F.lit(0.0), num / den).alias(out_col)
+    ).drop(*drop)
+
+
+def macd(
+    df: DataFrame,
+    keys: str | list[str],
+    order_cols: list[str],
+    value_col: str,
+    fast_span: int = 12,
+    slow_span: int = 26,
+    signal_span: int = 9,
+) -> DataFrame:
+    """MACD (Appel): fast EMA - slow EMA, plus the signal line (EMA of
+    the MACD) and the histogram — three :func:`ewma_rows` passes that all
+    share ONE (key, order) sort, so the whole indicator is still a single
+    Exchange. EMAs here are the adjusted form (pandas default), the
+    convention ta-lib calls "EMA with SMA-free warmup"."""
+    fast = ewma_rows(df, keys, order_cols, value_col, span=fast_span,
+                     out_col="__fast")
+    slow = ewma_rows(fast, keys, order_cols, value_col, span=slow_span,
+                     out_col="__slow")
+    line = slow.select(
+        "*", (F.col("__fast") - F.col("__slow")).alias("macd")
+    )
+    sig = ewma_rows(line, keys, order_cols, "macd", span=signal_span,
+                    out_col="macd_signal")
+    return sig.select(
+        "*", (F.col("macd") - F.col("macd_signal")).alias("macd_hist")
+    ).drop("__fast", "__slow")
+
+
 def state_durations(
     df: DataFrame,
     keys: str | list[str],
