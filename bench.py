@@ -441,6 +441,58 @@ def main() -> None:
         lambda: mad_anomalies(events, ["event_type"], "value")
         .agg(F.sum("score")).collect(),
     )
+    from tablecloth_time_spark.operators.counters import ewma_rows, macd
+    from tablecloth_time_spark.operators.indicators import (
+        bollinger_bands,
+        rsi_cutler,
+    )
+    from tablecloth_time_spark.operators.spectral import periodogram
+
+    timed(
+        "ewma_rows_events",
+        lambda: ewma_rows(
+            events, "user_id", ["ts", "event_id"], "value", alpha=0.5
+        ).agg(F.sum("ewma")).collect(),
+    )
+    timed(
+        "macd_events",
+        lambda: macd(events, "user_id", ["ts", "event_id"], "value")
+        .agg(F.sum("macd_hist")).collect(),
+    )
+    timed(
+        "bollinger_rsi_events",
+        lambda: rsi_cutler(
+            bollinger_bands(
+                events, ["user_id"], ["ts", "event_id"], "value", n=20
+            ),
+            ["user_id"], ["ts", "event_id"], "value", n=14,
+        ).agg(F.sum("rsi"), F.sum("pct_b")).collect(),
+    )
+    hourly_counts = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    timed(
+        "periodogram_hourly",
+        lambda: periodogram(
+            hourly_counts, "event_type", "h", "y", [24, 96, 168], "hour"
+        ).agg(F.sum("power_frac")).collect(),
+    )
+    from tablecloth_time_spark.functions.busdays import (
+        add_business_days,
+        business_days_between,
+        is_business_day,
+    )
+
+    timed(
+        "business_days_events",
+        lambda: events.select(
+            is_business_day("ts").alias("b"),
+            add_business_days("ts", 5).alias("t5"),
+            business_days_between(
+                "ts", F.date_add(F.col("ts").cast("date"), 30)
+            ).alias("n30"),
+        ).agg(F.sum("n30")).collect(),
+    )
     from tablecloth_time_spark.operators.counters import state_durations
     from tablecloth_time_spark.operators.stats import histogram_rollup
 
