@@ -3137,6 +3137,64 @@ FROM hopped
 """
 
 
+def q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median + p90 over a trailing 9-row frame per user —
+    the despiking robust baseline. Spark's percentile aggregates reject
+    window frames, so the operator sorts the frame's values per row and
+    interpolates explicitly; the DuckDB oracle mirrors the identical
+    arithmetic (list window + list_sort + the same lo/frac formula)
+    instead of trusting quantile_cont internals
+    (operators/rolling.py:rolling_quantiles)."""
+    from tablecloth_time_spark.operators.rolling import rolling_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = rolling_quantiles(
+        ev, ["user_id"], ["ts", "event_id"], "value", 9,
+        {"med": 0.5, "p90": 0.9},
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("med", 6).alias("med"),
+        F.round("p90", 6).alias("p90"),
+    )
+
+
+SQL_ROLLING_QUANTILES = """
+WITH arrs AS (
+  SELECT event_id, user_id,
+         list_sort(list_filter(
+           list(CAST(value AS DOUBLE)) OVER w,
+           y -> y IS NOT NULL AND NOT isnan(y)
+         )) AS arr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+),
+p AS (
+  SELECT event_id, user_id, arr, len(arr) AS m FROM arrs
+)
+SELECT event_id, user_id,
+       ROUND(CASE WHEN m >= 1 THEN
+         arr[CAST(FLOOR(CAST('0.5' AS DOUBLE) * CAST(m - 1 AS DOUBLE)) AS INTEGER) + 1]
+         + (arr[LEAST(CAST(FLOOR(CAST('0.5' AS DOUBLE) * CAST(m - 1 AS DOUBLE)) AS INTEGER) + 2, m)]
+            - arr[CAST(FLOOR(CAST('0.5' AS DOUBLE) * CAST(m - 1 AS DOUBLE)) AS INTEGER) + 1])
+           * (CAST('0.5' AS DOUBLE) * CAST(m - 1 AS DOUBLE)
+              - CAST(FLOOR(CAST('0.5' AS DOUBLE) * CAST(m - 1 AS DOUBLE)) AS INTEGER))
+       END, 6) AS med,
+       ROUND(CASE WHEN m >= 1 THEN
+         arr[CAST(FLOOR(CAST('0.9' AS DOUBLE) * CAST(m - 1 AS DOUBLE)) AS INTEGER) + 1]
+         + (arr[LEAST(CAST(FLOOR(CAST('0.9' AS DOUBLE) * CAST(m - 1 AS DOUBLE)) AS INTEGER) + 2, m)]
+            - arr[CAST(FLOOR(CAST('0.9' AS DOUBLE) * CAST(m - 1 AS DOUBLE)) AS INTEGER) + 1])
+           * (CAST('0.9' AS DOUBLE) * CAST(m - 1 AS DOUBLE)
+              - CAST(FLOOR(CAST('0.9' AS DOUBLE) * CAST(m - 1 AS DOUBLE)) AS INTEGER))
+       END, 6) AS p90
+FROM p
+"""
+
+
 def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant-seasonality detection: Schuster periodogram power of each
     event type's hourly count series at candidate periods 24h / 96h /
@@ -4537,6 +4595,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "bollinger_rsi": [("mid", "DOUBLE"), ("upper", "DOUBLE"), ("lower", "DOUBLE"), ("pct_b", "DOUBLE"), ("bandwidth", "DOUBLE"), ("rsi", "DOUBLE")],
     "periodogram": [("amp", "DOUBLE"), ("power_frac", "DOUBLE")],
     "ewma_rows": [("ewma", "DOUBLE")],
+    "rolling_quantiles": [("med", "DOUBLE"), ("p90", "DOUBLE")],
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "theta_forecast": [("forecast", "DOUBLE")],
     "brown_forecast": [("forecast", "DOUBLE")],
@@ -4640,6 +4699,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bollinger_rsi": q_bollinger_rsi,
         "periodogram": q_periodogram,
         "ewma_rows": q_ewma_rows,
+        "rolling_quantiles": q_rolling_quantiles,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -4730,6 +4790,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "bollinger_rsi": SQL_BOLLINGER_RSI,
         "periodogram": SQL_PERIODOGRAM,
         "ewma_rows": SQL_EWMA_ROWS,
+        "rolling_quantiles": SQL_ROLLING_QUANTILES,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,

@@ -79,6 +79,69 @@ def rolling(
     return out.select("*", *exprs)
 
 
+def rolling_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n: int,
+    quantiles: dict[str, float],
+    min_periods: int = 1,
+) -> DataFrame:
+    """Exact interpolated quantiles over a trailing ``n``-row frame — the
+    rolling-median/despiking companion to :func:`rolling_rows`.
+
+    Spark's ``median``/``percentile`` aggregates reject window frames
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame's non-null
+    values are collected and sorted per row (``sort_array(collect_list)``)
+    and each quantile interpolates explicitly:
+
+        idx = q * (m - 1);  lo = floor(idx);  frac = idx - lo
+        value = arr[lo] + (arr[min(lo+1, m-1)] - arr[lo]) * frac
+
+    — the linear-interpolation definition shared by numpy/pandas/DuckDB
+    ``quantile_cont``, spelled out so an oracle can mirror the exact
+    arithmetic instead of trusting another engine's internals.
+
+    Cost: O(w log w) array work PER ROW inside the JVM — right for the
+    small windows despiking uses (w <= a few hundred); an unbounded or
+    very wide robust baseline belongs to ``mad_anomalies`` (two global
+    medians) or the histogram tier (``histogram_quantile``). Still one
+    Exchange + one sorted pass, no Python.
+
+    Nulls/NaNs in ``value_col`` drop out of the frame (``collect_list``
+    skips nulls; NaNs are masked to null first); a frame with fewer than
+    ``min_periods`` surviving values yields null quantiles.
+    """
+    if n < 1:
+        raise ValueError(f"rolling_quantiles: window must be >= 1, got {n}")
+    for name, q in quantiles.items():
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(
+                f"rolling_quantiles: quantile {name!r}={q} outside [0, 1]"
+            )
+    w = Window.partitionBy(*keys).orderBy(*order_cols).rowsBetween(
+        -(n - 1), 0
+    )
+    v = F.col(value_col).cast("double")
+    masked = F.when(~F.isnan(v), v)  # null already excluded by collect_list
+    arr = F.sort_array(F.collect_list(masked).over(w))
+    out = df.select("*", arr.alias("__arr"))
+    m = F.size("__arr")
+    exprs = []
+    for name, q in quantiles.items():
+        idx = F.lit(float(q)) * (m - F.lit(1)).cast("double")
+        lo = F.floor(idx).cast("int")
+        frac = idx - lo.cast("double")
+        a_lo = F.element_at("__arr", lo + F.lit(1))
+        a_hi = F.element_at(
+            "__arr", F.least(lo + F.lit(2), m).cast("int")
+        )
+        val = a_lo + (a_hi - a_lo) * frac
+        exprs.append(F.when(m >= max(min_periods, 1), val).alias(name))
+    return out.select("*", *exprs).drop("__arr")
+
+
 def rolling_rows(
     df: DataFrame,
     keys: list[str],
