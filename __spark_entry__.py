@@ -3137,6 +3137,58 @@ FROM hopped
 """
 
 
+def q_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window rollup — 1-hour windows every 15 minutes
+    per event type (Flink HOP semantics; each sample lands in 4 windows).
+    Covering starts are generated executor-side with exact integer
+    arithmetic and exploded into ONE map-side-combined hash aggregate
+    (operators/rollup.py:hopping_rollup)."""
+    from tablecloth_time_spark.operators.rollup import hopping_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = hopping_rollup(
+        ev, ["event_type"], "ts", 60, 15, "minute",
+        {"n": ("count", "event_id"), "sum_value": ("sum", "value")},
+    )
+    return out.select(
+        "event_type",
+        "window_start",
+        "window_end",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+SQL_HOPPING_ROLLUP = """
+WITH base AS (
+  SELECT event_type, event_id, value,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+  FROM events
+),
+bounds AS (
+  -- epoch ms are positive here, so % == pmod; starts s with
+  -- s <= t < s + width  <=>  t - width < s <= t, hop-aligned
+  SELECT *,
+         ms - ms % 900000 AS s_max,
+         (ms - 3600000) - (ms - 3600000) % 900000 + 900000 AS s_min
+  FROM base
+),
+exploded AS (
+  SELECT event_type, event_id, value,
+         unnest(generate_series(s_min, s_max, 900000)) AS ws
+  FROM bounds
+  WHERE s_min <= s_max
+)
+SELECT event_type,
+       make_timestamp(ws * 1000) AS window_start,
+       make_timestamp((ws + 3600000) * 1000) AS window_end,
+       CAST(COUNT(event_id) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM exploded
+GROUP BY 1, 2, 3
+"""
+
+
 def q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact rolling median + p90 over a trailing 9-row frame per user —
     the despiking robust baseline. Spark's percentile aggregates reject
@@ -4596,6 +4648,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "periodogram": [("amp", "DOUBLE"), ("power_frac", "DOUBLE")],
     "ewma_rows": [("ewma", "DOUBLE")],
     "rolling_quantiles": [("med", "DOUBLE"), ("p90", "DOUBLE")],
+    "hopping_rollup": [("sum_value", "DOUBLE")],
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "theta_forecast": [("forecast", "DOUBLE")],
     "brown_forecast": [("forecast", "DOUBLE")],
@@ -4700,6 +4753,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodogram": q_periodogram,
         "ewma_rows": q_ewma_rows,
         "rolling_quantiles": q_rolling_quantiles,
+        "hopping_rollup": q_hopping_rollup,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -4791,6 +4845,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "periodogram": SQL_PERIODOGRAM,
         "ewma_rows": SQL_EWMA_ROWS,
         "rolling_quantiles": SQL_ROLLING_QUANTILES,
+        "hopping_rollup": SQL_HOPPING_ROLLUP,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,

@@ -154,6 +154,75 @@ def rollup(
     return merged.select(*keys, bucket_col, *[s.final_expr() for s in specs])
 
 
+def hopping_rollup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    width: int,
+    hop: int,
+    unit: str,
+    aggs: dict[str, tuple[str, str]],
+    order_cols: list[str] | None = None,
+    start_col: str = "window_start",
+    end_col: str = "window_end",
+) -> DataFrame:
+    """Hopping (sliding) window rollup — the Flink ``HOP`` / overlapping
+    ``GROUP BY window`` shape :func:`rollup` cannot express: windows of
+    ``width`` units start at every multiple of ``hop`` units, so each
+    sample lands in ceil(width/hop) windows. Emitted windows are exactly
+    those containing >= 1 row (sparse, like every rollup here).
+
+    Plan: the covering window starts are generated EXECUTOR-SIDE with
+    exact integer arithmetic (``pmod`` on epoch millis — no float
+    division whose rounding could flip a boundary), exploded (bounded
+    fan-out width/hop), then ONE map-side-combined hash aggregate on
+    (keys, window_start) — the state_durations/interval_coverage pattern:
+    shuffle rows ∝ input * width/hop partials collapsed to distinct
+    (keys, window) on the map side, never a self-join or a per-window
+    pass. At 100 TB keep width/hop modest (<= ~16) or pre-aggregate to a
+    finer tumbling tier first and hop over that (aggs here are mergeable,
+    so the two compose exactly).
+
+    A ``width < hop`` configuration is honored literally: samples in the
+    dead zone between windows fall in none and drop (explode of the empty
+    start list).
+    """
+    if width <= 0 or hop <= 0:
+        raise ValueError(
+            f"hopping_rollup: width and hop must be > 0, got {width}, {hop}"
+        )
+    from tablecloth_time_spark.functions.timeops import to_epoch_millis
+    from tablecloth_time_spark.functions.units import (
+        milliseconds_in,
+        normalize_unit,
+    )
+
+    u = normalize_unit(unit)
+    width_ms = width * milliseconds_in(u)
+    hop_ms = hop * milliseconds_in(u)
+    specs = _parse_aggs(aggs)
+    order_cols = order_cols or [ts_col]
+
+    t = to_epoch_millis(ts_col)
+    # hop-aligned starts s with s <= t < s + width  <=>  t - width < s <= t
+    s_max = t - F.pmod(t, F.lit(hop_ms))
+    tw = t - F.lit(width_ms)
+    s_min = tw - F.pmod(tw, F.lit(hop_ms)) + F.lit(hop_ms)
+    starts = F.when(
+        s_min <= s_max, F.sequence(s_min, s_max, F.lit(hop_ms))
+    )
+    exploded = df.select("*", F.explode(starts).alias("__ws"))
+    merged = exploded.groupBy(*keys, "__ws").agg(
+        *[e for s in specs for e in s.partial_exprs(order_cols)]
+    )
+    return merged.select(
+        *keys,
+        F.timestamp_millis(F.col("__ws")).alias(start_col),
+        F.timestamp_millis(F.col("__ws") + F.lit(width_ms)).alias(end_col),
+        *[s.final_expr() for s in specs],
+    )
+
+
 def ohlc(
     df: DataFrame,
     keys: list[str],
