@@ -172,20 +172,24 @@ def hopping_rollup(
     sample lands in ceil(width/hop) windows. Emitted windows are exactly
     those containing >= 1 row (sparse, like every rollup here).
 
-    Plan: the covering window starts are generated EXECUTOR-SIDE with
-    exact integer arithmetic (``pmod`` on epoch millis — no float
-    division whose rounding could flip a boundary), exploded (bounded
-    fan-out width/hop), then ONE map-side-combined hash aggregate on
-    (keys, window_start) — the state_durations/interval_coverage pattern:
-    shuffle rows ∝ input * width/hop partials collapsed to distinct
-    (keys, window) on the map side, never a self-join or a per-window
-    pass. At 100 TB keep width/hop modest (<= ~16) or pre-aggregate to a
-    finer tumbling tier first and hop over that (aggs here are mergeable,
-    so the two compose exactly).
+    Plan (hop <= width, the normal case): DELEGATES to Spark's native
+    ``F.window(ts, width, hop)`` — the TimeWindowing rule compiles the
+    sliding membership into a static ``Expand`` with exactly
+    ceil(width/hop) pure projections (no array materialization, no
+    Generate, whole-stage codegen intact), followed by ONE
+    map-side-combined hash aggregate on (keys, window). An earlier
+    draft generated the covering starts with ``sequence``+``explode``;
+    the results are identical (pinned by test), but Expand replicates
+    rows as projections while explode first allocates an ArrayData per
+    input row — native wins, and it is the same operator Structured
+    Streaming plans for sliding windows. At 100 TB keep width/hop
+    modest (<= ~16) or pre-aggregate to a finer tumbling tier first and
+    hop over that (aggs here are mergeable, so the two compose exactly).
 
-    A ``width < hop`` configuration is honored literally: samples in the
-    dead zone between windows fall in none and drop (explode of the empty
-    start list).
+    ``width < hop`` (dead zones between windows — Spark's F.window
+    rejects it) is honored literally: each sample is in AT MOST one
+    window, so the branch is a pure filter (``pmod(t, hop) < width``) +
+    tumbling aggregate — no replication at all.
     """
     if width <= 0 or hop <= 0:
         raise ValueError(
@@ -202,19 +206,28 @@ def hopping_rollup(
     hop_ms = hop * milliseconds_in(u)
     specs = _parse_aggs(aggs)
     order_cols = order_cols or [ts_col]
+    partials = [e for s in specs for e in s.partial_exprs(order_cols)]
+
+    if hop_ms <= width_ms:
+        win = F.window(
+            F.col(ts_col).cast("timestamp"),
+            f"{width_ms} milliseconds",
+            f"{hop_ms} milliseconds",
+        )
+        merged = df.groupBy(*keys, win.alias("__w")).agg(*partials)
+        return merged.select(
+            *keys,
+            F.col("__w.start").alias(start_col),
+            F.col("__w.end").alias(end_col),
+            *[s.final_expr() for s in specs],
+        )
 
     t = to_epoch_millis(ts_col)
-    # hop-aligned starts s with s <= t < s + width  <=>  t - width < s <= t
-    s_max = t - F.pmod(t, F.lit(hop_ms))
-    tw = t - F.lit(width_ms)
-    s_min = tw - F.pmod(tw, F.lit(hop_ms)) + F.lit(hop_ms)
-    starts = F.when(
-        s_min <= s_max, F.sequence(s_min, s_max, F.lit(hop_ms))
-    )
-    exploded = df.select("*", F.explode(starts).alias("__ws"))
-    merged = exploded.groupBy(*keys, "__ws").agg(
-        *[e for s in specs for e in s.partial_exprs(order_cols)]
-    )
+    off = F.pmod(t, F.lit(hop_ms))
+    survivors = df.select(
+        "*", (t - off).alias("__ws")
+    ).filter(off < F.lit(width_ms))
+    merged = survivors.groupBy(*keys, "__ws").agg(*partials)
     return merged.select(
         *keys,
         F.timestamp_millis(F.col("__ws")).alias(start_col),

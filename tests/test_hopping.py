@@ -94,8 +94,10 @@ def test_hopping_validation(spark):
 
 
 def test_hopping_plan_single_agg_pair(points_df):
-    """ONE Exchange with partial/final hash aggregates (map-side combine
-    after the explode); no join, no window, no Python."""
+    """The native-F.window shape: a static Expand (projection
+    replication, NOT a Generate/explode with per-row array allocation)
+    into ONE partial/final hash aggregate pair; no join, no window
+    operator, no Python."""
     pdf, sdf = points_df
     out = hopping_rollup(
         sdf, ["k"], "ts", 60, 15, "minute", {"n": ("count", "x")}
@@ -103,4 +105,19 @@ def test_hopping_plan_single_agg_pair(points_df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") == 2
-    assert "Python" not in plan and "Join" not in plan and "Window" not in plan
+    assert "Expand" in plan and "Generate" not in plan
+    assert "Python" not in plan and "Join" not in plan
+
+
+def test_hopping_dead_zone_plan_no_replication(spark):
+    """width < hop: a pure filter + tumbling aggregate — no Expand, no
+    Generate."""
+    sdf = spark.createDataFrame(
+        [("k", 0, 1.0)], "k string, ms long, x double"
+    ).selectExpr("k", "timestamp_millis(ms) AS ts", "x")
+    out = hopping_rollup(
+        sdf, ["k"], "ts", 30, 60, "minute", {"n": ("count", "x")}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan and "Generate" not in plan
+    assert plan.count("HashAggregate") == 2
