@@ -78,6 +78,58 @@ def streaming_rollup(
     )
 
 
+def streaming_hopping_rollup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    width: int,
+    hop: int,
+    unit: str,
+    aggs: dict[str, tuple[str, str]],
+    order_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+    start_col: str = "window_start",
+    end_col: str = "window_end",
+) -> DataFrame:
+    """Streaming hopping (sliding) windows — the live twin of
+    ``operators/rollup.hopping_rollup``: the SAME native
+    ``F.window(ts, width, hop)`` Expand feeds the stateful aggregate, so
+    streamed output on a closed input equals the batch operator row for
+    row (pinned in tests). State per key is ~width/hop open windows
+    within the watermark horizon; each window row appends exactly once
+    when the watermark passes its end. Requires hop <= width (dead-zone
+    configurations are a batch-only literal)."""
+    if width <= 0 or hop <= 0 or hop > width:
+        raise ValueError(
+            "streaming_hopping_rollup: need 0 < hop <= width, got "
+            f"width={width}, hop={hop}"
+        )
+    u = normalize_unit(unit)
+    if is_calendar_unit(u):
+        raise ValueError(
+            "streaming hopping windows support metric units only"
+        )
+    specs = _parse_aggs(aggs)
+    order_cols = order_cols or [ts_col]
+    width_ms = width * milliseconds_in(u)
+    hop_ms = hop * milliseconds_in(u)
+    win = F.window(
+        F.col(ts_col), f"{width_ms} milliseconds", f"{hop_ms} milliseconds"
+    )
+    partials = [e for s in specs for e in s.partial_exprs(order_cols)]
+    grouped = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys, win.alias("__w"))
+        .agg(*partials)
+    )
+    return grouped.select(
+        *keys,
+        F.col("__w.start").alias(start_col),
+        F.col("__w.end").alias(end_col),
+        *[s.final_expr() for s in specs],
+    )
+
+
 def streaming_rollup_to_sink(
     stream: DataFrame,
     keys: list[str],

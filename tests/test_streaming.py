@@ -1111,3 +1111,97 @@ def test_streaming_ewma_matches_batch(spark, tmp_path):
     assert np.allclose(
         got.loc[both, "ewma"], exp.loc[both, "ewma"], rtol=1e-9, atol=1e-9
     )
+
+
+def test_streaming_hopping_matches_batch(spark, tmp_path):
+    """Streaming hopping windows (native F.window slide + watermark,
+    availableNow drain) must equal the batch hopping_rollup on the same
+    closed input — both sides compile to the same Expand, so the parity
+    is exact row-for-row."""
+    import datetime as dt
+
+    import numpy as np
+
+    from tablecloth_time_spark.operators.rollup import hopping_rollup
+    from tablecloth_time_spark.streaming.rollup import (
+        streaming_hopping_rollup,
+    )
+
+    rng = np.random.default_rng(23)
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        (
+            f"k{int(k)}",
+            t0 + dt.timedelta(seconds=int(s)),
+            round(float(v), 3),
+        )
+        for k, s, v in zip(
+            rng.integers(0, 3, 300),
+            np.cumsum(rng.integers(1, 240, 300)),
+            rng.uniform(0, 100, 300),
+        )
+    ]
+    rows.append(("__flush__", dt.datetime(2030, 1, 1), 0.0))
+    batch = spark.createDataFrame(rows, ["k", "ts", "v"])
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = streaming_hopping_rollup(
+        stream, ["k"], "ts", 60, 15, "minute",
+        {"n": ("count", "v"), "s": ("sum", "v")},
+        watermark="0 seconds",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hop_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.table("hop_stream")
+        .filter("k <> '__flush__'")
+        .toPandas()
+        .sort_values(["k", "window_start"], kind="stable")
+        .reset_index(drop=True)
+    )
+    expected = (
+        hopping_rollup(
+            batch.filter("k <> '__flush__'"), ["k"], "ts", 60, 15, "minute",
+            {"n": ("count", "v"), "s": ("sum", "v")},
+        )
+        .toPandas()
+        .sort_values(["k", "window_start"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], expected[sorted(expected.columns)],
+        check_dtype=False,
+    )
+
+
+def test_streaming_hopping_validation(spark, tmp_path):
+    from tablecloth_time_spark.streaming.rollup import (
+        streaming_hopping_rollup,
+    )
+
+    import datetime as dt
+
+    batch = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1), 1.0)],
+        "k string, ts timestamp, v double",
+    )
+    src = str(tmp_path / "vsrc")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    with pytest.raises(ValueError, match="hop <= width"):
+        streaming_hopping_rollup(
+            stream, ["k"], "ts", 30, 60, "minute", {"n": ("count", "v")}
+        )
+    with pytest.raises(ValueError, match="metric units"):
+        streaming_hopping_rollup(
+            stream, ["k"], "ts", 2, 1, "month", {"n": ("count", "v")}
+        )
