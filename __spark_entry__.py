@@ -3137,6 +3137,70 @@ FROM hopped
 """
 
 
+def q_profile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day data-quality profile of the events feed (value + user_id):
+    row count, nulls, NaNs, finite min/max/mean, exact distinct — the
+    ingest-hygiene monitor. One mergeable hash aggregate per bucket
+    (exact distinct adds the standard multi-distinct Expand; the 100 TB
+    default is the approx HLL form, exact here because the oracle is)
+    (operators/profile.py:profile_rollup)."""
+    from tablecloth_time_spark.operators.profile import profile_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = profile_rollup(
+        ev, "ts", ["value", "user_id"], 1, "day", exact=True
+    )
+    return out.select(
+        "bucket",
+        "n",
+        "column",
+        "n_null",
+        "n_nan",
+        F.col("min").alias("vmin"),
+        F.col("max").alias("vmax"),
+        F.round("mean", 6).alias("mean"),
+        "n_distinct",
+    )
+
+
+SQL_PROFILE_ROLLUP = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, value, user_id,
+         CAST(value AS DOUBLE) AS dv, CAST(user_id AS DOUBLE) AS du
+  FROM events
+),
+v AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, 'value' AS "column",
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(SUM(CASE WHEN value IS NOT NULL AND isnan(dv)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+         MIN(CASE WHEN dv IS NOT NULL AND NOT isnan(dv) THEN dv END) AS vmin,
+         MAX(CASE WHEN dv IS NOT NULL AND NOT isnan(dv) THEN dv END) AS vmax,
+         ROUND(SUM(CASE WHEN dv IS NOT NULL AND NOT isnan(dv) THEN dv END)
+               / CAST(COUNT(CASE WHEN dv IS NOT NULL AND NOT isnan(dv)
+                            THEN dv END) AS DOUBLE), 6) AS mean,
+         CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct
+  FROM b GROUP BY 1
+),
+u AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, 'user_id' AS "column",
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(SUM(CASE WHEN user_id IS NOT NULL AND isnan(du)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+         MIN(CASE WHEN du IS NOT NULL AND NOT isnan(du) THEN du END) AS vmin,
+         MAX(CASE WHEN du IS NOT NULL AND NOT isnan(du) THEN du END) AS vmax,
+         ROUND(SUM(CASE WHEN du IS NOT NULL AND NOT isnan(du) THEN du END)
+               / CAST(COUNT(CASE WHEN du IS NOT NULL AND NOT isnan(du)
+                            THEN du END) AS DOUBLE), 6) AS mean,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+  FROM b GROUP BY 1
+)
+SELECT * FROM v UNION ALL SELECT * FROM u
+"""
+
+
 def q_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) window rollup — 1-hour windows every 15 minutes
     per event type (Flink HOP semantics; each sample lands in 4 windows).
@@ -4649,6 +4713,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "ewma_rows": [("ewma", "DOUBLE")],
     "rolling_quantiles": [("med", "DOUBLE"), ("p90", "DOUBLE")],
     "hopping_rollup": [("sum_value", "DOUBLE")],
+    "profile_rollup": [("vmin", "DOUBLE"), ("vmax", "DOUBLE"), ("mean", "DOUBLE")],
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "theta_forecast": [("forecast", "DOUBLE")],
     "brown_forecast": [("forecast", "DOUBLE")],
@@ -4754,6 +4819,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_rows": q_ewma_rows,
         "rolling_quantiles": q_rolling_quantiles,
         "hopping_rollup": q_hopping_rollup,
+        "profile_rollup": q_profile_rollup,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -4846,6 +4912,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "ewma_rows": SQL_EWMA_ROWS,
         "rolling_quantiles": SQL_ROLLING_QUANTILES,
         "hopping_rollup": SQL_HOPPING_ROLLUP,
+        "profile_rollup": SQL_PROFILE_ROLLUP,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
