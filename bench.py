@@ -477,6 +477,32 @@ def main() -> None:
             hourly_counts, "event_type", "h", "y", [24, 96, 168], "hour"
         ).agg(F.sum("power_frac")).collect(),
     )
+    from tablecloth_time_spark.operators.rollup import hopping_rollup
+
+    timed(
+        "hopping_rollup_events",
+        lambda: hopping_rollup(
+            events, ["event_type"], "ts", 60, 15, "minute",
+            {"n": ("count", "event_id"), "s": ("sum", "value")},
+        ).agg(F.sum("n")).collect(),
+    )
+    from tablecloth_time_spark.operators.rolling import rolling_quantiles
+
+    timed(
+        "rolling_quantiles_events",
+        lambda: rolling_quantiles(
+            events, ["user_id"], ["ts", "event_id"], "value", 9,
+            {"med": 0.5, "p90": 0.9},
+        ).agg(F.sum("med")).collect(),
+    )
+    from tablecloth_time_spark.operators.profile import profile_rollup
+
+    timed(
+        "profile_rollup_events",
+        lambda: profile_rollup(
+            events, "ts", ["value", "user_id"], 1, "day", exact=False
+        ).agg(F.sum("n_distinct")).collect(),
+    )
     from tablecloth_time_spark.functions.busdays import (
         add_business_days,
         business_days_between,
