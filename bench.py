@@ -477,6 +477,14 @@ def main() -> None:
             hourly_counts, "event_type", "h", "y", [24, 96, 168], "hour"
         ).agg(F.sum("power_frac")).collect(),
     )
+    from tablecloth_time_spark.operators.changepoint import pelt_changepoints
+
+    timed(
+        "pelt_changepoints_events",
+        lambda: pelt_changepoints(
+            events, "user_id", "ts", "value", order_cols=["event_id"]
+        ).count(),
+    )
     from tablecloth_time_spark.operators.rollup import hopping_rollup
 
     timed(
