@@ -3137,6 +3137,72 @@ FROM hopped
 """
 
 
+def q_pelt_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PELT optimal changepoint detection over a deterministic synthetic
+    benchmark (media_features precedent: generator contract replayable
+    outside Spark). Three 400-point series with md5-derived noise — every
+    construction op is exact or identically-rounded IEEE double, so the
+    series bits match the offline recomputation — and the pinned golden
+    comes from the EXHAUSTIVE O(n^2) optimal-partitioning DP
+    (scripts/gen_pelt_oracle.py), so this row also re-proves the pruning's
+    exactness end-to-end (operators/changepoint.py:pelt_changepoints)."""
+    from tablecloth_time_spark.operators.changepoint import pelt_changepoints
+
+    keys = ["stable", "step", "multi"]
+    base = spark.range(400).select(
+        F.col("id").cast("int").alias("i"),
+        F.explode(F.array(*[F.lit(k) for k in keys])).alias("k"),
+    )
+    i, k = F.col("i"), F.col("k")
+    mean = (
+        F.when(k == "stable", F.lit(5.0))
+        .when(k == "step", F.when(i < 150, F.lit(0.0)).otherwise(F.lit(6.0)))
+        .otherwise(
+            F.when(i < 120, F.lit(0.0))
+            .when(i < 260, F.lit(6.0))
+            .otherwise(F.lit(2.0))
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(k, F.lit(":"), i.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    noise = (h / F.lit(4294967296.0) - F.lit(0.5)) * F.lit(2.0)
+    ts = F.timestamp_millis(
+        F.lit(1_704_067_200_000) + i.cast("bigint") * F.lit(60_000)
+    )
+    df = base.select(k.alias("k"), ts.alias("ts"), (mean + noise).alias("x"))
+    out = pelt_changepoints(df, "k", "ts", "x", penalty=30.0, min_size=2)
+    return out.select(
+        "k",
+        "cp_index",
+        "cp_ts",
+        "n",
+        F.round("mean_before", 6).alias("mean_before"),
+        F.round("mean_after", 6).alias("mean_after"),
+    )
+
+
+# pinned golden from the exhaustive optimal-partitioning DP (NOT the PELT
+# implementation) over the same md5-noise series — regenerate with
+# scripts/gen_pelt_oracle.py whenever the synthetic contract changes
+SQL_PELT_SYNTHETIC = """
+SELECT k, CAST(cp_index AS INTEGER) AS cp_index,
+       make_timestamp(ts_ms * 1000) AS cp_ts,
+       CAST(n AS INTEGER) AS n,
+       CAST(mean_before AS DOUBLE) AS mean_before,
+       CAST(mean_after AS DOUBLE) AS mean_after
+FROM (VALUES
+  ('step', 150, 1704076200000, 400, 0.008037, 5.984492),
+  ('multi', 120, 1704074400000, 400, -0.088263, 5.946112),
+  ('multi', 260, 1704082800000, 400, 5.946112, 1.929799)
+) AS t(k, cp_index, ts_ms, n, mean_before, mean_after)
+"""
+
+
 def q_profile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day data-quality profile of the events feed (value + user_id):
     row count, nulls, NaNs, finite min/max/mean, exact distinct — the
@@ -4714,6 +4780,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "rolling_quantiles": [("med", "DOUBLE"), ("p90", "DOUBLE")],
     "hopping_rollup": [("sum_value", "DOUBLE")],
     "profile_rollup": [("vmin", "DOUBLE"), ("vmax", "DOUBLE"), ("mean", "DOUBLE")],
+    "pelt_synthetic": [("mean_before", "DOUBLE"), ("mean_after", "DOUBLE")],
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "theta_forecast": [("forecast", "DOUBLE")],
     "brown_forecast": [("forecast", "DOUBLE")],
@@ -4820,6 +4887,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_quantiles": q_rolling_quantiles,
         "hopping_rollup": q_hopping_rollup,
         "profile_rollup": q_profile_rollup,
+        "pelt_synthetic": q_pelt_synthetic,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -4913,6 +4981,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "rolling_quantiles": SQL_ROLLING_QUANTILES,
         "hopping_rollup": SQL_HOPPING_ROLLUP,
         "profile_rollup": SQL_PROFILE_ROLLUP,
+        "pelt_synthetic": SQL_PELT_SYNTHETIC,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
