@@ -3203,6 +3203,97 @@ FROM (VALUES
 """
 
 
+_HW_SEAS = {
+    "retail": [4.0, 2.5, -1.5, -3.0, 0.5, -2.0, -0.5],
+    "traffic": [-6.0, 1.0, 2.5, 3.0, 2.0, 0.5, -3.0],
+}
+
+
+def q_hw_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal forecasts over two deterministic
+    84-day trend+season+md5-noise series (construction ops exact in IEEE
+    double — the gen_pelt_oracle noise contract). The pinned golden is an
+    INDEPENDENT scalar re-derivation of the documented classical
+    convention (scripts/gen_hw_oracle.py), so the driver row checks the
+    kernel's recurrence itself, not just reproducibility
+    (operators/forecast.py:holt_winters_forecast)."""
+    from tablecloth_time_spark.operators.forecast import holt_winters_forecast
+
+    base = spark.range(84).select(
+        F.col("id").cast("int").alias("i"),
+        F.explode(F.array(F.lit("retail"), F.lit("traffic"))).alias("k"),
+    )
+    i, k = F.col("i"), F.col("k")
+    seas = F.when(
+        k == "retail",
+        F.element_at(
+            F.array(*[F.lit(v) for v in _HW_SEAS["retail"]]),
+            F.pmod(i, F.lit(7)) + F.lit(1),
+        ),
+    ).otherwise(
+        F.element_at(
+            F.array(*[F.lit(v) for v in _HW_SEAS["traffic"]]),
+            F.pmod(i, F.lit(7)) + F.lit(1),
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(k, F.lit(":"), i.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    noise = (h / F.lit(4294967296.0) - F.lit(0.5)) * F.lit(2.0)
+    y = (F.lit(20.0) + F.lit(0.25) * i.cast("double") + seas) + noise
+    ts = F.timestamp_millis(
+        F.lit(1_704_067_200_000) + i.cast("bigint") * F.lit(86_400_000)
+    )
+    df = base.select(k.alias("k"), ts.alias("ts"), y.alias("y"))
+    out = holt_winters_forecast(
+        df, "k", "ts", "y", 14, 1, "day", 7, alpha=0.4, beta=0.2, gamma=0.3
+    )
+    return out.select(
+        "k", "method", "h", "ts", F.round("forecast", 6).alias("forecast")
+    )
+
+
+# pinned golden from an independent scalar Holt-Winters implementation —
+# regenerate with scripts/gen_hw_oracle.py when the contract changes
+SQL_HW_SYNTHETIC = """
+SELECT k, 'holt_winters' AS method, CAST(h AS INTEGER) AS h,
+       make_timestamp(ts_ms * 1000) AS ts,
+       CAST(forecast AS DOUBLE) AS forecast
+FROM (VALUES
+  ('retail', 1, 1711324800000, 44.202358),
+  ('retail', 2, 1711411200000, 43.083764),
+  ('retail', 3, 1711497600000, 39.77754),
+  ('retail', 4, 1711584000000, 38.436062),
+  ('retail', 5, 1711670400000, 42.121759),
+  ('retail', 6, 1711756800000, 39.493218),
+  ('retail', 7, 1711843200000, 41.239428),
+  ('retail', 8, 1711929600000, 45.506811),
+  ('retail', 9, 1712016000000, 44.388217),
+  ('retail', 10, 1712102400000, 41.081992),
+  ('retail', 11, 1712188800000, 39.740514),
+  ('retail', 12, 1712275200000, 43.426212),
+  ('retail', 13, 1712361600000, 40.797671),
+  ('retail', 14, 1712448000000, 42.543881),
+  ('traffic', 1, 1711324800000, 33.964043),
+  ('traffic', 2, 1711411200000, 41.372673),
+  ('traffic', 3, 1711497600000, 43.443188),
+  ('traffic', 4, 1711584000000, 43.76603),
+  ('traffic', 5, 1711670400000, 42.198119),
+  ('traffic', 6, 1711756800000, 41.885803),
+  ('traffic', 7, 1711843200000, 38.00042),
+  ('traffic', 8, 1711929600000, 34.859986),
+  ('traffic', 9, 1712016000000, 42.268616),
+  ('traffic', 10, 1712102400000, 44.339131),
+  ('traffic', 11, 1712188800000, 44.661972),
+  ('traffic', 12, 1712275200000, 43.094061),
+  ('traffic', 13, 1712361600000, 42.781746),
+  ('traffic', 14, 1712448000000, 38.896363)
+) AS t(k, h, ts_ms, forecast)
+"""
+
+
 def q_profile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day data-quality profile of the events feed (value + user_id):
     row count, nulls, NaNs, finite min/max/mean, exact distinct — the
@@ -4781,6 +4872,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "hopping_rollup": [("sum_value", "DOUBLE")],
     "profile_rollup": [("vmin", "DOUBLE"), ("vmax", "DOUBLE"), ("mean", "DOUBLE")],
     "pelt_synthetic": [("mean_before", "DOUBLE"), ("mean_after", "DOUBLE")],
+    "hw_synthetic": [("forecast", "DOUBLE")],
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "theta_forecast": [("forecast", "DOUBLE")],
     "brown_forecast": [("forecast", "DOUBLE")],
@@ -4888,6 +4980,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_rollup": q_hopping_rollup,
         "profile_rollup": q_profile_rollup,
         "pelt_synthetic": q_pelt_synthetic,
+        "hw_synthetic": q_hw_synthetic,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
         "gapfill_monthly": q_gapfill_monthly,
@@ -4982,6 +5075,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "hopping_rollup": SQL_HOPPING_ROLLUP,
         "profile_rollup": SQL_PROFILE_ROLLUP,
         "pelt_synthetic": SQL_PELT_SYNTHETIC,
+        "hw_synthetic": SQL_HW_SYNTHETIC,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,

@@ -860,3 +860,127 @@ def ar_forecast(
         future_ts.alias(out_ts),
         fc.cast("double").alias(out_col),
     )
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    horizon: int,
+    interval: int,
+    unit: str,
+    season_length: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.1,
+    method_col: str = "method",
+    h_col: str = "h",
+    out_ts: str = "ts",
+    out_col: str = "forecast",
+) -> DataFrame:
+    """Holt-Winters additive seasonal forecasts (Winters 1960; fpp3 ch.
+    8.3) — the triple-exponential member that completes the family above
+    (SES -> Brown -> Holt -> +seasonality). The state is (level, trend,
+    m seasonals) with the classical initialization:
+
+        l = mean(y[0:m]); b = (mean(y[m:2m]) - mean(y[0:m])) / m
+        s_j = y_j - l for the first season
+
+    then for t = m..T:  l_t = a*(y_t - s_{t-m}) + (1-a)*(l_{t-1}+b_{t-1});
+    b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1};
+    s_t = g*(y_t - l_{t-1} - b_{t-1}) + (1-g)*s_{t-m};
+    yhat_{T+h} = l_T + h*b_T + s_{T+h-m*(floor((h-1)/m)+1)}.
+
+    Unlike Holt's 2x2 companion matrix (whose powers have a two-term
+    closed form — see holt_forecast), the (2+m)-dimensional state matrix
+    has no practical closed-form power, so this one runs as the
+    sanctioned Arrow kernel over ``grouped_apply_stream``: the input is
+    the per-key BUCKETED series (tiny — one row per grid step, the same
+    frames benchmark_forecast aggregates), never raw events, and the
+    recurrence is a numpy loop over it. Null/NaN observations are
+    dropped first (series compacts, like acf); a key with fewer than
+    2*season_length valid points emits nothing (initialization needs two
+    full seasons). Output matches the family: (keys..., method
+    'holt_winters', h, ts, forecast); future timestamps step in metric
+    millis or calendar months exactly like benchmark_forecast.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    m = int(season_length)
+    if m < 2:
+        raise ValueError(f"season_length must be >= 2, got {season_length}")
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    for name, p in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not (0.0 < p < 1.0):
+            raise ValueError(f"{name} must be in (0, 1), got {p}")
+    u = normalize_unit(unit)
+    calendar = is_calendar_unit(u)
+    months_per = months_in(u) * interval if calendar else 0
+    step_ms = 0 if calendar else interval * milliseconds_in(u)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tablecloth_time_spark.operators._grouped import grouped_apply_stream
+
+    slim = df.select(*ks, ts_col, value_col)
+    key_fields = [f for f in slim.schema.fields if f.name in ks]
+    ts_field = next(f for f in slim.schema.fields if f.name == ts_col)
+    schema = StructType(
+        key_fields
+        + [
+            StructField(method_col, StringType()),
+            StructField(h_col, IntegerType()),
+            StructField(out_ts, ts_field.dataType),
+            StructField(out_col, DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame({f.name: pd.Series(dtype="object") for f in schema.fields})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        y_all = pd.to_numeric(g[value_col], errors="coerce").to_numpy(
+            dtype=np.float64
+        )
+        valid = ~np.isnan(y_all)
+        y = y_all[valid]
+        n = len(y)
+        if n < 2 * m:
+            return empty
+        last_ts = pd.Timestamp(g[ts_col].to_numpy()[valid][-1])
+        l = float(np.mean(y[:m]))
+        b = float((np.mean(y[m : 2 * m]) - np.mean(y[:m])) / m)
+        s = np.empty(n, dtype=np.float64)
+        s[:m] = y[:m] - l
+        for t in range(m, n):
+            l_prev, b_prev = l, b
+            l = alpha * (y[t] - s[t - m]) + (1.0 - alpha) * (l_prev + b_prev)
+            b = beta * (l - l_prev) + (1.0 - beta) * b_prev
+            s[t] = gamma * (y[t] - l_prev - b_prev) + (1.0 - gamma) * s[t - m]
+        rows = []
+        for h in range(1, horizon + 1):
+            k_back = (h - 1) // m + 1
+            s_h = s[n - 1 + h - m * k_back]
+            if calendar:
+                ts_h = last_ts + pd.DateOffset(months=h * months_per)
+            else:
+                ts_h = last_ts + pd.Timedelta(milliseconds=h * step_ms)
+            rows.append(
+                {
+                    **{k: g[k].iloc[0] for k in ks},
+                    method_col: "holt_winters",
+                    h_col: h,
+                    out_ts: ts_h,
+                    out_col: float(l + h * b + s_h),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return grouped_apply_stream(slim, ks, [ts_col], kernel, schema)

@@ -964,3 +964,115 @@ def test_backtest_accuracy_includes_ar(spark, daily):
     mae = float(np.mean(np.abs(y[-7:] - fcs)))
     got = {r["k"]: r["mae"] for r in out if r["method"] == "ar2"}
     assert got[0] == pytest.approx(mae, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal (Arrow kernel over the bucketed series)
+# ---------------------------------------------------------------------------
+
+
+def _hw_oracle(y, m, horizon, alpha, beta, gamma):
+    """Independent python re-derivation of the documented classical
+    convention (scalar loop, no numpy state)."""
+    l = sum(y[:m]) / m
+    b = (sum(y[m:2 * m]) / m - sum(y[:m]) / m) / m
+    s = list(y[:m] - l) if hasattr(y, "__sub__") else None
+    s = [float(v) - l for v in y[:m]]
+    for t in range(m, len(y)):
+        lp, bp = l, b
+        l = alpha * (y[t] - s[t - m]) + (1 - alpha) * (lp + bp)
+        b = beta * (l - lp) + (1 - beta) * bp
+        s.append(gamma * (y[t] - lp - bp) + (1 - gamma) * s[t - m])
+    out = []
+    n = len(y)
+    for h in range(1, horizon + 1):
+        k_back = (h - 1) // m + 1
+        out.append(l + h * b + s[n - 1 + h - m * k_back])
+    return out
+
+
+def test_holt_winters_matches_scalar_oracle(spark):
+    from tablecloth_time_spark.operators.forecast import holt_winters_forecast
+
+    rng = np.random.default_rng(19)
+    m, horizon = 7, 10
+    frames = []
+    expect = {}
+    t0 = dt.datetime(2024, 1, 1)
+    for key, n in [("a", 60), ("b", 35), ("short", 10)]:
+        y = (
+            20
+            + 0.3 * np.arange(n)
+            + 5 * np.sin(2 * np.pi * np.arange(n) / m)
+            + rng.normal(0, 0.5, n)
+        )
+        frames.append(
+            pd.DataFrame(
+                {
+                    "k": key,
+                    "ts": [t0 + dt.timedelta(days=i) for i in range(n)],
+                    "y": y,
+                }
+            )
+        )
+        expect[key] = (
+            _hw_oracle(list(y), m, horizon, 0.4, 0.2, 0.3)
+            if n >= 2 * m
+            else []
+        )
+    sdf = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    out = holt_winters_forecast(
+        sdf, "k", "ts", "y", horizon, 1, "day", m,
+        alpha=0.4, beta=0.2, gamma=0.3,
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["k"], {})[r["h"]] = (r["forecast"], r["ts"])
+    assert "short" not in got  # < 2 seasons emits nothing
+    for key, exp in expect.items():
+        if not exp:
+            continue
+        for h in range(1, horizon + 1):
+            fc, ts = got[key][h]
+            assert fc == pytest.approx(exp[h - 1], rel=1e-12), (key, h)
+        # future timestamps step the daily grid
+        n = 60 if key == "a" else 35
+        assert got[key][1][1] == t0 + dt.timedelta(days=n)
+
+
+def test_holt_winters_exact_on_trendless_seasonal(spark):
+    """A purely seasonal, zero-trend series is reproduced EXACTLY: the
+    classical init recovers (level, 0, seasonals) and the recurrence is
+    a fixed point, so every forecast continues the pattern."""
+    from tablecloth_time_spark.operators.forecast import holt_winters_forecast
+
+    m = 4
+    pattern = [3.0, -1.0, -2.0, 0.0]  # sums to zero
+    level = 10.0
+    y = [level + pattern[i % m] for i in range(24)]
+    sdf = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), v)
+         for i, v in enumerate(y)],
+        "k string, ts timestamp, y double",
+    )
+    out = holt_winters_forecast(
+        sdf, "k", "ts", "y", 8, 1, "hour", m, alpha=0.5, beta=0.3, gamma=0.2
+    ).collect()
+    for r in out:
+        want = level + pattern[(24 + r["h"] - 1) % m]
+        assert r["forecast"] == pytest.approx(want, abs=1e-9), r["h"]
+
+
+def test_holt_winters_validation(spark):
+    from tablecloth_time_spark.operators.forecast import holt_winters_forecast
+
+    sdf = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1), 1.0)],
+        "k string, ts timestamp, y double",
+    )
+    with pytest.raises(ValueError, match="season_length"):
+        holt_winters_forecast(sdf, "k", "ts", "y", 3, 1, "day", 1)
+    with pytest.raises(ValueError, match="alpha"):
+        holt_winters_forecast(sdf, "k", "ts", "y", 3, 1, "day", 7, alpha=1.0)
+    with pytest.raises(ValueError, match="horizon"):
+        holt_winters_forecast(sdf, "k", "ts", "y", 0, 1, "day", 7)
