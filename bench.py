@@ -417,7 +417,17 @@ def main() -> None:
             alpha=0.8, beta=0.2,
         ).agg(F.sum("forecast")).collect(),
     )
-    from tablecloth_time_spark.operators.forecast import croston_forecast
+    from tablecloth_time_spark.operators.forecast import (
+        croston_forecast,
+        holt_winters_forecast,
+    )
+
+    timed(
+        "holt_winters_daily",
+        lambda: holt_winters_forecast(
+            daily_by_user, "user_id", "day", "y", 14, 1, "day", 7,
+        ).agg(F.sum("forecast")).collect(),
+    )
 
     error_demand = events.filter(F.col("event_type") == "error").groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
