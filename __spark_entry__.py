@@ -3022,7 +3022,7 @@ SELECT event_id, event_type,
        ROUND(CASE WHEN u - lo <> 0 THEN (v - lo) / (u - lo) END, 6) AS pct_b,
        ROUND(CASE WHEN mid <> 0 THEN (u - lo) / mid END, 6) AS bandwidth,
        ROUND(CASE WHEN ag + al <> 0
-                  THEN 100.0 * ag / (ag + al) END, 6) AS rsi
+                  THEN 100.0 * (ag / (ag + al)) END, 6) AS rsi
 FROM (
   SELECT *, mid + 2.0 * sd AS u, mid - 2.0 * sd AS lo FROM r
 )
@@ -3361,9 +3361,9 @@ SELECT * FROM v UNION ALL SELECT * FROM u
 def q_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) window rollup — 1-hour windows every 15 minutes
     per event type (Flink HOP semantics; each sample lands in 4 windows).
-    Covering starts are generated executor-side with exact integer
-    arithmetic and exploded into ONE map-side-combined hash aggregate
-    (operators/rollup.py:hopping_rollup)."""
+    Delegates to native F.window(ts, width, hop): a static Expand of 4
+    pure projections (no Generate/array alloc) into ONE map-side-combined
+    hash aggregate (operators/rollup.py:hopping_rollup)."""
     from tablecloth_time_spark.operators.rollup import hopping_rollup
 
     ev = _t(spark, sf_dir, "events")

@@ -68,13 +68,18 @@ def _dow0(days: Column) -> Column:
     return F.pmod(days + F.lit(3), F.lit(7))
 
 
+def _bidx(days: Column) -> Column:
+    """Business-day index from epoch days — the single source of truth
+    for the Monday-week arithmetic (5*week + min(dow0, 4))."""
+    week = F.floor((days + F.lit(3)) / F.lit(7)).cast("bigint")
+    return (week * F.lit(5) + F.least(_dow0(days), F.lit(4))).cast("bigint")
+
+
 def business_day_index(col: Column | str) -> Column:
     """Monotone business-day counter (Mon-Fri), backward-rolled on
     weekends: consecutive business days differ by exactly 1, and a
     Saturday/Sunday reports its preceding Friday's index."""
-    days = _epoch_days(col)
-    week = F.floor((days + F.lit(3)) / F.lit(7)).cast("bigint")
-    return (week * F.lit(5) + F.least(_dow0(days), F.lit(4))).cast("bigint")
+    return _bidx(_epoch_days(col))
 
 
 def business_day_from_index(idx: Column) -> Column:
@@ -161,13 +166,9 @@ def business_days_between(
     def upto(days: Column) -> Column:
         """Business days in [0, d) up to the constant epoch offset that
         cancels in differences: bidx(d) + (1 if d is a weekend else 0)."""
-        idx = (
-            F.floor((days + F.lit(3)) / F.lit(7)).cast("bigint") * F.lit(5)
-            + F.least(_dow0(days), F.lit(4))
-        )
-        return idx + F.when(_dow0(days) <= F.lit(4), F.lit(0)).otherwise(
-            F.lit(1)
-        )
+        return _bidx(days) + F.when(
+            _dow0(days) <= F.lit(4), F.lit(0)
+        ).otherwise(F.lit(1))
 
     def hol_before(days: Column) -> Column:
         arr = F.array(*[F.lit(h) for h in hol])

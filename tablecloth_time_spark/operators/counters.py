@@ -421,6 +421,10 @@ def ewma_rows(
     if not (0.0 < alpha < 1.0):
         raise ValueError(f"ewma_rows: need 0 < alpha < 1, got {alpha}")
     b = 1.0 - alpha
+    if b >= 1.0:  # alpha below ~1.1e-16 rounds 1-alpha to exactly 1.0
+        raise ValueError(
+            f"ewma_rows: alpha={alpha} underflows 1-alpha to 1.0 — no decay"
+        )
     seg_rows = max(1, min(int(150.0 * _math.log(2.0) / -_math.log(b)), 2**40))
 
     base = df.select(

@@ -976,7 +976,6 @@ def _hw_oracle(y, m, horizon, alpha, beta, gamma):
     convention (scalar loop, no numpy state)."""
     l = sum(y[:m]) / m
     b = (sum(y[m:2 * m]) / m - sum(y[:m]) / m) / m
-    s = list(y[:m] - l) if hasattr(y, "__sub__") else None
     s = [float(v) - l for v in y[:m]]
     for t in range(m, len(y)):
         lp, bp = l, b
