@@ -130,6 +130,84 @@ def streaming_hopping_rollup(
     )
 
 
+def streaming_profile(
+    stream: DataFrame,
+    ts_col: str,
+    cols: list[str],
+    interval: int,
+    unit: str,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Streaming twin of ``operators/profile.profile_rollup`` — per-bucket
+    data-quality stats on the live feed, so shape regressions (a producer
+    starting to send nulls, a unit change) alert within the watermark
+    instead of at the next batch audit. Same mergeable aggregates
+    (count/null/NaN/min/max/sum + HLL distinct — the sketch form is the
+    only distinct that streams; exact audits stay batch), same long
+    (bucket, column) output via a post-aggregate explode, so streamed
+    rows on a closed input equal ``profile_rollup(exact=False)`` row for
+    row (pinned in tests). HLL merge is register-max — commutative and
+    associative — so the sketch counts are batch-identical, not merely
+    close."""
+    if not cols:
+        raise ValueError("streaming_profile: need at least one column")
+    keys = keys or []
+    win = F.window(F.col(ts_col), _interval_string(interval, unit))
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        v = F.col(c).cast("double")
+        finite = v.isNotNull() & ~F.isnan(v)
+        fv = F.when(finite, v)
+        aggs += [
+            F.sum(F.when(v.isNull(), 1).otherwise(0)).alias(f"__null{i}"),
+            F.sum(F.when(v.isNotNull() & F.isnan(v), 1).otherwise(0)).alias(
+                f"__nan{i}"
+            ),
+            F.min(fv).alias(f"__min{i}"),
+            F.max(fv).alias(f"__max{i}"),
+            F.sum(fv).alias(f"__sum{i}"),
+            F.count(fv).alias(f"__cnt{i}"),
+            F.approx_count_distinct(F.col(c)).alias(f"__dst{i}"),
+        ]
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys, win.alias("__w"))
+        .agg(*aggs)
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__null{i}").cast("bigint").alias("n_null"),
+            F.col(f"__nan{i}").cast("bigint").alias("n_nan"),
+            F.col(f"__min{i}").alias("min"),
+            F.col(f"__max{i}").alias("max"),
+            F.try_divide(
+                F.col(f"__sum{i}"), F.col(f"__cnt{i}").cast("double")
+            ).alias("mean"),
+            F.col(f"__dst{i}").cast("bigint").alias("n_distinct"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    exploded = agg.select(
+        *keys,
+        F.col("__w.start").alias(bucket_col),
+        F.col("__n").alias("n"),
+        F.explode(F.array(*rows)).alias("__e"),
+    )
+    return exploded.select(
+        *keys, bucket_col, "n",
+        F.col("__e.column").alias("column"),
+        F.col("__e.n_null").alias("n_null"),
+        F.col("__e.n_nan").alias("n_nan"),
+        F.col("__e.min").alias("min"),
+        F.col("__e.max").alias("max"),
+        F.col("__e.mean").alias("mean"),
+        F.col("__e.n_distinct").alias("n_distinct"),
+    )
+
+
 def streaming_rollup_to_sink(
     stream: DataFrame,
     keys: list[str],

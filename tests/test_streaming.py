@@ -1205,3 +1205,68 @@ def test_streaming_hopping_validation(spark, tmp_path):
         streaming_hopping_rollup(
             stream, ["k"], "ts", 2, 1, "month", {"n": ("count", "v")}
         )
+
+
+def test_streaming_profile_matches_batch(spark, tmp_path):
+    """Streaming data-quality profiles (availableNow drain) must equal
+    batch profile_rollup(exact=False) on the same closed input — the
+    sums/min/max are mergeable and HLL merge is register-max, so the
+    parity is exact, sketch counts included."""
+    import datetime as dt
+
+    import numpy as np
+
+    from tablecloth_time_spark.operators.profile import profile_rollup
+    from tablecloth_time_spark.streaming.rollup import streaming_profile
+
+    rng = np.random.default_rng(29)
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    for i in range(600):
+        v = float(round(rng.normal(10, 3), 3))
+        if rng.random() < 0.07:
+            v = None
+        rows.append(
+            (t0 + dt.timedelta(seconds=int(i * 97)), v, int(rng.integers(0, 9)))
+        )
+    rows.append((dt.datetime(2030, 1, 1), 0.0, 0))  # watermark flush
+    batch = spark.createDataFrame(
+        rows, "ts timestamp, v double, uid long"
+    )
+    src = str(tmp_path / "psrc")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = streaming_profile(
+        stream, "ts", ["v", "uid"], 15, "minute", watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("profile_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    cutoff = dt.datetime(2029, 1, 1)
+    got = (
+        spark.table("profile_stream")
+        .filter(F.col("bucket") < F.lit(cutoff))
+        .toPandas()
+        .sort_values(["bucket", "column"], kind="stable")
+        .reset_index(drop=True)
+    )
+    expected = (
+        profile_rollup(
+            batch.filter(F.col("ts") < F.lit(cutoff)),
+            "ts", ["v", "uid"], 15, "minute", exact=False,
+        )
+        .toPandas()
+        .sort_values(["bucket", "column"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], expected[sorted(expected.columns)],
+        check_dtype=False,
+    )
