@@ -4796,6 +4796,178 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs_to_clusters(pairs)
 
 
+def q_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style predict_linear per user, run the way the 100 TB
+    deployment would: over a pre-aggregated HOURLY MEAN tier (the
+    operator's documented usage), not raw samples — the regular grid
+    bounds every frame's slope by the data's real dynamics, where raw
+    irregular events admit near-vertical two-points-seconds-apart fits
+    whose extrapolations amplify engine-level moment roundoff past the
+    ROUND(6) oracle grid (measured: one flipped row at sf0.1). Trailing
+    6-hour window, value extrapolated 1 hour ahead. One rollup + one
+    per-key sort with two regr_* window aggregates
+    (operators/stats.py:predict_linear)."""
+    from tablecloth_time_spark.operators.stats import predict_linear
+
+    ev = _t(spark, sf_dir, "events")
+    tier = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.avg("value").alias("v"))
+    out = predict_linear(
+        tier, ["user_id"], "bucket", "v", (6, "hour"), (1, "hour"),
+        per="hour",
+    )
+    return out.select(
+        "user_id", "bucket",
+        F.round("slope", 6).alias("slope"),
+        F.round("predicted", 6).alias("predicted"),
+    )
+
+
+SQL_PREDICT_LINEAR = """
+WITH tier AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, AVG(value) AS v
+  FROM events GROUP BY 1, 2
+),
+o AS (
+  SELECT user_id, bucket,
+         epoch_ms(CAST(bucket AS TIMESTAMP)) AS ms,
+         (epoch_ms(CAST(bucket AS TIMESTAMP))
+            - MIN(epoch_ms(CAST(bucket AS TIMESTAMP)))
+                OVER (PARTITION BY user_id)) / 3600000.0 AS x,
+         v
+  FROM tier
+),
+w AS (
+  SELECT user_id, bucket, x,
+         regr_slope(v, x) OVER wr AS slope,
+         regr_intercept(v, x) OVER wr AS icept
+  FROM o
+  -- frame edges on exact integer millis (the engine's ordering key);
+  -- the regression axis x is the anchored epoch-hours double
+  WINDOW wr AS (PARTITION BY user_id ORDER BY ms
+                RANGE BETWEEN 21600000 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, bucket,
+       ROUND(slope, 6) AS slope,
+       ROUND(icept + slope * (x + 1.0), 6) AS predicted
+FROM w
+"""
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 6-hour Pearson correlation between each user's value
+    series and a second derived series (props length) — the
+    metrics-decoupling monitor. Guarded raw co-moments over per-key
+    globally-centered values; zero-variance frames yield NULL instead
+    of the ANSI DIVIDE_BY_ZERO the built-in corr raises
+    (operators/rolling.py:rolling_corr)."""
+    from tablecloth_time_spark.operators.rolling import rolling_corr
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value",
+        F.length("props").cast("double").alias("plen"),
+    )
+    out = rolling_corr(
+        ev, ["user_id"], "ts", "value", "plen", 6, "hour", min_periods=3
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("corr", 6).alias("corr"),
+    )
+
+
+# mirrors the operator's exact expression order: center by the per-key
+# global mean, pairwise-complete raw moments over the RANGE frame, then
+# the guarded Pearson ratio — same IEEE ops, same parenthesization.
+SQL_ROLLING_CORR = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+         value - AVG(value) OVER (PARTITION BY user_id) AS a,
+         CAST(length(props) AS DOUBLE)
+           - AVG(CAST(length(props) AS DOUBLE))
+               OVER (PARTITION BY user_id) AS b
+  FROM events
+),
+m AS (
+  SELECT event_id, user_id, ts,
+         CAST(COUNT(CASE WHEN b IS NOT NULL THEN a END) OVER w AS DOUBLE) AS n,
+         SUM(CASE WHEN b IS NOT NULL THEN a END) OVER w AS sa,
+         SUM(CASE WHEN a IS NOT NULL THEN b END) OVER w AS sb,
+         SUM((CASE WHEN b IS NOT NULL THEN a END)
+             * (CASE WHEN b IS NOT NULL THEN a END)) OVER w AS saa,
+         SUM((CASE WHEN a IS NOT NULL THEN b END)
+             * (CASE WHEN a IS NOT NULL THEN b END)) OVER w AS sbb,
+         SUM((CASE WHEN b IS NOT NULL THEN a END)
+             * (CASE WHEN a IS NOT NULL THEN b END)) OVER w AS sab
+  FROM o
+  WINDOW w AS (PARTITION BY user_id ORDER BY ms
+               RANGE BETWEEN 21600000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts,
+       ROUND(CASE WHEN n >= 3
+                   AND (saa - sa * sa / n) > 0
+                   AND (sbb - sb * sb / n) > 0
+                  THEN (sab - sa * sb / n)
+                       / SQRT((saa - sa * sa / n) * (sbb - sb * sb / n))
+             END, 6) AS corr
+FROM m
+"""
+
+
+def q_sequence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup over events-as-dialogues: each
+    user's ORDERED event_type sequence fingerprinted with
+    position-tagged hashes whose per-key combine is a plain (map-side
+    combinable) SUM mod 2^60 — the text/items never ride the shuffle.
+    hash_fn='md5' is the cross-engine variant, so DuckDB re-derives
+    every fingerprint bit-for-bit
+    (operators/transcripts.py:sequence_fingerprints)."""
+    from tablecloth_time_spark.operators.transcripts import (
+        sequence_fingerprints,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    fps = sequence_fingerprints(
+        ev, "user_id", ["ts", "event_id"], "event_type", hash_fn="md5"
+    )
+    dup_w = Window.partitionBy("n_items", "fingerprint")
+    return fps.select(
+        "user_id", "n_items", "fingerprint",
+        F.count(F.lit(1)).over(dup_w).alias("dup_count"),
+    )
+
+
+SQL_SEQUENCE_DEDUP = """
+WITH o AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - 1 AS idx,
+         event_type
+  FROM events
+),
+h AS (
+  SELECT user_id,
+         CAST(('0x' || substring(
+             md5(CAST(idx AS VARCHAR) || ':' || COALESCE(event_type, chr(0))),
+             1, 15)) AS BIGINT) AS hv
+  FROM o
+),
+f AS (
+  SELECT user_id,
+         COUNT(*) AS n_items,
+         CAST(SUM(hv) % 1152921504606846976 AS BIGINT) AS fingerprint
+  FROM h GROUP BY user_id
+)
+SELECT user_id, n_items, fingerprint,
+       COUNT(*) OVER (PARTITION BY n_items, fingerprint) AS dup_count
+FROM f
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -4886,6 +5058,8 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "stickiness": [("stickiness", "DOUBLE")],
     "star_rollup": [("revenue", "DOUBLE")],
     "cusum_drift": [("cusum_pos", "DOUBLE"), ("cusum_neg", "DOUBLE")],
+    "predict_linear": [("slope", "DOUBLE"), ("predicted", "DOUBLE")],
+    "rolling_corr": [("corr", "DOUBLE")],
     "croston_intermittent": [("z_hat", "DOUBLE"), ("p_hat", "DOUBLE"), ("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
     "continuous_hourly": [("s", "DOUBLE")],
@@ -4983,6 +5157,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hw_synthetic": q_hw_synthetic,
         "cusum_drift": q_cusum_drift,
         "croston_intermittent": q_croston_intermittent,
+        "predict_linear": q_predict_linear,
+        "rolling_corr": q_rolling_corr,
+        "sequence_dedup": q_sequence_dedup,
         "gapfill_monthly": q_gapfill_monthly,
         "dedup_clusters": q_dedup_clusters,
         "continuous_hourly": q_continuous_hourly,
@@ -5078,6 +5255,9 @@ def _raw_oracle_sql() -> dict[str, str]:
         "hw_synthetic": SQL_HW_SYNTHETIC,
         "cusum_drift": SQL_CUSUM_DRIFT,
         "croston_intermittent": SQL_CROSTON_INTERMITTENT,
+        "predict_linear": SQL_PREDICT_LINEAR,
+        "rolling_corr": SQL_ROLLING_CORR,
+        "sequence_dedup": SQL_SEQUENCE_DEDUP,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
         "continuous_hourly": SQL_CONTINUOUS_HOURLY,
         "compress_roundtrip": SQL_COMPRESS_ROUNDTRIP,

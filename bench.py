@@ -649,6 +649,35 @@ def main() -> None:
         ).agg(F.count(F.lit(1)), F.sum("n_turns")).collect(),
     )
 
+    from tablecloth_time_spark.operators.rolling import rolling_corr
+    from tablecloth_time_spark.operators.stats import predict_linear
+    from tablecloth_time_spark.operators.transcripts import (
+        sequence_fingerprints,
+    )
+
+    hourly_tier = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.avg("value").alias("v"))
+    timed(
+        "predict_linear_hourly",
+        lambda: predict_linear(
+            hourly_tier, ["user_id"], "bucket", "v", (6, "hour"), (1, "hour")
+        ).agg(F.avg("slope"), F.avg("predicted")).collect(),
+    )
+    timed(
+        "rolling_corr_events",
+        lambda: rolling_corr(
+            events.withColumn("plen", F.length("props").cast("double")),
+            ["user_id"], "ts", "value", "plen", 6, "hour",
+        ).agg(F.avg("corr")).collect(),
+    )
+    timed(
+        "sequence_fingerprints_transcripts",
+        lambda: sequence_fingerprints(
+            transcripts, "conv_id", "turn_idx", "text"
+        ).agg(F.count(F.lit(1)), F.max("fingerprint")).collect(),
+    )
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed(
         "text_stats_documents",

@@ -79,6 +79,86 @@ def rolling(
     return out.select("*", *exprs)
 
 
+def rolling_corr(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    col_a: str,
+    col_b: str,
+    width: int,
+    unit: str,
+    corr_col: str = "corr",
+    min_periods: int = 2,
+) -> DataFrame:
+    """Trailing-window Pearson correlation of two columns per key — the
+    "are these two metrics moving together RIGHT NOW" monitor (lead/lag
+    drift between e.g. request rate and error rate shows up as the
+    correlation decaying long before either series alone alarms). The
+    windowed companion of :func:`~tablecloth_time_spark.operators.stats.
+    series_correlations` (which compares whole bucket-aligned series
+    pairwise).
+
+    Same plan class as :func:`rolling`: ONE RANGE frame
+    ([ts - width, ts] inclusive, duplicate timestamps are frame peers)
+    over one per-key time sort — 1 Exchange, no Python.
+
+    NOT Spark's built-in ``corr`` window aggregate: under ANSI mode
+    (Spark 4's default) ``corr`` RAISES DIVIDE_BY_ZERO the moment any
+    frame has zero variance — a constant-valued quiet hour would kill
+    the whole job — and ``F.when`` can't guard it (window aggregates
+    evaluate in the Window operator, before any projection-level CASE).
+    Instead: five plain SUM/COUNT frames over pairwise-complete values
+    give the raw co-moments, and the Pearson ratio is an explicitly
+    guarded projection. To keep raw moments well-conditioned, both
+    columns are first centered by their per-key GLOBAL mean (an
+    unbounded frame over the same sort — same Window operator, no extra
+    Exchange; a constant shift leaves Pearson r unchanged).
+
+    Rows where either column is null drop out pairwise. Frames with
+    fewer than ``min_periods`` non-null PAIRS, or zero variance on
+    either side, yield NULL — never a fabricated ±1, never an error.
+    """
+    if min_periods < 2:
+        raise ValueError(
+            f"rolling_corr: min_periods must be >= 2 (Pearson needs two "
+            f"points), got {min_periods}"
+        )
+    u = normalize_unit(unit)
+    width_ms = width * milliseconds_in(u)
+    if width_ms <= 0:
+        raise ValueError(f"rolling_corr: width must be > 0, got {width}")
+    order = to_epoch_millis(ts_col)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order)
+        .rangeBetween(-width_ms, 0)
+    )
+    w_all = (
+        Window.partitionBy(*keys)
+        .orderBy(order)
+        .rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    a_raw = F.col(col_a).cast("double")
+    b_raw = F.col(col_b).cast("double")
+    a = a_raw - F.avg(a_raw).over(w_all)
+    b = b_raw - F.avg(b_raw).over(w_all)
+    pa = F.when(b.isNotNull(), a)  # pairwise-complete
+    pb = F.when(a.isNotNull(), b)
+    n = F.count(pa).over(w).cast("double")
+    sa, sb = F.sum(pa).over(w), F.sum(pb).over(w)
+    saa = F.sum(pa * pa).over(w)
+    sbb = F.sum(pb * pb).over(w)
+    sab = F.sum(pa * pb).over(w)
+    cov = sab - sa * sb / n
+    va = saa - sa * sa / n
+    vb = sbb - sb * sb / n
+    r = F.when(
+        (n >= min_periods) & (va > 0) & (vb > 0),
+        cov / F.sqrt(va * vb),
+    )
+    return df.select("*", r.alias(corr_col))
+
+
 def rolling_quantiles(
     df: DataFrame,
     keys: list[str],

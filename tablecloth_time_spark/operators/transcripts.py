@@ -158,6 +158,71 @@ def conversation_stats(
     return out
 
 
+def sequence_fingerprints(
+    df: DataFrame,
+    key_cols: str | list[str] = "conv_id",
+    order_cols: str | list[str] = "turn_idx",
+    item_col: str = "text",
+    hash_fn: str = "xxhash64",
+    fingerprint_col: str = "fingerprint",
+    n_col: str = "n_items",
+) -> DataFrame:
+    """Order-sensitive fingerprint of each key's item SEQUENCE — the
+    conversation-level exact-dedup primitive ("these two conversations
+    are the same dialogue, turn for turn"), where row-level
+    ``exact_dedup`` sees only single turns.
+
+    The naive form (collect the turns, concatenate in order, hash the
+    blob) ships every byte of text through a shuffle and buffers whole
+    conversations. This one never moves the text: each item is hashed
+    WITH ITS POSITION (``hash(idx || ':' || item)``), and the per-key
+    combine is a plain SUM of those tagged hashes (mod 2^60) — order
+    sensitivity lives in the tags, so the combine itself is commutative
+    and therefore MAP-SIDE COMBINABLE: only (key, 8-byte partial)
+    pairs ride the Exchange, same posture as the rollup tiers. Two keys
+    match iff (n_items, fingerprint) match (collision odds ~ n_keys² /
+    2^60 — a candidate filter; pair the survivors through
+    ``operators.dedup.exact_dedup`` semantics on the full text if a
+    guarantee is needed).
+
+    The position index comes from a row_number window over
+    (key, order_cols); the aggregate reuses that window's hash
+    partitioning, so the whole plan is ONE Exchange (the
+    ``conversation_stats`` shape). Null items hash as a reserved
+    sentinel (U+0000) distinct from the string 'null'.
+
+    ``hash_fn``: 'xxhash64' (one JVM hash — the scale default) or 'md5'
+    (``text.hash64_md5`` — bit-for-bit recomputable in any md5-capable
+    engine, which is what gives the driver query a FULL independent SQL
+    oracle; same convention as minhash/simhash/winnowing).
+
+    Output: key_cols, n_items, fingerprint (non-negative int64).
+    """
+    from tablecloth_time_spark.functions.text import hash64_md5
+
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"sequence_fingerprints: hash_fn must be 'xxhash64' or 'md5', "
+            f"got {hash_fn!r}"
+        )
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(*_order(order_cols))
+    idx = F.row_number().over(w) - F.lit(1)
+    elem = F.concat(
+        idx.cast("string"),
+        F.lit(":"),
+        F.coalesce(F.col(item_col).cast("string"), F.lit("\u0000")),
+    )
+    h = F.xxhash64(elem) if hash_fn == "xxhash64" else hash64_md5(elem)
+    tagged = df.select(*keys, h.cast("decimal(38,0)").alias("__h"))
+    return tagged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias(n_col),
+        F.pmod(F.sum("__h"), F.lit(2**60).cast("decimal(38,0)"))
+        .cast("long")
+        .alias(fingerprint_col),
+    )
+
+
 def role_transitions(
     df: DataFrame,
     conv_col: str = "conv_id",

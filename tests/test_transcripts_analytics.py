@@ -189,3 +189,90 @@ def test_conversation_stats_approx_path(spark, tdata):
             continue
         rank = min(len(resp) - 1, max(0, math.ceil(0.95 * len(resp)) - 1))
         assert got.loc[conv] == pytest.approx(resp[rank], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# sequence_fingerprints — conversation-level exact dedup
+
+
+def _md5_h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _fp_md5(items) -> int:
+    return sum(_md5_h60(f"{i}:{v}") for i, v in enumerate(items)) % 2**60
+
+
+def test_sequence_fingerprints_matches_hashlib(spark, tdata):
+    from tablecloth_time_spark.operators.transcripts import (
+        sequence_fingerprints,
+    )
+
+    df, pdf = tdata
+    got = {
+        r["conv_id"]: (r["n_items"], r["fingerprint"])
+        for r in sequence_fingerprints(
+            df, "conv_id", "turn_idx", "text", hash_fn="md5"
+        ).collect()
+    }
+    assert len(got) == pdf["conv_id"].nunique()
+    for conv, g in pdf.groupby("conv_id"):
+        items = g.sort_values("turn_idx", kind="stable")["text"].tolist()
+        assert got[conv] == (len(items), _fp_md5(items)), conv
+
+
+def test_sequence_fingerprints_order_sensitivity(spark):
+    """Same multiset of items in a different ORDER must not collide —
+    the position tag is the whole point vs a bag-of-items hash."""
+    from tablecloth_time_spark.operators.transcripts import (
+        sequence_fingerprints,
+    )
+
+    rows = [
+        ("c1", 0, "alpha"), ("c1", 1, "beta"), ("c1", 2, "gamma"),
+        ("c2", 0, "beta"), ("c2", 1, "alpha"), ("c2", 2, "gamma"),
+        ("c3", 0, "alpha"), ("c3", 1, "beta"), ("c3", 2, "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    for hash_fn in ("xxhash64", "md5"):
+        got = {
+            r["conv_id"]: r["fingerprint"]
+            for r in sequence_fingerprints(df, hash_fn=hash_fn).collect()
+        }
+        assert got["c1"] == got["c3"], hash_fn  # identical sequences match
+        assert got["c1"] != got["c2"], hash_fn  # permuted sequence differs
+
+
+def test_sequence_fingerprints_null_vs_literal(spark):
+    """A null item and the string 'null' must fingerprint differently;
+    a null item and the U+0000 sentinel collide by documented contract."""
+    from tablecloth_time_spark.operators.transcripts import (
+        sequence_fingerprints,
+    )
+
+    rows = [("a", 0, None), ("b", 0, "null"), ("c", 0, "\x00")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        r["conv_id"]: r["fingerprint"]
+        for r in sequence_fingerprints(df, hash_fn="md5").collect()
+    }
+    assert got["a"] != got["b"]
+    assert got["a"] == got["c"]  # documented sentinel equivalence
+
+
+def test_sequence_fingerprints_validation_and_plan(spark, tdata):
+    from tablecloth_time_spark.operators.transcripts import (
+        sequence_fingerprints,
+    )
+
+    df, _ = tdata
+    with pytest.raises(ValueError, match="hash_fn"):
+        sequence_fingerprints(df, hash_fn="sha1")
+    out = sequence_fingerprints(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the aggregate reuses the row_number window's hash partitioning —
+    # one Exchange total, and the text column never reaches it
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan and "MapInPandas" not in plan
