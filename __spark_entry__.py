@@ -4968,6 +4968,68 @@ FROM f
 """
 
 
+def q_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus increase at rollup granularity: per-user hourly total
+    of reset-aware counter deltas. ONE Exchange — the (user, bucket)
+    aggregate's clustering is satisfied by the lag window's partitioning
+    on user alone (operators/counters.py:counter_increase)."""
+    from tablecloth_time_spark.operators.counters import counter_increase
+
+    ev = _t(spark, sf_dir, "events")
+    out = counter_increase(
+        ev, "user_id", "ts", "value", 1, "hour", order_cols=["event_id"]
+    )
+    return out.select(
+        "user_id", "bucket",
+        F.round("increase", 6).alias("increase"),
+        "n_samples",
+    )
+
+
+SQL_COUNTER_INCREASE = """
+WITH d AS (
+  SELECT user_id, ts,
+         lag(value) OVER w AS prev,
+         value - lag(value) OVER w AS raw,
+         value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, date_trunc('hour', ts) AS bucket,
+       ROUND(SUM(CASE WHEN prev IS NULL THEN NULL
+                      WHEN raw < 0 THEN value ELSE raw END), 6) AS increase,
+       COUNT(*) AS n_samples
+FROM d GROUP BY 1, 2
+"""
+
+
+def q_budget_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget context trim: each user's longest event PREFIX (by
+    ts, event_id) whose cumulative props length fits 300 — one running
+    ROWS-frame sum + a filter, all-integer so the oracle is exact
+    (operators/transcripts.py:budget_prefix)."""
+    from tablecloth_time_spark.operators.transcripts import budget_prefix
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.length("props").alias("n_tokens")
+    )
+    out = budget_prefix(ev, "user_id", ["ts", "event_id"], "n_tokens", 300)
+    return out.select("user_id", "event_id", "ts", "cum_cost")
+
+
+SQL_BUDGET_PREFIX = """
+WITH c AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(length(props)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_cost
+  FROM events
+)
+SELECT user_id, event_id, ts, cum_cost FROM c WHERE cum_cost <= 300
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -5060,6 +5122,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "cusum_drift": [("cusum_pos", "DOUBLE"), ("cusum_neg", "DOUBLE")],
     "predict_linear": [("slope", "DOUBLE"), ("predicted", "DOUBLE")],
     "rolling_corr": [("corr", "DOUBLE")],
+    "counter_increase": [("increase", "DOUBLE")],
     "croston_intermittent": [("z_hat", "DOUBLE"), ("p_hat", "DOUBLE"), ("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
     "continuous_hourly": [("s", "DOUBLE")],
@@ -5160,6 +5223,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predict_linear": q_predict_linear,
         "rolling_corr": q_rolling_corr,
         "sequence_dedup": q_sequence_dedup,
+        "counter_increase": q_counter_increase,
+        "budget_prefix": q_budget_prefix,
         "gapfill_monthly": q_gapfill_monthly,
         "dedup_clusters": q_dedup_clusters,
         "continuous_hourly": q_continuous_hourly,
@@ -5258,6 +5323,8 @@ def _raw_oracle_sql() -> dict[str, str]:
         "predict_linear": SQL_PREDICT_LINEAR,
         "rolling_corr": SQL_ROLLING_CORR,
         "sequence_dedup": SQL_SEQUENCE_DEDUP,
+        "counter_increase": SQL_COUNTER_INCREASE,
+        "budget_prefix": SQL_BUDGET_PREFIX,
         "gapfill_monthly": SQL_GAPFILL_MONTHLY,
         "continuous_hourly": SQL_CONTINUOUS_HOURLY,
         "compress_roundtrip": SQL_COMPRESS_ROUNDTRIP,

@@ -677,6 +677,21 @@ def main() -> None:
             transcripts, "conv_id", "turn_idx", "text"
         ).agg(F.count(F.lit(1)), F.max("fingerprint")).collect(),
     )
+    from tablecloth_time_spark.operators.counters import counter_increase
+    from tablecloth_time_spark.operators.transcripts import budget_prefix
+
+    timed(
+        "counter_increase_hourly",
+        lambda: counter_increase(events, "user_id", "ts", "value", 1, "hour")
+        .agg(F.sum("increase"), F.count(F.lit(1))).collect(),
+    )
+    timed(
+        "budget_prefix_transcripts",
+        lambda: budget_prefix(
+            transcripts.withColumn("n_tokens", F.col("text_len")),
+            "conv_id", "turn_idx", "n_tokens", budget=2048,
+        ).agg(F.count(F.lit(1)), F.max("cum_cost")).collect(),
+    )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed(

@@ -78,6 +78,53 @@ def counter_rate(
     return df.withColumn(delta_col, delta).withColumn(rate_col, rate)
 
 
+def counter_increase(
+    df: DataFrame,
+    keys: str | list[str],
+    ts_col: str,
+    value_col: str,
+    interval: int,
+    unit: str,
+    order_cols: list[str] | None = None,
+    reset_aware: bool = True,
+    bucket_col: str = "bucket",
+    increase_col: str = "increase",
+) -> DataFrame:
+    """Per-(keys, time bucket) total counter increase — Prometheus
+    ``increase`` at rollup granularity, the tierable companion of
+    :func:`counter_rate` (whose per-sample deltas these buckets sum).
+
+    Reset semantics are counter_rate's: a sample lower than its
+    predecessor means the counter restarted, so that sample contributes
+    its own value. Each delta is attributed to the bucket CONTAINING the
+    sample that observed it — growth across a bucket boundary lands in
+    the later bucket (where it became visible), matching how a scrape-
+    based monitor accounts it. A key's first sample has no predecessor
+    and contributes nothing; a bucket holding only such samples reports
+    NULL increase (unknown, not zero) with its sample count.
+
+    Plan: ONE Exchange total (pinned) — the (keys, bucket) hash
+    aggregate's clustering requirement is satisfied by the lag window's
+    hash partitioning on ``keys`` alone, so Catalyst plans no second
+    shuffle. The aggregate is mergeable, so these bucket increases
+    cascade across retention tiers like any other tier (summing bucket
+    increases IS the coarser bucket's increase — pinned in tests).
+    """
+    from tablecloth_time_spark.functions.timeops import down_to_nearest
+
+    ks = _keys(keys)
+    d = counter_rate(
+        df, ks, ts_col, value_col, order_cols, reset_aware,
+        delta_col="__delta", rate_col="__rate",
+    )
+    return d.groupBy(
+        *ks, down_to_nearest(ts_col, interval, unit).alias(bucket_col)
+    ).agg(
+        F.sum("__delta").alias(increase_col),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     keys: str | list[str],

@@ -223,6 +223,43 @@ def sequence_fingerprints(
     )
 
 
+def budget_prefix(
+    df: DataFrame,
+    key_cols: str | list[str] = "conv_id",
+    order_cols: str | list[str] = "turn_idx",
+    cost_col: str = "n_tokens",
+    budget: int = 2048,
+    cum_col: str = "cum_cost",
+) -> DataFrame:
+    """Keep each key's longest PREFIX of rows (in ``order_cols`` order)
+    whose cumulative ``cost_col`` stays within ``budget`` — the
+    context-window trim for training-data prep ("the first N turns that
+    fit 2048 tokens"), where :func:`~tablecloth_time_spark.operators.
+    pack.pack_documents` bins whole documents, this trims WITHIN one.
+
+    One running-sum ROWS frame over the per-key sort, then a filter —
+    1 Exchange, no Python; the cumulative cost rides along as
+    ``cum_col`` so downstream packing can budget the remainder. Null
+    costs count as 0 (a missing token count never truncates the
+    conversation). Costs are assumed non-negative — that is what makes
+    ``cum <= budget`` a PREFIX (monotone cumsum): a negative cost could
+    re-admit later rows after an overflow, and this operator will
+    happily emit that non-contiguous set rather than scan twice to
+    detect it (documented contract, enforced upstream where costs are
+    token/char counts).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget_prefix: budget must be > 0, got {budget}")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*_order(order_cols))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.coalesce(F.col(cost_col), F.lit(0))).over(w)
+    return df.withColumn(cum_col, cum).filter(F.col(cum_col) <= budget)
+
+
 def role_transitions(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -104,6 +104,90 @@ def test_counter_rate_not_reset_aware(spark):
     assert by_ts[T0 + dt.timedelta(seconds=10)] == -6.0
 
 
+# ------------------------------------------------------------ counter_increase
+
+
+def test_counter_increase_matches_pandas(spark, series):
+    from tablecloth_time_spark.operators.counters import counter_increase
+
+    df, pdf = series
+    got = (
+        counter_increase(df, "k", "ts", "v", 1, "hour")
+        .toPandas()
+        .sort_values(["k", "bucket"], kind="stable")
+        .reset_index(drop=True)
+    )
+
+    def per_key(g):
+        g = g.sort_values("ts")
+        prev = g["v"].shift(1)
+        raw = g["v"] - prev
+        delta = raw.where(raw >= 0, g["v"])
+        delta[prev.isna()] = np.nan
+        return pd.DataFrame(
+            {"k": g["k"], "bucket": g["ts"].dt.floor("h"), "delta": delta}
+        )
+
+    deltas = pdf.groupby("k", group_keys=False)[["k", "ts", "v"]].apply(per_key)
+    exp = (
+        deltas.groupby(["k", "bucket"])
+        .agg(increase=("delta", lambda s: s.sum(min_count=1)),
+             n_samples=("delta", "size"))
+        .reset_index()
+        .sort_values(["k", "bucket"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["k"] == exp["k"]).all()
+    assert (got["bucket"] == exp["bucket"]).all()
+    assert (got["n_samples"].to_numpy() == exp["n_samples"].to_numpy()).all()
+    gi, ei = got["increase"].to_numpy(float), exp["increase"].to_numpy(float)
+    assert (np.isnan(gi) == np.isnan(ei)).all()
+    m = ~np.isnan(gi)
+    assert np.allclose(gi[m], ei[m], rtol=1e-12)
+
+
+def test_counter_increase_boundary_attribution_and_tiering(spark):
+    """Growth observed across a bucket boundary lands in the LATER
+    bucket; a first-sample-only bucket reports NULL; and bucket
+    increases SUM to the coarser tier's increase (cascade exactness)."""
+    from tablecloth_time_spark.operators.counters import counter_increase
+
+    rows = [
+        (1, T0 + dt.timedelta(minutes=50), 100.0),
+        (1, T0 + dt.timedelta(minutes=70), 160.0),  # +60 -> hour 1
+        (1, T0 + dt.timedelta(minutes=80), 40.0),   # reset -> +40, hour 1
+        (1, T0 + dt.timedelta(minutes=130), 90.0),  # +50 -> hour 2
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = {
+        r["bucket"]: (r["increase"], r["n_samples"])
+        for r in counter_increase(df, "k", "ts", "v", 1, "hour").collect()
+    }
+    assert out[T0] == (None, 1)  # first sample only: unknown, not zero
+    assert out[T0 + dt.timedelta(hours=1)] == (100.0, 2)
+    assert out[T0 + dt.timedelta(hours=2)] == (50.0, 1)
+    day = {
+        r["bucket"]: r["increase"]
+        for r in counter_increase(df, "k", "ts", "v", 1, "day").collect()
+    }
+    assert day[T0.replace(hour=0)] == 150.0  # == sum of the hourly tier
+
+
+def test_counter_increase_plan(spark, series):
+    from tablecloth_time_spark.operators.counters import counter_increase
+
+    df, _ = series
+    plan = (
+        counter_increase(df, "k", "ts", "v", 1, "hour")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # ONE shuffle: the (k, bucket) aggregate's clustering requirement is
+    # satisfied by the lag window's hash partitioning on k alone
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
 # ------------------------------------------------------------ time_weighted_avg
 
 

@@ -262,6 +262,68 @@ def test_sequence_fingerprints_null_vs_literal(spark):
     assert got["a"] == got["c"]  # documented sentinel equivalence
 
 
+# ---------------------------------------------------------------------------
+# budget_prefix — token-budget context trim
+
+
+def test_budget_prefix_matches_pandas(spark, tdata):
+    from tablecloth_time_spark.operators.transcripts import budget_prefix
+
+    df, pdf = tdata
+    costed = df.withColumn("n_tokens", F.length("text"))
+    got = (
+        budget_prefix(costed, "conv_id", "turn_idx", "n_tokens", budget=600)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    keep_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx", kind="stable")
+        cum = g["text"].str.len().cumsum()
+        kept = g[cum <= 600].copy()
+        kept["cum_cost"] = cum[cum <= 600]
+        keep_rows.append(kept)
+    exp = (
+        pd.concat(keep_rows)
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["conv_id"] == exp["conv_id"]).all()
+    assert (got["turn_idx"].to_numpy() == exp["turn_idx"].to_numpy()).all()
+    assert (got["cum_cost"].to_numpy() == exp["cum_cost"].to_numpy()).all()
+    # prefix property: kept turn_idx per conv are exactly 0..len-1
+    for conv, g in got.groupby("conv_id"):
+        assert sorted(g["turn_idx"]) == list(range(len(g)))
+
+
+def test_budget_prefix_null_cost_and_validation(spark):
+    from tablecloth_time_spark.operators.transcripts import budget_prefix
+
+    rows = [
+        ("c", 0, 100), ("c", 1, None), ("c", 2, 100), ("c", 3, 50),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, n_tokens int")
+    kept = budget_prefix(df, budget=200).collect()
+    # null cost counts 0: turns 0,1,2 fit (100 + 0 + 100), turn 3 breaks
+    assert sorted(r["turn_idx"] for r in kept) == [0, 1, 2]
+    with pytest.raises(ValueError, match="budget"):
+        budget_prefix(df, budget=0)
+
+
+def test_budget_prefix_plan(spark, tdata):
+    from tablecloth_time_spark.operators.transcripts import budget_prefix
+
+    df, _ = tdata
+    out = budget_prefix(
+        df.withColumn("n_tokens", F.length("text")), budget=600
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
 def test_sequence_fingerprints_validation_and_plan(spark, tdata):
     from tablecloth_time_spark.operators.transcripts import (
         sequence_fingerprints,
