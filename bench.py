@@ -692,6 +692,12 @@ def main() -> None:
             "conv_id", "turn_idx", "n_tokens", budget=2048,
         ).agg(F.count(F.lit(1)), F.max("cum_cost")).collect(),
     )
+    timed(
+        "hll_distinct_hourly_events",
+        lambda: rollup(
+            events, [], "ts", 1, "hour", {"uniq_users": ("hll", "user_id")}
+        ).agg(F.sum("uniq_users"), F.count(F.lit(1))).collect(),
+    )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed(

@@ -34,6 +34,12 @@ from tablecloth_time_spark.functions.timeops import down_to_nearest
 
 BUCKET_COL = "bucket"
 
+# DataSketches HLL precision for the "hll" aggregate kind: relative
+# standard error ~= 1.04 / sqrt(2^lg_k) (~1.6% at 12), sketch ~= 2^lg_k
+# bytes. One pipeline-wide constant — sketches only union losslessly at
+# equal lg_k, and every tier/continuous merge must stay unionable.
+HLL_LG_K = 12
+
 
 @dataclass(frozen=True)
 class _Agg:
@@ -71,6 +77,13 @@ class _Agg:
             )
             fn = F.min if self.kind == "first" else F.max
             return [fn(ordered).alias(p)]
+        if self.kind == "hll":
+            # DataSketches HLL: the partial is a BINARY sketch — storable
+            # in parquet, so distinct counts survive retention tiers and
+            # the continuous-aggregate seam (register-max union is
+            # commutative/associative: unioning hour sketches yields the
+            # IDENTICAL registers as sketching the day directly)
+            return [F.hll_sketch_agg(self.src, F.lit(HLL_LG_K)).alias(p)]
         raise ValueError(f"unknown aggregate kind: {self.kind!r}")
 
     def merge_exprs(self) -> list[Column]:
@@ -90,6 +103,8 @@ class _Agg:
             return [F.min(p).alias(p)]
         if self.kind == "last":
             return [F.max(p).alias(p)]
+        if self.kind == "hll":
+            return [F.hll_union_agg(p).alias(p)]
         raise ValueError(self.kind)
 
     def final_expr(self) -> Column:
@@ -100,6 +115,8 @@ class _Agg:
             ).alias(self.name)
         if self.kind in ("first", "last"):
             return F.col(p).getField("v").alias(self.name)
+        if self.kind == "hll":
+            return F.hll_sketch_estimate(F.col(p)).alias(self.name)
         return F.col(p).alias(self.name)
 
 
@@ -107,7 +124,7 @@ def _parse_aggs(aggs: dict[str, tuple[str, str]]) -> list[_Agg]:
     return [_Agg(name, kind, src) for name, (kind, src) in aggs.items()]
 
 
-AGG_BUILDERS = ("count", "sum", "min", "max", "avg", "first", "last")
+AGG_BUILDERS = ("count", "sum", "min", "max", "avg", "first", "last", "hll")
 
 
 def rollup(

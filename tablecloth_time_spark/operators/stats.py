@@ -74,6 +74,13 @@ def distinct_rollup(
     reducer. ``exact=False`` uses HyperLogLog++
     (``approx_count_distinct``), whose sketches are map-side mergeable and
     constant-size — the 100 TB path when ±rsd error is acceptable.
+
+    Neither form's OUTPUT re-aggregates: summing per-hour distincts does
+    not give per-day distincts. For distinct counts that must survive
+    retention tiers and incremental maintenance, use the ``("hll", col)``
+    aggregate kind in the rollup family (``operators.rollup``): its
+    partial is a STORABLE binary DataSketches sketch that unions
+    losslessly across tiers, snapshots, and crash-resume.
     """
     bucket = down_to_nearest(ts_col, interval, unit).alias(bucket_col)
     if exact:

@@ -30,6 +30,9 @@ AGGS = {
     "max_turn": ("max", "turn_idx"),
     "first_role": ("first", "role"),
     "avg_chars": ("avg", "text_len"),
+    # binary HLL sketch partial: distinct counts must survive parquet
+    # tier state, increment merges, and crash-resume like any other agg
+    "uniq_roles": ("hll", "role"),
 }
 
 TIERS = (

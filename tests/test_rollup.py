@@ -237,3 +237,86 @@ def test_rollup_zone_local_days(spark):
     assert got[0]["n"] == 2
     # the UTC default splits the same pair across two buckets
     assert rollup(df, ["k"], "ts", 1, "day", {"n": ("count", "v")}).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# hll sketch distinct tiers
+
+
+def test_rollup_hll_exact_at_small_cardinality(spark, transcripts_df, transcripts_pdf):
+    """Distinct roles per (conv, day): cardinality <= 4, far inside the
+    sketch's exact (coupon-list) regime -> estimates EQUAL exact counts."""
+    eng = rollup(
+        transcripts_df, ["conv_id"], "ts", 1, "day",
+        {"uniq_roles": ("hll", "role"), "n_turns": ("count", "turn_idx")},
+        order_cols=ORDER,
+    ).toPandas()
+    pdf = transcripts_pdf.copy()
+    pdf["bucket"] = pdf["ts"].dt.floor("D")
+    exp = (
+        pdf.groupby(["conv_id", "bucket"])
+        .agg(uniq_roles=("role", "nunique"), n_turns=("turn_idx", "size"))
+        .reset_index()
+    )
+    merged = eng.merge(exp, on=["conv_id", "bucket"], suffixes=("", "_e"))
+    assert len(merged) == len(eng) == len(exp)
+    assert (merged["uniq_roles"] == merged["uniq_roles_e"]).all()
+    assert (merged["n_turns"] == merged["n_turns_e"]).all()
+
+
+def test_rollup_hll_cascade_equals_direct(spark, transcripts_df):
+    """Register-max union is associative: day-tier estimates built by
+    unioning hour sketches EQUAL sketching the day directly."""
+    aggs = {"uniq_roles": ("hll", "role")}
+    tiers = {"hour": (1, "hour"), "day": (1, "day")}
+    cascade = rollup_cascade(
+        transcripts_df, ["conv_id"], "ts", aggs, tiers=tiers, order_cols=ORDER
+    )
+    direct = rollup(
+        transcripts_df, ["conv_id"], "ts", 1, "day", aggs, order_cols=ORDER
+    )
+    a = cascade["day"].toPandas().sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+    b = direct.toPandas().sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_hll_partials_survive_parquet(spark, tmp_path, transcripts_df):
+    """The binary sketch partial is STORABLE: write the hourly partial
+    tier to parquet, read it back, re-bucket to days, finalize — equals
+    the direct day rollup (the retention-tier storage contract)."""
+    from tablecloth_time_spark.operators.rollup import (
+        finalize_partials,
+        merge_partials,
+        partial_rollup,
+    )
+
+    aggs = {"uniq_roles": ("hll", "role"), "n_turns": ("count", "turn_idx")}
+    partial_rollup(
+        transcripts_df, ["conv_id"], "ts", 1, "hour", aggs, order_cols=ORDER
+    ).write.mode("overwrite").parquet(str(tmp_path / "tier"))
+    stored = spark.read.parquet(str(tmp_path / "tier"))
+    day = finalize_partials(
+        merge_partials(stored, ["conv_id"], aggs, rebucket=(1, "day")),
+        ["conv_id"], aggs,
+    )
+    direct = rollup(
+        transcripts_df, ["conv_id"], "ts", 1, "day", aggs, order_cols=ORDER
+    )
+    a = day.toPandas().sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+    b = direct.toPandas().sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_rollup_hll_error_bound_at_scale(spark):
+    """5000 true distincts in one bucket: lg_k=12 relative standard
+    error is ~1.6%, assert a generous 5% envelope."""
+    df = spark.range(0, 20_000).select(
+        F.lit(1).alias("k"),
+        F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("id")).alias("ts"),
+        (F.col("id") % 5000).cast("string").alias("u"),
+    )
+    out = rollup(
+        df, ["k"], "ts", 1, "day", {"uniq": ("hll", "u")}, order_cols=["ts"]
+    ).collect()
+    assert len(out) == 1
+    assert abs(out[0]["uniq"] - 5000) / 5000 < 0.05
