@@ -21,6 +21,9 @@ AGGS = {
     "n_turns": ("count", "turn_idx"),
     "sum_chars": ("sum", "text_len"),
     "first_role": ("first", "role"),
+    # HLL sketch state under watermarked streaming windows must finalize
+    # to the same estimates as the batch tier (register-max merge)
+    "uniq_roles": ("hll", "role"),
 }
 
 
