@@ -320,3 +320,43 @@ def test_rollup_hll_error_bound_at_scale(spark):
     ).collect()
     assert len(out) == 1
     assert abs(out[0]["uniq"] - 5000) / 5000 < 0.05
+
+
+def test_sketch_overlap_series_exact_small(spark, tmp_path):
+    """Returning/new/churned between consecutive days from a STORED
+    sketch tier — exact at coupon-list cardinalities, first bucket
+    NULL; verified against the true set algebra."""
+    from tablecloth_time_spark.operators.stats import sketch_overlap_series
+    from tablecloth_time_spark.operators.rollup import partial_rollup
+
+    days = {
+        0: {"a", "b", "c", "d"},
+        1: {"c", "d", "e"},          # returning 2, new 1, churned 2
+        2: {"f"},                    # returning 0, new 1, churned 3
+        3: {"f", "a"},               # returning 1, new 1, churned 0
+    }
+    rows = [
+        (1, 1_700_006_400_000 + d * 86_400_000, u)
+        for d, us in days.items() for u in sorted(us)
+    ]
+    df = spark.createDataFrame(rows, "k int, ms long, u string").select(
+        "k", F.timestamp_millis(F.col("ms")).alias("ts"), "u"
+    )
+    partial_rollup(
+        df, ["k"], "ts", 1, "day", {"uniq": ("hll", "u")}
+    ).write.mode("overwrite").parquet(str(tmp_path / "tier"))
+    tier = spark.read.parquet(str(tmp_path / "tier"))
+    got = {
+        int((r["bucket"].timestamp() * 1000 - 1_700_006_400_000) // 86_400_000):
+            (r["n_distinct"], r["returning"], r["new_distinct"], r["churned"])
+        for r in sketch_overlap_series(
+            tier, ["k"], sketch_col="__p_uniq"
+        ).collect()
+    }
+    assert got[0] == (4, None, None, None)
+    prev = None
+    for d in range(1, 4):
+        cur, pr = days[d], days[d - 1]
+        assert got[d] == (
+            len(cur), len(cur & pr), len(cur - pr), len(pr - cur)
+        ), d
