@@ -4909,8 +4909,10 @@ SELECT event_id, user_id, ts,
        ROUND(CASE WHEN n >= 3
                    AND (saa - sa * sa / n) > 0
                    AND (sbb - sb * sb / n) > 0
-                  THEN (sab - sa * sb / n)
-                       / SQRT((saa - sa * sa / n) * (sbb - sb * sb / n))
+                  THEN LEAST(GREATEST(
+                         (sab - sa * sb / n)
+                         / SQRT((saa - sa * sa / n) * (sbb - sb * sb / n)),
+                         -1.0), 1.0)
              END, 6) AS corr
 FROM m
 """

@@ -673,8 +673,10 @@ def main() -> None:
     )
     timed(
         "sequence_fingerprints_transcripts",
+        # positions path: turn_idx tags come from the table, so hashing
+        # is map-side and only (conv_id, 8-byte partial) pairs shuffle
         lambda: sequence_fingerprints(
-            transcripts, "conv_id", "turn_idx", "text"
+            transcripts, "conv_id", item_col="text", positions="turn_idx"
         ).agg(F.count(F.lit(1)), F.max("fingerprint")).collect(),
     )
     from tablecloth_time_spark.operators.counters import counter_increase

@@ -110,8 +110,6 @@ def counter_increase(
     cascade across retention tiers like any other tier (summing bucket
     increases IS the coarser bucket's increase — pinned in tests).
     """
-    from tablecloth_time_spark.functions.timeops import down_to_nearest
-
     ks = _keys(keys)
     d = counter_rate(
         df, ks, ts_col, value_col, order_cols, reset_aware,

@@ -152,9 +152,12 @@ def rolling_corr(
     cov = sab - sa * sb / n
     va = saa - sa * sa / n
     vb = sbb - sb * sb / n
+    # clamp: on exactly-collinear frames cov and sqrt(va*vb) are
+    # algebraically equal but round differently, so the ratio can land
+    # an ulp outside [-1, 1] — downstream sqrt(1 - r^2) would NaN
     r = F.when(
         (n >= min_periods) & (va > 0) & (vb > 0),
-        cov / F.sqrt(va * vb),
+        F.least(F.greatest(cov / F.sqrt(va * vb), F.lit(-1.0)), F.lit(1.0)),
     )
     return df.select("*", r.alias(corr_col))
 

@@ -103,6 +103,7 @@ def sketch_overlap_series(
     keys: list[str],
     bucket_col: str = "bucket",
     sketch_col: str = "sketch",
+    step: tuple[int, str] | None = None,
 ) -> DataFrame:
     """Returning / new / churned distinct counts between CONSECUTIVE
     buckets of a stored HLL sketch tier (the ``("hll", col)`` rollup
@@ -115,13 +116,20 @@ def sketch_overlap_series(
     join, no Python. The first bucket of each key has no predecessor ->
     NULL returning/new/churned (unknown, not zero).
 
+    Rollup tiers are SPARSE (empty buckets are absent), so the lag row
+    is only "yesterday" when no gap intervenes. Pass ``step`` (e.g.
+    ``(1, "day")``, metric units) to enforce adjacency: when the
+    previous stored bucket is not exactly one step back, the comparison
+    columns are NULL — a quiet day never silently turns a two-day-apart
+    pair into "day-over-day returning". ``step=None`` keeps literal
+    previous-stored-bucket semantics (documented, for irregular tiers).
+
     Estimates are exact while both buckets sit in the sketch's
-    coupon-list regime; at dense-mode cardinalities the subtraction
-    inherits ~3x the union's single-sketch error, so intersections far
-    smaller than the estimate noise floor read as 0 (results clamp at
-    0 — inclusion-exclusion of independent estimates can go slightly
-    negative). HLL cannot intersect losslessly; for exact audits use
-    ``distinct_rollup(exact=True)`` on the raw slice.
+    coupon-list regime; at dense-mode cardinalities the direct (HIP)
+    and post-union (composite) estimators differ, so each derived count
+    is clamped at 0 — intersections far below the noise floor read as
+    0, never negative. HLL cannot intersect losslessly; for exact
+    audits use ``distinct_rollup(exact=True)`` on the raw slice.
 
     Output: keys, bucket, n_distinct (current bucket), returning,
     new_distinct, churned (vs the previous bucket).
@@ -129,22 +137,40 @@ def sketch_overlap_series(
     w = Window.partitionBy(*keys).orderBy(bucket_col)
     cur = F.col(sketch_col)
     prev = F.lag(cur).over(w)
+    adjacent = prev.isNotNull()
+    if step is not None:
+        from tablecloth_time_spark.functions.timeops import to_epoch_millis
+        from tablecloth_time_spark.functions.units import (
+            milliseconds_in,
+            normalize_unit,
+        )
+
+        step_ms = step[0] * milliseconds_in(normalize_unit(step[1]))
+        bms = to_epoch_millis(bucket_col)
+        adjacent = adjacent & (bms - F.lag(bms).over(w) == F.lit(step_ms))
     cur_est = F.hll_sketch_estimate(cur)
     prev_est = F.hll_sketch_estimate(prev)
     union_est = F.hll_sketch_estimate(F.hll_union(prev, cur))
     # NOTE: greatest() SKIPS nulls (greatest(NULL, 0) = 0), which would
-    # turn the first bucket's unknown into a fabricated 0 — guard first
+    # turn a first/gapped bucket's unknown into a fabricated 0 — guard
+    # every derived column on adjacency first, then clamp. The clamps
+    # are independent: direct sketches estimate via HIP, unions via the
+    # composite estimator, so union_est is NOT guaranteed >= prev/cur
+    # and any of the three differences can dip below zero.
     returning = F.when(
-        prev.isNotNull(),
-        F.greatest(prev_est + cur_est - union_est, F.lit(0)),
+        adjacent, F.greatest(prev_est + cur_est - union_est, F.lit(0))
     )
     return tier.select(
         *keys,
         bucket_col,
         cur_est.alias("n_distinct"),
         returning.alias("returning"),
-        (cur_est - returning).alias("new_distinct"),
-        (prev_est - returning).alias("churned"),
+        F.when(adjacent, F.greatest(cur_est - returning, F.lit(0))).alias(
+            "new_distinct"
+        ),
+        F.when(adjacent, F.greatest(prev_est - returning, F.lit(0))).alias(
+            "churned"
+        ),
     )
 
 

@@ -166,30 +166,41 @@ def sequence_fingerprints(
     hash_fn: str = "xxhash64",
     fingerprint_col: str = "fingerprint",
     n_col: str = "n_items",
+    positions: str | None = None,
 ) -> DataFrame:
     """Order-sensitive fingerprint of each key's item SEQUENCE — the
     conversation-level exact-dedup primitive ("these two conversations
     are the same dialogue, turn for turn"), where row-level
     ``exact_dedup`` sees only single turns.
 
-    The naive form (collect the turns, concatenate in order, hash the
-    blob) ships every byte of text through a shuffle and buffers whole
-    conversations. This one never moves the text: each item is hashed
-    WITH ITS POSITION (``hash(idx || ':' || item)``), and the per-key
-    combine is a plain SUM of those tagged hashes (mod 2^60) — order
-    sensitivity lives in the tags, so the combine itself is commutative
-    and therefore MAP-SIDE COMBINABLE: only (key, 8-byte partial)
-    pairs ride the Exchange, same posture as the rollup tiers. Two keys
-    match iff (n_items, fingerprint) match (collision odds ~ n_keys² /
-    2^60 — a candidate filter; pair the survivors through
-    ``operators.dedup.exact_dedup`` semantics on the full text if a
-    guarantee is needed).
+    Each item is hashed WITH ITS POSITION (``hash(pos || ':' ||
+    item)``), and the per-key combine is a plain SUM of those tagged
+    hashes (mod 2^60) — order sensitivity lives in the tags, so the
+    combine itself is commutative/associative. How cheap the plan gets
+    depends on where the position comes from:
 
-    The position index comes from a row_number window over
-    (key, order_cols); the aggregate reuses that window's hash
-    partitioning, so the whole plan is ONE Exchange (the
-    ``conversation_stats`` shape). Null items hash as a reserved
-    sentinel (U+0000) distinct from the string 'null'.
+    - ``positions=<col>``: the table already CARRIES a per-key position
+      column (the transcripts shape's ``turn_idx``). Hashing happens
+      before any shuffle and the SUM is genuinely MAP-SIDE COMBINABLE —
+      only (key, 8-byte partial) pairs ride the one Exchange, the text
+      never moves (the rollup-tier posture; no Window in the plan,
+      pinned). At 10^12 turns this is the path to use. The column's
+      values are the tags verbatim, so they must be a deterministic
+      per-key position (dense 0-based recommended — two equal dialogues
+      with differently-offset numbering fingerprint differently).
+    - ``positions=None``: positions are derived as a row_number window
+      over (key, order_cols). Honest cost: the window's Exchange runs
+      BEFORE hashing, so keys + order columns + the item column all
+      cross that one shuffle (still no whole-conversation buffering —
+      unlike a collect+concat+hash — and the aggregate reuses the
+      window's partitioning, one Exchange total). Use when no
+      trustworthy position column exists.
+
+    Two keys match iff (n_items, fingerprint) match (collision odds
+    ~ n_keys² / 2^60 — a candidate filter; pair the survivors through
+    ``operators.dedup.exact_dedup`` semantics on the full text if a
+    guarantee is needed). Null items hash as a reserved sentinel
+    (U+0000) distinct from the string 'null'.
 
     ``hash_fn``: 'xxhash64' (one JVM hash — the scale default) or 'md5'
     (``text.hash64_md5`` — bit-for-bit recomputable in any md5-capable
@@ -206,8 +217,11 @@ def sequence_fingerprints(
             f"got {hash_fn!r}"
         )
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    w = Window.partitionBy(*keys).orderBy(*_order(order_cols))
-    idx = F.row_number().over(w) - F.lit(1)
+    if positions is not None:
+        idx = F.col(positions)
+    else:
+        w = Window.partitionBy(*keys).orderBy(*_order(order_cols))
+        idx = F.row_number().over(w) - F.lit(1)
     elem = F.concat(
         idx.cast("string"),
         F.lit(":"),

@@ -354,9 +354,49 @@ def test_sketch_overlap_series_exact_small(spark, tmp_path):
         ).collect()
     }
     assert got[0] == (4, None, None, None)
-    prev = None
     for d in range(1, 4):
         cur, pr = days[d], days[d - 1]
         assert got[d] == (
             len(cur), len(cur & pr), len(cur - pr), len(pr - cur)
         ), d
+
+
+def test_sketch_overlap_series_gap_guard(spark, tmp_path):
+    """Sparse tiers: with step=(1,'day'), a missing day between stored
+    buckets yields NULL comparisons instead of silently comparing
+    two-days-apart sketches; without step, literal prev-row semantics."""
+    from tablecloth_time_spark.operators.stats import sketch_overlap_series
+    from tablecloth_time_spark.operators.rollup import partial_rollup
+
+    days = {0: {"a", "b"}, 2: {"a", "c"}}  # day 1 empty -> absent row
+    rows = [
+        (1, 1_700_006_400_000 + d * 86_400_000, u)
+        for d, us in days.items() for u in sorted(us)
+    ]
+    df = spark.createDataFrame(rows, "k int, ms long, u string").select(
+        "k", F.timestamp_millis(F.col("ms")).alias("ts"), "u"
+    )
+    partial_rollup(
+        df, ["k"], "ts", 1, "day", {"uniq": ("hll", "u")}
+    ).write.mode("overwrite").parquet(str(tmp_path / "tier"))
+    tier = spark.read.parquet(str(tmp_path / "tier"))
+
+    def day_of(r):
+        return int(
+            (r["bucket"].timestamp() * 1000 - 1_700_006_400_000) // 86_400_000
+        )
+
+    guarded = {
+        day_of(r): (r["returning"], r["new_distinct"], r["churned"])
+        for r in sketch_overlap_series(
+            tier, ["k"], sketch_col="__p_uniq", step=(1, "day")
+        ).collect()
+    }
+    assert guarded[2] == (None, None, None)  # gap crossed -> unknown
+    literal = {
+        day_of(r): r["returning"]
+        for r in sketch_overlap_series(
+            tier, ["k"], sketch_col="__p_uniq"
+        ).collect()
+    }
+    assert literal[2] == 1  # documented prev-stored-row semantics

@@ -335,6 +335,47 @@ def test_sequence_fingerprints_validation_and_plan(spark, tdata):
     out = sequence_fingerprints(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the aggregate reuses the row_number window's hash partitioning —
-    # one Exchange total, and the text column never reaches it
+    # one Exchange total (the item column DOES cross it on this path;
+    # the positions path below is the text-never-moves one)
     assert plan.count("Exchange") == 1
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_sequence_fingerprints_positions_path(spark, tdata):
+    """positions=<existing per-key 0-based column> must (a) equal the
+    row_number derivation exactly and (b) plan WITHOUT a Window — the
+    hash + partial SUM run map-side, so only (key, 8-byte partial)
+    pairs ride the one Exchange (the text never moves)."""
+    from tablecloth_time_spark.operators.transcripts import (
+        sequence_fingerprints,
+    )
+
+    df, _ = tdata
+    derived = {
+        r["conv_id"]: (r["n_items"], r["fingerprint"])
+        for r in sequence_fingerprints(
+            df, "conv_id", "turn_idx", "text", hash_fn="md5"
+        ).collect()
+    }
+    direct = {
+        r["conv_id"]: (r["n_items"], r["fingerprint"])
+        for r in sequence_fingerprints(
+            df, "conv_id", item_col="text", hash_fn="md5",
+            positions="turn_idx",
+        ).collect()
+    }
+    assert direct == derived
+    # fresh (unexecuted) plan — a collected AQE plan prints Initial +
+    # Final sections and double-counts the Exchange
+    plan = (
+        sequence_fingerprints(
+            df, "conv_id", item_col="text", hash_fn="md5",
+            positions="turn_idx",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan  # no row_number — tags come from the table
+    assert plan.count("Exchange") == 1
+    # the partial aggregate sits BELOW the Exchange (map-side combine):
+    # the shuffle carries partial sums, not text
+    assert plan.index("partial_") > plan.index("Exchange")
