@@ -648,3 +648,112 @@ def streaming_ewma(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_budget_prefix(
+    stream: DataFrame,
+    key_col: str,
+    pos_col: str,
+    cost_col: str,
+    budget: int,
+) -> DataFrame:
+    """Streaming twin of ``operators/transcripts.budget_prefix``: emit
+    each arriving turn of a conversation WHILE the running token cost
+    stays within ``budget`` — the live-ingest context trim, deciding
+    per turn the moment it lands instead of re-scanning the
+    conversation per batch.
+
+    State per key is two int64s: (highest position processed, running
+    cumulative cost over ALL processed rows). Because costs are
+    non-negative (the batch operator's documented contract), the
+    running cost is monotone — once a turn overflows the budget every
+    later turn is over it too, so the emit condition simply stays
+    false; no "closed" flag is needed and over-budget turns are
+    DROPPED exactly as the batch filter drops them.
+
+    Ordering contract (the ``streaming_counter_rate`` family's): within
+    a micro-batch rows sort by ``pos_col``; across micro-batches a
+    key's turns are assumed in order. A row at or below the key's
+    carried position (late replay / duplicate) is emitted FLAGGED
+    (out_of_order=true, null cum_cost) and does not touch the running
+    cost — never silently mis-accumulated. Null costs count 0 (batch
+    contract).
+
+    Output (append): key, pos, cum_cost, out_of_order. On a closed
+    in-order input, rows with out_of_order=false match the batch
+    ``budget_prefix``'s (key, pos, cum_cost) exactly (pinned).
+    """
+    if budget <= 0:
+        raise ValueError(
+            f"streaming_budget_prefix: budget must be > 0, got {budget}"
+        )
+    key_field = stream.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("pos", LongType()),
+            StructField("cum_cost", LongType()),
+            StructField("out_of_order", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_pos", LongType()), StructField("cum", LongType())]
+    )
+
+    def kernel(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values("pos", kind="stable")
+        pos = pdf["pos"].to_numpy(dtype=np.int64)
+        cost = pdf["cost"].to_numpy(dtype=np.float64)
+        cost = np.where(np.isnan(cost), 0.0, cost).astype(np.int64)
+
+        last_pos, cum = state.get if state.exists else (None, 0)
+        # late = at/below the carried position, or a duplicate of an
+        # earlier in-batch position (sorted, so a dup == its neighbor)
+        ooo = np.zeros(len(pos), dtype=bool)
+        if last_pos is not None:
+            ooo |= pos <= last_pos
+        dup = np.zeros(len(pos), dtype=bool)
+        dup[1:] = pos[1:] == pos[:-1]
+        ooo |= dup
+        valid = ~ooo
+
+        run = cum + np.cumsum(np.where(valid, cost, 0))
+        keep = valid & (run <= budget)
+
+        if valid.any():
+            new_last = int(pos[valid].max())
+            state.update(
+                (
+                    new_last if last_pos is None else max(last_pos, new_last),
+                    int(cum + cost[valid].sum()),
+                )
+            )
+        emit = keep | ooo
+        if not emit.any():
+            return
+        cum_out = pd.Series(run[emit], dtype="Int64")
+        cum_out[pd.Series(ooo[emit]).to_numpy()] = pd.NA  # late: unknown
+        yield pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy()[emit],
+                "pos": pos[emit],
+                "cum_cost": cum_out,
+                "out_of_order": ooo[emit],
+            }
+        )
+
+    base = stream.select(
+        key_col,
+        F.col(pos_col).cast("long").alias("pos"),
+        F.col(cost_col).cast("double").alias("cost"),
+    )
+    return base.groupBy(key_col).applyInPandasWithState(
+        kernel,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

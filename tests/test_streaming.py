@@ -1273,3 +1273,94 @@ def test_streaming_profile_matches_batch(spark, tmp_path):
         got[sorted(got.columns)], expected[sorted(expected.columns)],
         check_dtype=False,
     )
+
+
+def test_streaming_budget_prefix_matches_batch(spark, tmp_path):
+    """Per-conversation running-cost state across micro-batches: 3
+    position-ordered files, one micro-batch each, must reproduce the
+    batch budget_prefix exactly; a replayed (late) turn is flagged,
+    not re-accumulated."""
+    import numpy as np
+
+    from tablecloth_time_spark.operators.transcripts import budget_prefix
+    from tablecloth_time_spark.streaming.stateful import (
+        streaming_budget_prefix,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = []
+    for k in range(12):
+        n = int(rng.integers(5, 60))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": f"c{k}",
+                    "turn_idx": np.arange(n),
+                    "n_tokens": rng.integers(5, 120, n),
+                }
+            )
+        )
+    rows = pd.concat(frames, ignore_index=True)
+    full = spark.createDataFrame(rows)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # split by GLOBAL turn_idx order -> per-conversation in-order batches
+    ordered = rows.sort_values("turn_idx", kind="stable")
+    for i, part in enumerate(np.array_split(np.arange(len(ordered)), 3)):
+        spark.createDataFrame(ordered.iloc[part]).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    # 4th file replays an already-processed turn of c0 (late duplicate)
+    spark.createDataFrame(rows.iloc[[0]]).coalesce(1).write.parquet(
+        str(src / "f3")
+    )
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_budget_prefix(stream, "conv_id", "turn_idx", "n_tokens", 800)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(sink).toPandas()
+    late = got[got["out_of_order"]]
+    assert len(late) == 1 and late.iloc[0]["conv_id"] == "c0"
+    assert pd.isna(late.iloc[0]["cum_cost"])
+    kept = (
+        got[~got["out_of_order"]]
+        .sort_values(["conv_id", "pos"], kind="stable")
+        .reset_index(drop=True)
+    )
+    exp = (
+        budget_prefix(full, "conv_id", "turn_idx", "n_tokens", budget=800)
+        .select("conv_id", F.col("turn_idx").cast("long").alias("pos"), "cum_cost")
+        .toPandas()
+        .sort_values(["conv_id", "pos"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        kept[["conv_id", "pos", "cum_cost"]], exp, check_dtype=False
+    )
+
+
+def test_streaming_budget_prefix_validation(spark, tmp_path):
+    from tablecloth_time_spark.streaming.stateful import (
+        streaming_budget_prefix,
+    )
+
+    df = spark.createDataFrame(
+        [("c", 0, 5)], "conv_id string, turn_idx int, n_tokens int"
+    )
+    with pytest.raises(ValueError, match="budget"):
+        streaming_budget_prefix(df, "conv_id", "turn_idx", "n_tokens", 0)
