@@ -280,6 +280,12 @@ timed region.
 - **Scaling efficiency (cascade): {eff_cascade:.3f}**
 - **Scaling efficiency (cascade + compression): {eff_total:.3f}**
 - Target (BASELINE.json north rule): >= 0.8
+- Single-run caveat: this section records ONE pair. Host-contention
+  weather moves either leg by up to ~1.5x, so an efficiency far from
+  1/ratio in EITHER direction (including >1.0, which would mean
+  super-linear scaling) is a degraded-leg reading, not signal; the
+  round-representative figure is the median over the reproduction
+  table in the manual section below.
 - Compression ratio (minute tier, ts + 2 int series + 1 float series):
   {lo['compression_ratio']}x
 

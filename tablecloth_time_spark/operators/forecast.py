@@ -105,10 +105,13 @@ def benchmark_forecast(
     positions are absent, mirroring fpp3's NA behavior). DRIFT needs >= 2
     observations (null forecast otherwise).
 
-    Rows with a NULL value are ignored entirely (a gap-filled grid with
-    method='none' produces them): T, y_1, y_T, the mean, and the snaive
-    tail are all taken over the non-null observations, keeping every
-    method's numerator and denominator consistent.
+    Rows with a NULL or NaN value are ignored entirely (a gap-filled grid
+    with method='none' produces nulls; NaN is the same missing-sample
+    convention as ``ar_forecast``/``holt_winters_forecast``/``acf``): T,
+    y_1, y_T, the mean, and the snaive tail are all taken over the
+    finite observations, keeping every method's numerator and denominator
+    consistent — and keeping a stray NaN from poisoning the
+    first/last struct-max tie-breaks (NaN sorts greatest).
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
     for m in methods:
@@ -118,7 +121,9 @@ def benchmark_forecast(
         raise ValueError("snaive requires season_length")
     u = normalize_unit(unit)
 
-    df = df.filter(F.col(value_col).isNotNull())
+    df = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))
+    )
     v = F.col(value_col).cast("double")
     ms = to_epoch_millis(ts_col)
     ordered = F.struct(ms.alias("t"), v.alias("v"))

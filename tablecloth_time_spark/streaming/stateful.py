@@ -131,8 +131,12 @@ def streaming_counter_rate(
         # never move state backward: a wholly-late micro-batch (batch max
         # older than the carried state) must not regress last_ms, or the
         # NEXT in-order sample would difference against the wrong
-        # predecessor (rows are sorted, so ms[-1] is the batch max)
-        if last_ms is None or int(ms[-1]) >= last_ms:
+        # predecessor (rows are sorted, so ms[-1] is the batch max).
+        # STRICTLY greater: a replayed duplicate carrying the exact state
+        # timestamp must not overwrite last_v with the replayed value —
+        # the first delivery's value stays the predecessor (ties keep
+        # existing state).
+        if last_ms is None or int(ms[-1]) > last_ms:
             state.update((int(ms[-1]), float(v[-1])))
         yield pd.DataFrame(
             {
@@ -361,7 +365,9 @@ def streaming_detect_gaps(
         gap_ms = ms - prev_ms  # float64; ms values are far below 2**53
         emit = (has_prev & ~ooo & (gap_ms > thresh_ms)) | ooo
 
-        if last_ms is None or int(ms[-1]) >= last_ms:
+        # strict >: an exact-timestamp replay keeps the existing state
+        # (same tie rule as streaming_counter_rate)
+        if last_ms is None or int(ms[-1]) > last_ms:
             state.update((int(ms[-1]),))
         if not emit.any():
             return
@@ -679,9 +685,13 @@ def streaming_budget_prefix(
     cost — never silently mis-accumulated. Null costs count 0 (batch
     contract).
 
-    Output (append): key, pos, cum_cost, out_of_order. On a closed
-    in-order input, rows with out_of_order=false match the batch
-    ``budget_prefix``'s (key, pos, cum_cost) exactly (pinned).
+    Output (append): key, pos, cum_cost (double), out_of_order. On a
+    closed in-order input, rows with out_of_order=false match the batch
+    ``budget_prefix``'s (key, pos, cum_cost) exactly (pinned) — the
+    running cost accumulates in float64 and compares against the budget
+    BEFORE any cast, so fractional costs (e.g. weighted token counts)
+    trim at the same turn as the batch operator; integer costs are
+    exact up to 2**53, far above any real context budget.
     """
     if budget <= 0:
         raise ValueError(
@@ -692,12 +702,12 @@ def streaming_budget_prefix(
         [
             StructField(key_col, key_field.dataType),
             StructField("pos", LongType()),
-            StructField("cum_cost", LongType()),
+            StructField("cum_cost", DoubleType()),
             StructField("out_of_order", BooleanType()),
         ]
     )
     state_schema = StructType(
-        [StructField("last_pos", LongType()), StructField("cum", LongType())]
+        [StructField("last_pos", LongType()), StructField("cum", DoubleType())]
     )
 
     def kernel(key, pdfs, state: GroupState):
@@ -707,9 +717,9 @@ def streaming_budget_prefix(
         pdf = pdf.sort_values("pos", kind="stable")
         pos = pdf["pos"].to_numpy(dtype=np.int64)
         cost = pdf["cost"].to_numpy(dtype=np.float64)
-        cost = np.where(np.isnan(cost), 0.0, cost).astype(np.int64)
+        cost = np.where(np.isnan(cost), 0.0, cost)  # null costs count 0
 
-        last_pos, cum = state.get if state.exists else (None, 0)
+        last_pos, cum = state.get if state.exists else (None, 0.0)
         # late = at/below the carried position, or a duplicate of an
         # earlier in-batch position (sorted, so a dup == its neighbor)
         ooo = np.zeros(len(pos), dtype=bool)
@@ -728,14 +738,14 @@ def streaming_budget_prefix(
             state.update(
                 (
                     new_last if last_pos is None else max(last_pos, new_last),
-                    int(cum + cost[valid].sum()),
+                    float(cum + cost[valid].sum()),
                 )
             )
         emit = keep | ooo
         if not emit.any():
             return
-        cum_out = pd.Series(run[emit], dtype="Int64")
-        cum_out[pd.Series(ooo[emit]).to_numpy()] = pd.NA  # late: unknown
+        cum_out = pd.Series(run[emit], dtype="float64")
+        cum_out[pd.Series(ooo[emit]).to_numpy()] = np.nan  # late: unknown
         yield pd.DataFrame(
             {
                 key_col: pdf[key_col].to_numpy()[emit],

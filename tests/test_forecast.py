@@ -109,6 +109,33 @@ def test_drift_single_observation_null(spark):
     assert all(r["forecast"] == 5.0 for r in naive)
 
 
+def test_nan_samples_ignored_like_nulls(spark):
+    """A NaN sample is the same missing-value convention as NULL (the
+    ar_forecast/holt_winters/acf family): it must not poison the mean,
+    nor win the first/last struct-max tie-breaks (NaN sorts greatest in
+    Spark, so an unfiltered NaN would become y_T for naive/drift)."""
+    vals = [10.0, 20.0, float("nan"), 30.0, 40.0]
+    rows = [("a", T0 + i * DAY, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    clean = spark.createDataFrame(
+        [r for r in rows if r[2] == r[2]], ["k", "ts", "v"]
+    )
+    kwargs = dict(
+        horizon=3, interval=1, unit="day", methods=("mean", "naive", "drift")
+    )
+    got = {
+        (r["method"], r["h"]): r["forecast"]
+        for r in benchmark_forecast(df, "k", "ts", "v", **kwargs).collect()
+    }
+    exp = {
+        (r["method"], r["h"]): r["forecast"]
+        for r in benchmark_forecast(clean, "k", "ts", "v", **kwargs).collect()
+    }
+    assert got == exp
+    assert got[("mean", 1)] == pytest.approx(25.0)
+    assert got[("naive", 1)] == 40.0
+
+
 def test_snaive_requires_season(spark, daily):
     df, _ = daily
     with pytest.raises(ValueError, match="season_length"):

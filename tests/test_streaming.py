@@ -404,6 +404,44 @@ def test_streaming_counter_rate_wholly_late_multirow_batch(spark, tmp_path):
     assert got[11.0]["delta"] is None and got[15.0]["delta"] is None
 
 
+def test_streaming_counter_rate_exact_timestamp_replay_keeps_state(
+    spark, tmp_path
+):
+    """A replayed duplicate carrying the EXACT state timestamp must not
+    overwrite last_v: the first delivery's value stays the predecessor
+    for the next in-order delta (ties keep existing state)."""
+    from tablecloth_time_spark.streaming.stateful import streaming_counter_rate
+
+    t0 = pd.Timestamp("2024-03-01")
+    f0 = pd.DataFrame({"k": [1], "ts": [t0 + pd.Timedelta("10s")], "v": [20.0]})
+    # replay at the same 10s timestamp, DIFFERENT value
+    f1 = pd.DataFrame({"k": [1], "ts": [t0 + pd.Timedelta("10s")], "v": [99.0]})
+    f2 = pd.DataFrame({"k": [1], "ts": [t0 + pd.Timedelta("20s")], "v": [25.0]})
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = spark.createDataFrame(f0).schema
+    for i, f in enumerate((f0, f1, f2)):
+        spark.createDataFrame(f).coalesce(1).write.parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_counter_rate(stream, "k", "ts", "v")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {r["value"]: r for r in spark.read.parquet(sink).collect()}
+    # 25.0 at t=20s differences against the FIRST delivery (20.0), not
+    # the replayed 99.0 — delta 5.0 over 10s
+    assert got[25.0]["delta"] == 5.0
+    assert got[25.0]["rate_per_s"] == 0.5
+
+
 def test_session_gap_boundary_contract(spark):
     """Contract pin for the session-boundary rule (operators/sessions.py):
     an event arriving EXACTLY ``gap`` after its predecessor stays
@@ -1351,6 +1389,72 @@ def test_streaming_budget_prefix_matches_batch(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(
         kept[["conv_id", "pos", "cum_cost"]], exp, check_dtype=False
+    )
+
+
+def test_streaming_budget_prefix_fractional_costs_match_batch(
+    spark, tmp_path
+):
+    """Fractional costs (weighted token counts) accumulate in float64 and
+    compare against the budget BEFORE any cast — the streamed cut point
+    must match the batch budget_prefix, which sums raw doubles. A
+    truncating int cast would admit one extra turn here (2.6+2.6+2.6 =
+    7.8 > 7.5 but truncates to 6 <= 7.5)."""
+    import numpy as np
+
+    from tablecloth_time_spark.operators.transcripts import budget_prefix
+    from tablecloth_time_spark.streaming.stateful import (
+        streaming_budget_prefix,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["c0"] * 4 + ["c1"] * 3,
+            "turn_idx": [0, 1, 2, 3, 0, 1, 2],
+            "n_tokens": [2.6, 2.6, 2.6, 0.1, 3.75, 3.75, 0.5],
+        }
+    )
+    full = spark.createDataFrame(rows)
+    src = tmp_path / "src"
+    src.mkdir()
+    ordered = rows.sort_values("turn_idx", kind="stable")
+    for i, part in enumerate(np.array_split(np.arange(len(ordered)), 2)):
+        spark.createDataFrame(ordered.iloc[part]).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_budget_prefix(stream, "conv_id", "turn_idx", "n_tokens", 7.5)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.read.parquet(sink)
+        .toPandas()
+        .sort_values(["conv_id", "pos"], kind="stable")
+        .reset_index(drop=True)
+    )
+    exp = (
+        budget_prefix(full, "conv_id", "turn_idx", "n_tokens", budget=7.5)
+        .select(
+            "conv_id", F.col("turn_idx").cast("long").alias("pos"), "cum_cost"
+        )
+        .toPandas()
+        .sort_values(["conv_id", "pos"], kind="stable")
+        .reset_index(drop=True)
+    )
+    # c0 keeps only turns 0-1 (2.6+2.6=5.2; +2.6=7.8 overflows, and the
+    # later 0.1 turn stays dropped — prefix semantics); c1 keeps 0-1
+    assert list(exp["pos"]) == [0, 1, 0, 1]
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "pos", "cum_cost"]], exp, check_dtype=False
     )
 
 
