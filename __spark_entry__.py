@@ -5032,6 +5032,226 @@ SELECT user_id, event_id, ts, cum_cost FROM c WHERE cum_cost <= 300
 """
 
 
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB shape-preserving downsample (Steinarsson 2013) of each event
+    type's hourly-count series to 20 points. The series is all-integer
+    (hour-boundary epoch millis, event counts), so every centroid mean
+    is an exact sum over integers followed by ONE division — bit-equal
+    between numpy's pairwise and DuckDB's sequential summation — and the
+    triangle areas reduce to identical IEEE op sequences on both engines;
+    the oracle re-derives the full sequential selection with a recursive
+    CTE over the 18 middle buckets (operators/downsample.py:lttb_select,
+    reference adjust-frequency/down-sample family)."""
+    from tablecloth_time_spark.operators.downsample import lttb_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", T.down_to_nearest("ts", 1, "hour").alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    out = lttb_downsample(hourly, "event_type", "b", "value", n_out=20)
+    return out.select("event_type", "ts_ms", "value")
+
+
+# n_out = 20: edges k=0..18 are numpy linspace(1, n-1, 19) truncated to
+# int64 — FLOOR(1 + k*step) with the forced exact endpoint at k=18; the
+# recursive member runs kernel iterations i=0..17, each picking the
+# max-triangle-area point of bucket [lo, hi) against the previously kept
+# point and the next bucket's centroid (first max wins, = np.argmax).
+SQL_LTTB_DOWNSAMPLE = """
+WITH RECURSIVE
+h AS (
+  SELECT event_type,
+         epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ts_ms,
+         CAST(COUNT(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT event_type, ts_ms, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts_ms) - 1 AS rn
+  FROM h
+),
+arr AS (
+  SELECT event_type,
+         list(CAST(ts_ms AS DOUBLE) ORDER BY ts_ms) AS t,
+         list(value ORDER BY ts_ms) AS v,
+         COUNT(*) AS n
+  FROM p GROUP BY 1
+),
+sel AS (
+  SELECT event_type, t, v, n, 0 AS i, CAST(0 AS BIGINT) AS a FROM arr
+  UNION ALL
+  SELECT event_type, t, v, n, i + 1,
+         CASE WHEN hi > lo
+              THEN lo + CAST(list_position(areas, list_max(areas)) AS BIGINT) - 1
+              ELSE lo END
+  FROM (
+    SELECT event_type, t, v, n, i, lo, hi,
+           list_transform(range(lo, hi), j ->
+             abs((t[a + 1] - cx) * (v[j + 1] - v[a + 1])
+               - (t[a + 1] - t[j + 1]) * (cy - v[a + 1]))) AS areas
+    FROM (
+      SELECT event_type, t, v, n, i, a, lo, hi,
+             CASE WHEN nhi > nlo
+                  THEN list_sum(list_slice(t, nlo + 1, nhi)) / (nhi - nlo)
+                  ELSE t[n] END AS cx,
+             CASE WHEN nhi > nlo
+                  THEN list_sum(list_slice(v, nlo + 1, nhi)) / (nhi - nlo)
+                  ELSE v[n] END AS cy
+      FROM (
+        SELECT event_type, t, v, n, i, a,
+               CAST(FLOOR(1.0 + i * ((CAST(n AS DOUBLE) - 2.0) / 18.0))
+                    AS BIGINT) AS lo,
+               CASE WHEN i + 1 = 18 THEN n - 1
+                    ELSE CAST(FLOOR(1.0 + (i + 1) * ((CAST(n AS DOUBLE) - 2.0) / 18.0))
+                              AS BIGINT) END AS hi,
+               CASE WHEN i + 1 = 18 THEN n - 1
+                    ELSE CAST(FLOOR(1.0 + (i + 1) * ((CAST(n AS DOUBLE) - 2.0) / 18.0))
+                              AS BIGINT) END AS nlo,
+               CASE WHEN i = 17 THEN n
+                    WHEN i + 2 = 18 THEN n - 1
+                    ELSE CAST(FLOOR(1.0 + (i + 2) * ((CAST(n AS DOUBLE) - 2.0) / 18.0))
+                              AS BIGINT) END AS nhi
+        FROM sel WHERE i < 18
+      )
+    )
+  )
+),
+idx AS (
+  SELECT event_type, a FROM sel
+  UNION
+  SELECT event_type, n - 1 FROM arr
+)
+SELECT p.event_type, CAST(p.ts_ms AS BIGINT) AS ts_ms, p.value
+FROM p JOIN idx ON p.event_type = idx.event_type AND p.rn = idx.a
+"""
+
+
+def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time spent in each event_type state per (user, hour) under LOCF
+    semantics — lead-window segments exploded to the hourly buckets they
+    overlap, clipped, then ONE map-side-combined sum
+    (operators/counters.py:state_durations, TimescaleDB state_agg
+    shape). All-integer millisecond arithmetic, so the oracle is exact."""
+    from tablecloth_time_spark.operators.counters import state_durations
+
+    ev = _t(spark, sf_dir, "events")
+    out = state_durations(
+        ev, "user_id", "ts", "event_type", 1, "hour", order_cols=["event_id"]
+    )
+    return out.select("user_id", "bucket", "event_type", "duration_ms")
+
+
+SQL_STATE_DURATIONS = """
+WITH seg AS (
+  SELECT user_id, event_type,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS s,
+         LEAD(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS e
+  FROM events
+),
+x AS (
+  SELECT user_id, event_type, s, e,
+         UNNEST(range(s // 3600000, (e - 1) // 3600000 + 1)) AS b
+  FROM seg WHERE e IS NOT NULL AND e > s
+)
+SELECT user_id,
+       make_timestamp(b * 3600000 * 1000) AS bucket,
+       event_type,
+       CAST(SUM(LEAST(e, (b + 1) * 3600000) - GREATEST(s, b * 3600000))
+            AS BIGINT) AS duration_ms
+FROM x GROUP BY 1, 2, 3
+"""
+
+
+def q_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per (event_type, hour) with the
+    Prometheus-style cumulative count — one map-side-combined hash
+    aggregate plus a window over the tiny histogram frame
+    (operators/stats.py:histogram_rollup). Counts are integers; bin
+    edges are exact multiples of the bin width."""
+    from tablecloth_time_spark.operators.stats import histogram_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = histogram_rollup(
+        ev, ["event_type"], "ts", "value", 1, "hour",
+        lo=0.0, hi=1000.0, n_bins=20, cumulative=True,
+    )
+    return out.select(
+        "event_type", "bucket", "bin", "n", "bin_lo", "bin_hi", "cum_n"
+    )
+
+
+SQL_HISTOGRAM_ROLLUP = """
+WITH h AS (
+  SELECT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         CAST(LEAST(19, GREATEST(0, FLOOR((value - 0.0) / 50.0))) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, bucket, bin, n,
+       0.0 + bin * 50.0 AS bin_lo,
+       0.0 + (bin + 1) * 50.0 AS bin_hi,
+       CAST(SUM(n) OVER (
+           PARTITION BY event_type, bucket ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_n
+FROM h
+"""
+
+
+def q_rollup_tiers_zoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tier GROUPING SETS rollup in the Europe/Berlin LOCAL calendar
+    (the reference's floor-to-* {:zone} option on the one-pass tier path,
+    operators/rollup.py:rollup_tiers_long(zone=)): day/month/year tiers
+    over the orders table, whose 1995-2001 span crosses every March and
+    October DST transition — daily buckets land at 23:00 UTC in winter
+    and 22:00 UTC in summer, and the oracle re-derives the same local
+    floors via DuckDB's timezone() conversions."""
+    from tablecloth_time_spark.operators.rollup import rollup_tiers_long
+
+    orders = _t(spark, sf_dir, "orders")
+    out = rollup_tiers_long(
+        orders,
+        ["o_orderpriority"],
+        "o_orderdate",
+        {"n": ("count", "o_orderkey"), "s": ("sum", "o_totalprice")},
+        tiers={"day": (1, "day"), "month": (1, "month"), "year": (1, "year")},
+        order_cols=["o_orderdate", "o_orderkey"],
+        zone="Europe/Berlin",
+    )
+    return out.select(
+        "tier", "o_orderpriority", "bucket", "n", F.round("s", 4).alias("s")
+    )
+
+
+SQL_ROLLUP_TIERS_ZONED = """
+WITH o AS (
+  SELECT o_orderpriority, o_totalprice,
+         timezone('Europe/Berlin',
+                  timezone('UTC', CAST(o_orderdate AS TIMESTAMP))) AS loc
+  FROM orders
+)
+SELECT 'day' AS tier, o_orderpriority,
+       timezone('UTC', timezone('Europe/Berlin', date_trunc('day', loc))) AS bucket,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS s
+FROM o GROUP BY 2, 3
+UNION ALL
+SELECT 'month', o_orderpriority,
+       timezone('UTC', timezone('Europe/Berlin', date_trunc('month', loc))),
+       COUNT(*), ROUND(SUM(o_totalprice), 4)
+FROM o GROUP BY 2, 3
+UNION ALL
+SELECT 'year', o_orderpriority,
+       timezone('UTC', timezone('Europe/Berlin', date_trunc('year', loc))),
+       COUNT(*), ROUND(SUM(o_totalprice), 4)
+FROM o GROUP BY 2, 3
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -5160,12 +5380,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order IS the driver's scoring window: the driver
+    hash-checks the FIRST 50 entries each round (COVERAGE.md "scored-50
+    windowing policy"). Layout:
+
+    - entries 1-9: never-rotated ANCHORS (slice/rollup/tiers/gapfill/
+      asof/session core) kept in every round's window for cross-round
+      comparability;
+    - entries 10-50 (r5 window): the 37 queries the driver last scored
+      in r3 or never (the dedup/ANN/text family, the late-r4 operator
+      wave) plus the 4 new r5 queries (lttb_downsample,
+      state_durations, histogram_rollup, rollup_tiers_zoned);
+    - entries 51+: queries with green driver rows in r4 (scored again on
+      the next rotation).
+
+    With this rotation every registry query has at least one green
+    driver CORRECTNESS row across r3-r5.
+    """
     return {
+        # --- anchors (never rotated) ---
         "slice_events": q_slice_events,
         "rollup_hourly": q_rollup_hourly,
         "rollup_15min_salted": q_rollup_15min_salted,
+        "rollup_tiers_long": q_rollup_tiers_long,
         "calendar_floors": q_calendar_floors,
         "field_extractors": q_field_extractors,
+        "gapfill_ffill": q_gapfill_ffill,
+        "asof_join_rates": q_asof_join_rates,
+        "sessionize_events": q_sessionize_events,
+        # --- r5 rotation: last scored r3, or never scored by the driver ---
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "winnow_dedup": q_winnow_dedup,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "decontaminate_docs": q_decontaminate,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_topk": q_embedding_topk,
+        "dedup_clusters": q_dedup_clusters,
+        "media_features": q_media_features,
+        "text_stats": q_text_stats,
+        "sample_splits": q_sample_splits,
+        "sequence_dedup": q_sequence_dedup,
+        "budget_prefix": q_budget_prefix,
+        "compress_roundtrip": q_compress_roundtrip,
+        "continuous_hourly": q_continuous_hourly,
+        "gapfill_monthly": q_gapfill_monthly,
+        "m4_downsample": q_m4_downsample,
+        "merge_intervals": q_merge_intervals,
+        "cohort_retention": q_cohort_retention,
+        "pivot_daily_types": q_pivot_daily_types,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "bollinger_rsi": q_bollinger_rsi,
+        "periodogram": q_periodogram,
+        "ewma_rows": q_ewma_rows,
+        "rolling_quantiles": q_rolling_quantiles,
+        "hopping_rollup": q_hopping_rollup,
+        "profile_rollup": q_profile_rollup,
+        "pelt_synthetic": q_pelt_synthetic,
+        "hw_synthetic": q_hw_synthetic,
+        "cusum_drift": q_cusum_drift,
+        "croston_intermittent": q_croston_intermittent,
+        "predict_linear": q_predict_linear,
+        "rolling_corr": q_rolling_corr,
+        "counter_increase": q_counter_increase,
+        # --- new in r5 ---
+        "lttb_downsample": q_lttb_downsample,
+        "state_durations": q_state_durations,
+        "histogram_rollup": q_histogram_rollup,
+        "rollup_tiers_zoned": q_rollup_tiers_zoned,
+        # --- driver-green in r4 (below the 50-slot window this round) ---
         "computed_fields": q_computed_fields,
         "add_lags": q_add_lags,
         "first_difference": q_first_difference,
@@ -5173,7 +5459,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_1h": q_rolling_1h,
         "temporal_arithmetic": q_temporal_arithmetic,
         "datetime_stats": q_datetime_stats,
-        "gapfill_ffill": q_gapfill_ffill,
         "acf_hourly": q_acf_hourly,
         "ccf_hourly": q_ccf_hourly,
         "pacf_synthetic": q_pacf_synthetic,
@@ -5182,10 +5467,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeops_misc": q_timeops_misc,
         "convert_time_units": q_convert_time_units,
         "time_literals": q_time_literals,
-        "rollup_tiers_long": q_rollup_tiers_long,
-        "asof_join_rates": q_asof_join_rates,
         "asof_nearest_rates": q_asof_nearest_rates,
-        "sessionize_events": q_sessionize_events,
         "counter_rate_events": q_counter_rate_events,
         "twa_daily": q_twa_daily,
         "detect_gaps": q_detect_gaps,
@@ -5211,43 +5493,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stickiness": q_stickiness,
         "star_rollup": q_star_rollup,
         "business_days": q_business_days,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "bollinger_rsi": q_bollinger_rsi,
-        "periodogram": q_periodogram,
-        "ewma_rows": q_ewma_rows,
-        "rolling_quantiles": q_rolling_quantiles,
-        "hopping_rollup": q_hopping_rollup,
-        "profile_rollup": q_profile_rollup,
-        "pelt_synthetic": q_pelt_synthetic,
-        "hw_synthetic": q_hw_synthetic,
-        "cusum_drift": q_cusum_drift,
-        "croston_intermittent": q_croston_intermittent,
-        "predict_linear": q_predict_linear,
-        "rolling_corr": q_rolling_corr,
-        "sequence_dedup": q_sequence_dedup,
-        "counter_increase": q_counter_increase,
-        "budget_prefix": q_budget_prefix,
-        "gapfill_monthly": q_gapfill_monthly,
-        "dedup_clusters": q_dedup_clusters,
-        "continuous_hourly": q_continuous_hourly,
-        "compress_roundtrip": q_compress_roundtrip,
-        "m4_downsample": q_m4_downsample,
-        "merge_intervals": q_merge_intervals,
-        "cohort_retention": q_cohort_retention,
-        "pivot_daily_types": q_pivot_daily_types,
-        "text_stats": q_text_stats,
-        "sample_splits": q_sample_splits,
-        "exact_dedup": q_exact_dedup,
-        "decontaminate_docs": q_decontaminate,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_topk": q_embedding_topk,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash_dedup": q_simhash_dedup,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "media_features": q_media_features,
-        "winnow_dedup": q_winnow_dedup,
-        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -5352,4 +5597,8 @@ def _raw_oracle_sql() -> dict[str, str]:
         "minhash_dedup": _sql_minhash_dedup(),
         "simhash_dedup": _sql_simhash_dedup(),
         "winnow_dedup": SQL_WINNOW_DEDUP,
+        "lttb_downsample": SQL_LTTB_DOWNSAMPLE,
+        "state_durations": SQL_STATE_DURATIONS,
+        "histogram_rollup": SQL_HISTOGRAM_ROLLUP,
+        "rollup_tiers_zoned": SQL_ROLLUP_TIERS_ZONED,
     }

@@ -1,8 +1,19 @@
 """Benchmark harness — the driver runs this per round at sf0.1.
 
-Prints ONE JSON line:
+Prints the full JSON record:
   {"metric": "rollup_points_per_sec", "value": N, "unit": "sec",
-   "queries": {name: seconds, ...}, "sf": ...}
+   "queries": {name: seconds, ...}, "round_best": {...}, "sf": ...}
+followed by a COMPACT one-line headline record (metric, value,
+value_round_best, sf, n_queries, top-5 slowest) — the driver keeps only
+a bounded tail of stdout and the full record's per-query map can
+overflow it (r4: BENCH_r04.json parsed=null), so the short trailing
+line guarantees the tail always ends with a parseable record.
+
+"round_best" is the per-query minimum across THIS round's runs
+(persisted in BENCH/round_best_sf{sf}_c{cpus}.json, 24h expiry):
+same-binary wall clock swings up to ~2x under invisible host
+contention, so the round-best is the figure to compare across rounds;
+the per-run "queries" map is the raw reading.
 
 The headline metric follows BASELINE.json: rolled-up points/sec across
 retention tiers (second/minute/hour/day) on the synthetic transcripts table
@@ -741,6 +752,46 @@ def main() -> None:
     )
 
     points_per_sec = total_points / cascade_sec if cascade_sec > 0 else 0.0
+
+    # Round-best ledger: same-binary wall clock swings up to ~2x under
+    # invisible host contention, so cross-round per-query comparisons must
+    # be best-of-N ACROSS the round's runs, not single readings (the
+    # solo-vs-solo rule from BENCH/BASELINE.md's variance note). Persist
+    # the per-query minimum seen this round and report it beside the run.
+    round_best = dict(timings)
+    best_value = round(points_per_sec, 1)
+    ledger = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH",
+        f"round_best_sf{sf}_c{CPUS}.json",
+    )
+    now = time.time()
+    started = now
+    try:
+        with open(ledger) as fh:
+            prev = json.load(fh)
+        # a round lasts hours; a ledger older than a day is a previous
+        # round's and must not leak its minima into this one
+        if now - prev.get("started", 0.0) < 86400:
+            started = prev.get("started", now)
+            for name, sec in prev.get("queries", {}).items():
+                if name in round_best:
+                    round_best[name] = min(round_best[name], sec)
+                else:
+                    round_best[name] = sec
+            best_value = max(best_value, prev.get("value", 0.0))
+    except (OSError, ValueError):
+        pass
+    try:
+        os.makedirs(os.path.dirname(ledger), exist_ok=True)
+        with open(ledger, "w") as fh:
+            json.dump(
+                {"started": started, "value": best_value, "queries": round_best},
+                fh,
+            )
+    except OSError:
+        pass  # read-only checkout: report the run reading only
+
     print(
         json.dumps(
             {
@@ -748,12 +799,33 @@ def main() -> None:
                 "value": round(points_per_sec, 1),
                 "unit": "sec",
                 "queries": timings,
+                "round_best": round_best,
                 "sf": float(sf) if _isfloat(sf) else sf,
                 "detail": {
                     "transcript_turns": n_turns,
                     "tier_points": total_points,
                     "cores": CPUS,
                 },
+            }
+        )
+    )
+    # Compact headline record LAST: the driver keeps only a bounded tail
+    # of stdout, and the full per-query JSON above can overflow it (r4:
+    # BENCH_r04.json parsed=null). This line is always short enough to
+    # survive the tail, so the driver always has a parseable record.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    print(
+        json.dumps(
+            {
+                "metric": "rollup_points_per_sec",
+                "value": round(points_per_sec, 1),
+                "value_round_best": best_value,
+                "unit": "sec",
+                "sf": float(sf) if _isfloat(sf) else sf,
+                "n_queries": len(timings),
+                "tier_points": total_points,
+                "cores": CPUS,
+                "slowest": {k: v for k, v in slowest},
             }
         )
     )
