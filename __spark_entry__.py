@@ -5193,8 +5193,8 @@ WITH h AS (
   GROUP BY 1, 2, 3
 )
 SELECT event_type, bucket, bin, n,
-       0.0 + bin * 50.0 AS bin_lo,
-       0.0 + (bin + 1) * 50.0 AS bin_hi,
+       CAST(0.0 + bin * 50.0 AS DOUBLE) AS bin_lo,
+       CAST(0.0 + (bin + 1) * 50.0 AS DOUBLE) AS bin_hi,
        CAST(SUM(n) OVER (
            PARTITION BY event_type, bucket ORDER BY bin
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -5320,15 +5320,6 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "window_features": [("value", "DOUBLE"), ("value_1h_ago", "DOUBLE"), ("zscore", "DOUBLE")],
     "level_shifts": [("shift", "DOUBLE"), ("shift_score", "DOUBLE")],
     "mad_anomalies": [("value", "DOUBLE"), ("score", "DOUBLE")],
-    "seasonal_anomalies": [("remainder", "DOUBLE"), ("score", "DOUBLE")],
-    "bollinger_rsi": [("mid", "DOUBLE"), ("upper", "DOUBLE"), ("lower", "DOUBLE"), ("pct_b", "DOUBLE"), ("bandwidth", "DOUBLE"), ("rsi", "DOUBLE")],
-    "periodogram": [("amp", "DOUBLE"), ("power_frac", "DOUBLE")],
-    "ewma_rows": [("ewma", "DOUBLE")],
-    "rolling_quantiles": [("med", "DOUBLE"), ("p90", "DOUBLE")],
-    "hopping_rollup": [("sum_value", "DOUBLE")],
-    "profile_rollup": [("vmin", "DOUBLE"), ("vmax", "DOUBLE"), ("mean", "DOUBLE")],
-    "pelt_synthetic": [("mean_before", "DOUBLE"), ("mean_after", "DOUBLE")],
-    "hw_synthetic": [("forecast", "DOUBLE")],
     "benchmark_forecast": [("forecast", "DOUBLE"), ("mae", "DOUBLE"), ("rmse", "DOUBLE"), ("mape", "DOUBLE"), ("mase", "DOUBLE")],
     "theta_forecast": [("forecast", "DOUBLE")],
     "brown_forecast": [("forecast", "DOUBLE")],
@@ -5341,11 +5332,20 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "ar2_forecast": [("forecast", "DOUBLE")],
     "stickiness": [("stickiness", "DOUBLE")],
     "star_rollup": [("revenue", "DOUBLE")],
+    "seasonal_anomalies": [("remainder", "DOUBLE"), ("score", "DOUBLE")],
+    "bollinger_rsi": [("mid", "DOUBLE"), ("upper", "DOUBLE"), ("lower", "DOUBLE"), ("pct_b", "DOUBLE"), ("bandwidth", "DOUBLE"), ("rsi", "DOUBLE")],
+    "periodogram": [("amp", "DOUBLE"), ("power_frac", "DOUBLE")],
+    "ewma_rows": [("ewma", "DOUBLE")],
+    "rolling_quantiles": [("med", "DOUBLE"), ("p90", "DOUBLE")],
+    "hopping_rollup": [("sum_value", "DOUBLE")],
+    "profile_rollup": [("vmin", "DOUBLE"), ("vmax", "DOUBLE"), ("mean", "DOUBLE")],
+    "pelt_synthetic": [("mean_before", "DOUBLE"), ("mean_after", "DOUBLE")],
+    "hw_synthetic": [("forecast", "DOUBLE")],
     "cusum_drift": [("cusum_pos", "DOUBLE"), ("cusum_neg", "DOUBLE")],
+    "croston_intermittent": [("z_hat", "DOUBLE"), ("p_hat", "DOUBLE"), ("forecast", "DOUBLE")],
     "predict_linear": [("slope", "DOUBLE"), ("predicted", "DOUBLE")],
     "rolling_corr": [("corr", "DOUBLE")],
     "counter_increase": [("increase", "DOUBLE")],
-    "croston_intermittent": [("z_hat", "DOUBLE"), ("p_hat", "DOUBLE"), ("forecast", "DOUBLE")],
     "gapfill_monthly": [("avg_price", "DOUBLE")],
     "continuous_hourly": [("s", "DOUBLE")],
     "compress_roundtrip": [("s", "DOUBLE")],
@@ -5361,6 +5361,9 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "ivf_topk": [("cosine_sim", "DOUBLE")],
     "minhash_dedup": [("jaccard_sim", "DOUBLE")],
     "winnow_dedup": [("fp_sim", "DOUBLE")],
+    "lttb_downsample": [("value", "DOUBLE")],
+    "histogram_rollup": [("bin_lo", "DOUBLE"), ("bin_hi", "DOUBLE")],
+    "rollup_tiers_zoned": [("s", "DOUBLE")],
 }
 
 

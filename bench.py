@@ -711,6 +711,24 @@ def main() -> None:
             events, [], "ts", 1, "hour", {"uniq_users": ("hll", "user_id")}
         ).agg(F.sum("uniq_users"), F.count(F.lit(1))).collect(),
     )
+    from tablecloth_time_spark.operators.downsample import lttb_downsample
+
+    timed(
+        "lttb_downsample_events",
+        lambda: lttb_downsample(
+            events, ["event_type"], "ts", "value", n_out=500
+        ).agg(F.count(F.lit(1)), F.sum("value")).collect(),
+    )
+    timed(
+        "rollup_tiers_zoned_events",
+        lambda: rollup_tiers_long(
+            events, ["user_id"], "ts",
+            {"n": ("count", "event_id"), "s": ("sum", "value")},
+            tiers={"hour": (1, "hour"), "day": (1, "day")},
+            order_cols=["ts", "event_id"],
+            zone="Europe/Berlin",
+        ).agg(F.count(F.lit(1)), F.sum("n")).collect(),
+    )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed(

@@ -40,10 +40,20 @@ CORES_LO = int(os.environ.get("SCALING_CORES_LO", "8"))
 CORES_HI = int(os.environ.get("SCALING_CORES_HI", "32"))
 MANUAL_MARKER = "<!-- MANUAL -->"
 INPUT_DIR = os.environ.get("SCALING_INPUT_DIR", "/tmp/tts_scaling_input")
+# > 0 adds ONE conversation holding this share of ALL turns (the
+# BENCH/SKEW.md mega-thread fixture at headline scale). Run skewed pairs
+# with SCALING_REPLICATE=1 so the mega thread stays a single conversation
+# (the worker's conv_id replication would split it into REPLICATE
+# same-sized threads and dilute the skew). Skewed runs print the JSON
+# summary but do NOT rewrite the BASELINE.md header (hand-recorded in the
+# manual pair table instead).
+MEGA_SHARE = float(os.environ.get("SCALING_MEGA_SHARE", "0"))
+MEGA_DAYS = int(os.environ.get("SCALING_MEGA_DAYS", "30"))
 
 
 def input_path() -> str:
-    return os.path.join(INPUT_DIR, f"transcripts_{N_CONV}.parquet")
+    tag = f"_mega{MEGA_SHARE}" if MEGA_SHARE > 0 else ""
+    return os.path.join(INPUT_DIR, f"transcripts_{N_CONV}{tag}.parquet")
 
 
 def ensure_input() -> str:
@@ -63,6 +73,7 @@ def ensure_input() -> str:
     chunk = 60000
     tmp = path + ".tmp"
     writer = None
+    n_base = 0
     for off in range(0, N_CONV, chunk):
         pdf = generate_transcripts_pandas(
             n_conv=min(chunk, N_CONV - off), seed=42 + off
@@ -70,10 +81,43 @@ def ensure_input() -> str:
         pdf["conv_id"] = pdf["conv_id"] + f"_{off}"
         # Spark cannot read TIMESTAMP(NANOS) parquet; values are ms-precision
         pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        n_base += len(pdf)
         tbl = pa.Table.from_pandas(pdf, preserve_index=False)
         if writer is None:
             writer = pq.ParquetWriter(tmp, tbl.schema)
         writer.write_table(tbl)
+    if MEGA_SHARE > 0:
+        # ONE conversation holding MEGA_SHARE of all turns over MEGA_DAYS
+        # days (the BENCH/SKEW.md fixture shape, deterministic)
+        import numpy as np
+        import pandas as pd
+
+        mega_n = int(n_base * MEGA_SHARE / (1 - MEGA_SHARE))
+        rng = np.random.default_rng(7)
+        gap_mean = max(1, int(MEGA_DAYS * 86_400_000 / mega_n))
+        gaps = rng.integers(
+            max(1, gap_mean // 2), gap_mean * 2, size=mega_n
+        ).astype("int64")
+        ts0 = pd.Timestamp("2025-01-01").value // 1_000_000
+        mega = pd.DataFrame(
+            {
+                "conv_id": "mega_thread",
+                "turn_idx": np.arange(mega_n, dtype="int32"),
+                "role": np.tile(
+                    ["user", "assistant", "tool"], mega_n // 3 + 1
+                )[:mega_n],
+                "text": "mega turn payload " * 3,
+                "tool": None,
+                "ts": pd.to_datetime(
+                    ts0 + np.cumsum(gaps), unit="ms"
+                ).astype("datetime64[us]"),
+            }
+        )
+        writer.write_table(
+            pa.Table.from_pandas(
+                mega, schema=writer.schema, preserve_index=False
+            )
+        )
     writer.close()
     os.replace(tmp, path)
     return path
@@ -113,7 +157,15 @@ def worker(cores: int) -> None:
             for i in range(REPLICATE)
         ],
     )
-    df = df.repartition(cores * 2, "conv_id")
+    # round-robin, NOT hash-by-conv_id: every downstream stage exchanges on
+    # its own keys ((conv, bucket) for the rollup, (conv, block) for the
+    # compress kernel), so conv-keyed input layout buys no shuffle back —
+    # and under mega-thread skew it single-handedly breaks scaling: one
+    # conversation holding 10% of all turns lands in ONE cache partition,
+    # a map-stage straggler that costs more the wider the level (measured:
+    # the r5 skewed pair read cascade 0.70 with conv-hash layout, 2.5x
+    # average partition at 16 partitions vs 1.4x at 4).
+    df = df.repartition(cores * 2)
     df.cache()
     n_turns = df.count()  # materialize OUTSIDE the timed region
 
@@ -241,6 +293,7 @@ def main() -> None:
     summary = {
         "metric": "scaling_efficiency",
         "n_conv": N_CONV,
+        "mega_share": MEGA_SHARE,
         "n_turns": lo["n_turns"],
         "levels": {f"local[{CORES_LO}]": lo, f"local[{CORES_HI}]": hi},
         "points_per_sec": {
@@ -251,6 +304,12 @@ def main() -> None:
         "efficiency_total": round(eff_total, 3),
         "target": 0.8,
     }
+
+    if MEGA_SHARE > 0:
+        # skewed-input pair: print the summary, leave the header (the
+        # unskewed headline) intact; record the row in the manual table
+        print(json.dumps(summary))
+        return
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     report = os.path.join(REPO, "BENCH", "BASELINE.md")

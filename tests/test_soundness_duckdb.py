@@ -121,3 +121,71 @@ def test_winnow_emitted_pairs_are_truly_similar(spark, con):
     truth = con.execute(CHAR_5GRAM_J.format(p="wn_pairs")).fetchdf()
     assert len(truth) == len(pairs)
     assert (truth["true_j"] >= 0.15).all()
+
+
+def test_lttb_recursive_cte_matches_kernel():
+    """The SQL_LTTB_DOWNSAMPLE oracle's recursive selection is the same
+    algorithm as the Arrow kernel, not merely the same answer on one
+    fixture: on random ALL-INTEGER series of many lengths the DuckDB
+    recursion must pick the kernel's exact index set. Integer inputs make
+    centroid means exact sums (+ one division) and triangle areas
+    identical IEEE op sequences — the property the driver query's
+    hourly-count series relies on."""
+    import numpy as np
+    import pandas as pd
+
+    from tablecloth_time_spark.operators.downsample import lttb_select
+
+    con2 = duckdb.connect()
+    sql = """
+WITH RECURSIVE
+arr AS (
+  SELECT list(CAST(ts AS DOUBLE) ORDER BY ts) AS t,
+         list(CAST(v AS DOUBLE) ORDER BY ts) AS v, COUNT(*) AS n
+  FROM series
+),
+sel AS (
+  SELECT t, v, n, 0 AS i, CAST(0 AS BIGINT) AS a FROM arr
+  UNION ALL
+  SELECT t, v, n, i + 1,
+         CASE WHEN hi > lo
+              THEN lo + CAST(list_position(areas, list_max(areas)) AS BIGINT) - 1
+              ELSE lo END
+  FROM (
+    SELECT t, v, n, i, lo, hi,
+           list_transform(range(lo, hi), j ->
+             abs((t[a + 1] - cx) * (v[j + 1] - v[a + 1])
+               - (t[a + 1] - t[j + 1]) * (cy - v[a + 1]))) AS areas
+    FROM (
+      SELECT t, v, n, i, a, lo, hi,
+             CASE WHEN nhi > nlo THEN list_sum(list_slice(t, nlo + 1, nhi)) / (nhi - nlo) ELSE t[n] END AS cx,
+             CASE WHEN nhi > nlo THEN list_sum(list_slice(v, nlo + 1, nhi)) / (nhi - nlo) ELSE v[n] END AS cy
+      FROM (
+        SELECT t, v, n, i, a,
+               CAST(FLOOR(1.0 + i * ((CAST(n AS DOUBLE) - 2.0) / 18.0)) AS BIGINT) AS lo,
+               CASE WHEN i + 1 = 18 THEN n - 1 ELSE CAST(FLOOR(1.0 + (i + 1) * ((CAST(n AS DOUBLE) - 2.0) / 18.0)) AS BIGINT) END AS hi,
+               CASE WHEN i + 1 = 18 THEN n - 1 ELSE CAST(FLOOR(1.0 + (i + 1) * ((CAST(n AS DOUBLE) - 2.0) / 18.0)) AS BIGINT) END AS nlo,
+               CASE WHEN i = 17 THEN n WHEN i + 2 = 18 THEN n - 1
+                    ELSE CAST(FLOOR(1.0 + (i + 2) * ((CAST(n AS DOUBLE) - 2.0) / 18.0)) AS BIGINT) END AS nhi
+        FROM sel WHERE i < 18
+      )
+    )
+  )
+),
+idx AS (SELECT a FROM sel UNION SELECT n - 1 FROM arr)
+SELECT a FROM idx ORDER BY a
+"""
+    for trial in range(8):
+        rng = np.random.default_rng(trial)
+        n = int(rng.integers(25, 900))
+        ts = (
+            np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+            * 3600000
+        )
+        v = rng.integers(0, 500, size=n).astype(np.int64)
+        exp = lttb_select(ts.astype(np.float64), v.astype(np.float64), 20)
+        con2.register("series", pd.DataFrame({"ts": ts, "v": v}))
+        got = np.array([r[0] for r in con2.execute(sql).fetchall()])
+        assert len(exp) == len(got) and (np.sort(exp) == got).all(), (
+            f"trial {trial}, n={n}"
+        )
