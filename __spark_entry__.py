@@ -5252,6 +5252,182 @@ FROM o GROUP BY 2, 3
 """
 
 
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic representation (Lin/Keogh/Wei/Lonardi 2003) of each
+    event type's hourly-count series: 16 PAA segments, alphabet a-d.
+    The series is all-integer, so every segment sum is an exact BIGINT
+    and each derived float (paa, mean, var, z) is a short fixed IEEE op
+    sequence over exact integers — byte-equal across engines with no
+    rounding, the LTTB determinism argument
+    (operators/symbolic.py:paa_sax, reference
+    adjust-frequency/down-sample family)."""
+    from tablecloth_time_spark.operators.symbolic import paa_sax
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", T.down_to_nearest("ts", 1, "hour").alias("b")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    out = paa_sax(
+        hourly, "event_type", "b", "v", n_segments=16, alphabet_size=4
+    )
+    return out.select("event_type", "segment", "seg_n", "paa", "z", "symbol")
+
+
+def q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAX words: one 16-letter string per event type (symbols in
+    segment order) — the classic cheap fingerprint for series-level
+    motif grouping/near-dup candidate filtering
+    (operators/symbolic.py:sax_words)."""
+    from tablecloth_time_spark.operators.symbolic import sax_words
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", T.down_to_nearest("ts", 1, "hour").alias("b")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    out = sax_words(
+        hourly, "event_type", "b", "v", n_segments=16, alphabet_size=4
+    )
+    return out.select("event_type", "n_rows", "word")
+
+
+def _sql_sax_base() -> str:
+    """Shared CTE chain re-deriving paa_sax's exact op sequence in DuckDB:
+    exact BIGINT sums -> the identical double divisions/sqrt -> breakpoint
+    comparison against the same string-cast double literals."""
+    from tablecloth_time_spark.operators.symbolic import sax_breakpoints
+
+    idx = " + ".join(
+        f"CAST(z > {_dlit(b)} AS INT)" for b in sax_breakpoints(4)
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+s AS (
+  SELECT event_type, CAST(FLOOR(rn * 16 / n) AS BIGINT) AS segment,
+         COUNT(*) AS seg_n, SUM(v) AS sv, SUM(v * v) AS sv2
+  FROM r GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, segment, seg_n, sv,
+         CAST(SUM(seg_n) OVER w AS DOUBLE) AS nd,
+         CAST(SUM(sv) OVER w AS DOUBLE) AS s1d,
+         CAST(SUM(sv2) OVER w AS DOUBLE) AS s2d
+  FROM s WINDOW w AS (PARTITION BY event_type)
+),
+u AS (
+  SELECT event_type, segment, seg_n,
+         CAST(sv AS DOUBLE) / seg_n AS paa,
+         s1d / nd AS mean,
+         s2d / nd - (s1d / nd) * (s1d / nd) AS var
+  FROM t
+),
+zc AS (
+  SELECT event_type, segment, CAST(seg_n AS BIGINT) AS seg_n, paa,
+         CASE WHEN var > 0 THEN (paa - mean) / sqrt(var)
+              ELSE 0.0 END AS z
+  FROM u
+),
+sym AS (
+  SELECT event_type, segment, seg_n, paa, z,
+         substr('abcdefghijklmnopqrstuvwxyz', ({idx}) + 1, 1) AS symbol
+  FROM zc
+)
+"""
+
+
+def _sql_sax_symbols() -> str:
+    return (
+        _sql_sax_base()
+        + "SELECT event_type, segment, seg_n, paa, z, symbol FROM sym"
+    )
+
+
+def _sql_sax_words() -> str:
+    return _sql_sax_base() + """
+SELECT event_type, CAST(SUM(seg_n) AS BIGINT) AS n_rows,
+       string_agg(symbol, '' ORDER BY segment) AS word
+FROM sym GROUP BY 1
+"""
+
+
+def q_tier_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier snapshot diff: the hourly (event_type) rollup materialized
+    BEFORE the final 36 hours vs over the full table — every bucket the
+    tail's data added or changed, with old/new values side-by-side
+    (operators/diff.py:tier_diff; the audit twin of the
+    plans/continuous.py incremental refresh). The cutoff (max ts minus
+    36 hours, re-aligned to the half-hour) is derived in the query and
+    deliberately NOT hour-aligned, so the boundary hour is partially
+    filled and the diff exercises the 'changed' class as well as
+    'added' at sf0.01 and above (sf0.001 events are too sparse to
+    straddle the half-hour)."""
+    from tablecloth_time_spark.operators.diff import tier_diff
+
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg(
+        (
+            F.date_trunc("hour", F.max("ts") - F.expr("INTERVAL 36 HOURS"))
+            + F.expr("INTERVAL 30 MINUTES")
+        ).alias("cut")
+    )
+    old_src = ev.join(F.broadcast(cut)).filter(F.col("ts") < F.col("cut"))
+
+    def rollup(src: DataFrame) -> DataFrame:
+        return src.groupBy(
+            "event_type", T.down_to_nearest("ts", 1, "hour").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("s"),
+        )
+
+    out = tier_diff(
+        rollup(old_src), rollup(ev), ["event_type", "bucket"], ["n", "s"]
+    )
+    return out.select(
+        "event_type", "bucket", "old_n", "new_n", "old_s", "new_s", "change"
+    )
+
+
+SQL_TIER_DIFF = """
+WITH cut AS (
+  SELECT date_trunc('hour', MAX(ts) - INTERVAL 36 HOUR)
+         + INTERVAL 30 MINUTE AS c
+  FROM events
+),
+o AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         COUNT(*) AS n, ROUND(SUM(value), 4) AS s
+  FROM events, cut WHERE ts < c GROUP BY 1, 2
+),
+nw AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         COUNT(*) AS n, ROUND(SUM(value), 4) AS s
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT COALESCE(o.event_type, nw.event_type) AS event_type,
+         COALESCE(o.bucket, nw.bucket) AS bucket,
+         o.n AS old_n, nw.n AS new_n, o.s AS old_s, nw.s AS new_s,
+         CASE WHEN o.event_type IS NULL THEN 'added'
+              WHEN nw.event_type IS NULL THEN 'removed'
+              WHEN o.n IS NOT DISTINCT FROM nw.n
+                   AND o.s IS NOT DISTINCT FROM nw.s THEN 'unchanged'
+              ELSE 'changed' END AS change
+  FROM o FULL OUTER JOIN nw
+    ON o.event_type = nw.event_type AND o.bucket = nw.bucket
+)
+SELECT * FROM j WHERE change <> 'unchanged'
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -5364,6 +5540,8 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "lttb_downsample": [("value", "DOUBLE")],
     "histogram_rollup": [("bin_lo", "DOUBLE"), ("bin_hi", "DOUBLE")],
     "rollup_tiers_zoned": [("s", "DOUBLE")],
+    "sax_symbols": [("paa", "DOUBLE"), ("z", "DOUBLE")],
+    "tier_diff": [("old_s", "DOUBLE"), ("new_s", "DOUBLE")],
 }
 
 
@@ -5496,6 +5674,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stickiness": q_stickiness,
         "star_rollup": q_star_rollup,
         "business_days": q_business_days,
+        # --- new in r5 (below the window; judge-verified via
+        # scripts/check_contract.py until the next rotation) ---
+        "sax_symbols": q_sax_symbols,
+        "sax_words": q_sax_words,
+        "tier_diff": q_tier_diff,
     }
 
 
@@ -5604,4 +5787,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "state_durations": SQL_STATE_DURATIONS,
         "histogram_rollup": SQL_HISTOGRAM_ROLLUP,
         "rollup_tiers_zoned": SQL_ROLLUP_TIERS_ZONED,
+        "sax_symbols": _sql_sax_symbols(),
+        "sax_words": _sql_sax_words(),
+        "tier_diff": SQL_TIER_DIFF,
     }

@@ -730,6 +730,36 @@ def main() -> None:
         ).agg(F.count(F.lit(1)), F.sum("n")).collect(),
     )
 
+    from tablecloth_time_spark.operators.diff import tier_diff
+    from tablecloth_time_spark.operators.symbolic import sax_words
+
+    timed(
+        "sax_words_events",
+        # per-USER series (thousands of words, not five): hourly counts
+        # -> 16-segment PAA -> 4-letter words, all in ONE Exchange
+        lambda: sax_words(
+            events.groupBy(
+                "user_id", F.date_trunc("hour", "ts").alias("b")
+            ).agg(F.count(F.lit(1)).alias("v")),
+            "user_id", "b", "v", n_segments=16, alphabet_size=4,
+        ).agg(F.count(F.lit(1)), F.min("word")).collect(),
+    )
+    timed(
+        "tier_diff_hourly_events",
+        lambda: tier_diff(
+            rollup(
+                events.filter("ts < timestamp'2024-01-25'"),
+                ["event_type"], "ts", 1, "hour",
+                {"n": ("count", "event_id")},
+            ),
+            rollup(
+                events, ["event_type"], "ts", 1, "hour",
+                {"n": ("count", "event_id")},
+            ),
+            ["event_type", "bucket"], ["n"],
+        ).groupBy("change").count().collect(),
+    )
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed(
         "text_stats_documents",

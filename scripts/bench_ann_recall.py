@@ -14,6 +14,17 @@ intersset exact top-k| / (n_queries * k). Candidates/query = the mean number
 of corpus vectors each query exact-scores after bucket/cell pruning —
 the cost knob (brute force scores the whole corpus).
 
+Two data regimes, both measured at two corpus sizes:
+
+- the driver testdata panels (`/root/testdata/sf*/embeddings.parquet`)
+  are i.i.d. uniform — measured mean true-NN cosine 0.37, mean pairwise
+  cosine 0.0004 — the concentration-of-measure worst case where NO
+  sublinear index can separate neighbors from noise;
+- a deterministic in-memory CLUSTERED panel (16 Gaussian clusters,
+  dim 64, same generator family as tests/test_training_ops.py) at the
+  same two sizes — the regime real embedding corpora live in and the
+  one the pinned >=0.8 / >=0.9 pytest floors are stated for.
+
 Usage:
   python scripts/bench_ann_recall.py [sf_dir ...]   # default sf0.01 sf0.1
 Writes BENCH/ANN_RECALL.md and prints one JSON line per (sf, family, knobs).
@@ -108,8 +119,38 @@ def _ivf_candidates(corpus, queries, centroids, nprobe):
     return n / N_QUERIES
 
 
-def measure(spark, sf_dir: str) -> list[dict]:
-    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+def _clustered_corpus(spark, n: int, dim: int = DIM, n_clusters: int = 16,
+                      seed: int = 7):
+    """Deterministic clustered panel: N(0,1) cluster centers (norm ~sqrt(dim)
+    = 8) + sigma=0.15 per-dim Gaussian noise (noise norm ~1.2, SNR ~7:1 —
+    the same clustered regime as the tests/test_training_ops.py fixture,
+    slightly noisier). Both sizes share the SAME centers so growing the
+    corpus densifies existing buckets rather than re-drawing the geometry."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    rng_pts = np.random.default_rng(seed + 1)
+    cluster = np.arange(n) % n_clusters
+    pts = centers[cluster] + 0.15 * rng_pts.normal(size=(n, dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in pts],
+        }
+    )
+    return spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>"
+    )
+
+
+def measure(spark, sf_dir: str, clustered_n: int | None = None) -> list[dict]:
+    if clustered_n is not None:
+        corpus = _clustered_corpus(spark, clustered_n).cache()
+        sf_dir = f"clustered-{clustered_n}"
+    else:
+        corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     n_corpus = corpus.count()
     queries = (
         corpus.filter(f"vec_id < {N_QUERIES}")
@@ -220,6 +261,8 @@ def main() -> None:
     results = []
     for d in dirs:
         results += measure(spark, d)
+    for n in (500, 2000):
+        results += measure(spark, "", clustered_n=n)
     write_report(results)
     spark.stop()
 
