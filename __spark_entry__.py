@@ -5428,6 +5428,74 @@ SELECT * FROM j WHERE change <> 'unchanged'
 """
 
 
+def q_dtw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise DTW distances between the event types' daily-count
+    series (operators/dtw.py:dtw_distances; Sakoe-Chiba 1978 /
+    Berndt-Clifford 1994). All-integer daily counts make every local
+    cost |a_i - b_j| exact, and the DP applies one add + one 3-way min
+    per cell in a fixed order, so the DuckDB oracle — a recursive CTE
+    marching the SAME anti-diagonal wavefront the Arrow kernel
+    vectorizes — reproduces the distance byte-for-byte."""
+    from tablecloth_time_spark.operators.dtw import dtw_distances
+
+    ev = _t(spark, sf_dir, "events")
+    out = dtw_distances(ev, "event_type", "ts", "value", 1, "day",
+                        agg="count")
+    return out.select("key_a", "key_b", "n_a", "n_b", "dtw", "dtw_norm")
+
+
+# Wavefront DP: cell (i, j) of anti-diagonal dn = i + j depends only on
+# diagonals dn-1 (up/left) and dn-2 (diag), so the recursion carries the
+# last two diagonals as full-length-n_a lists (infinity outside the
+# diagonal's valid row range) and terminates after n_a + n_b - 1 steps.
+SQL_DTW_DAILY = """
+WITH RECURSIVE
+d AS (
+  SELECT event_type, date_trunc('day', ts) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+),
+arr AS (
+  SELECT event_type AS k, list(v ORDER BY b) AS vals, COUNT(*) AS n
+  FROM d GROUP BY 1
+),
+pairs AS (
+  SELECT a.k AS key_a, b.k AS key_b, a.vals AS va, b.vals AS vb,
+         a.n AS n_a, b.n AS n_b
+  FROM arr a, arr b WHERE a.k < b.k
+),
+dp AS (
+  SELECT key_a, key_b, va, vb, n_a, n_b, 0 AS dn,
+         list_transform(range(0, n_a), i -> 'infinity'::DOUBLE) AS prev2,
+         list_transform(range(0, n_a), i ->
+           CASE WHEN i = 0 THEN abs(va[1] - vb[1])
+                ELSE 'infinity'::DOUBLE END) AS prev
+  FROM pairs
+  UNION ALL
+  SELECT key_a, key_b, va, vb, n_a, n_b, dn + 1, prev,
+         list_transform(range(0, n_a), i ->
+           CASE WHEN i >= GREATEST(0, dn + 1 - n_b + 1)
+                 AND i <= LEAST(dn + 1, n_a - 1)
+                THEN abs(va[i + 1] - vb[dn + 2 - i])
+                     + LEAST(
+                         CASE WHEN i >= 1 THEN prev[i]
+                              ELSE 'infinity'::DOUBLE END,
+                         CASE WHEN dn + 1 - i >= 1 THEN prev[i + 1]
+                              ELSE 'infinity'::DOUBLE END,
+                         CASE WHEN i >= 1 AND dn + 1 - i >= 1 THEN prev2[i]
+                              ELSE 'infinity'::DOUBLE END)
+                ELSE 'infinity'::DOUBLE END) AS prev
+  FROM dp WHERE dn < n_a + n_b - 2
+)
+SELECT key_a, key_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       prev[n_a] AS dtw,
+       prev[n_a] / CAST(n_a + n_b AS DOUBLE) AS dtw_norm
+FROM dp WHERE dn = n_a + n_b - 2
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -5542,6 +5610,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "rollup_tiers_zoned": [("s", "DOUBLE")],
     "sax_symbols": [("paa", "DOUBLE"), ("z", "DOUBLE")],
     "tier_diff": [("old_s", "DOUBLE"), ("new_s", "DOUBLE")],
+    "dtw_daily": [("dtw", "DOUBLE"), ("dtw_norm", "DOUBLE")],
 }
 
 
@@ -5679,6 +5748,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_symbols": q_sax_symbols,
         "sax_words": q_sax_words,
         "tier_diff": q_tier_diff,
+        "dtw_daily": q_dtw_daily,
     }
 
 
@@ -5790,4 +5860,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "sax_symbols": _sql_sax_symbols(),
         "sax_words": _sql_sax_words(),
         "tier_diff": SQL_TIER_DIFF,
+        "dtw_daily": SQL_DTW_DAILY,
     }

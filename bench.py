@@ -744,6 +744,18 @@ def main() -> None:
             "user_id", "b", "v", n_segments=16, alphabet_size=4,
         ).agg(F.count(F.lit(1)), F.min("word")).collect(),
     )
+    from tablecloth_time_spark.operators.dtw import dtw_distances
+
+    timed(
+        "dtw_daily_cohorts",
+        # 50 cohort series x 30 daily points -> 1225 pairs through the
+        # anti-diagonal Arrow kernel; raw events reduce to the tiny
+        # bucketed frame before any Python
+        lambda: dtw_distances(
+            events.withColumn("cohort", F.col("user_id") % 50),
+            "cohort", "ts", "value", 1, "day", agg="count",
+        ).agg(F.count(F.lit(1)), F.sum("dtw")).collect(),
+    )
     timed(
         "tier_diff_hourly_events",
         lambda: tier_diff(
