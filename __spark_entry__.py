@@ -5496,6 +5496,60 @@ FROM dp WHERE dn = n_a + n_b - 2
 """
 
 
+def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join matrix profile (Yeh et al. 2016) of each event type's
+    daily-count series, window m=7 (weekly shape), unnormalized
+    Euclidean distance (operators/matrix_profile.py). All-integer
+    inputs make every squared difference and windowed sum an exact
+    integer in float64 (order-independent), so distances AND the
+    (distance, index)-tie-broken neighbor indices are bit-reproducible
+    — the DuckDB oracle just scores every window pair brute-force and
+    takes the lexicographic minimum."""
+    from tablecloth_time_spark.operators.matrix_profile import matrix_profile
+
+    ev = _t(spark, sf_dir, "events")
+    out = matrix_profile(
+        ev, "event_type", "ts", "value", 1, "day", m=7,
+        normalize=False, agg="count",
+    )
+    return out.select("event_type", "w_idx", "w_start", "mp", "mp_idx")
+
+
+SQL_MATRIX_PROFILE = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+),
+arr AS (
+  SELECT event_type AS k, list(v ORDER BY b) AS vals,
+         list(b ORDER BY b) AS bs, COUNT(*) AS n
+  FROM d GROUP BY 1
+),
+win AS (
+  SELECT k, vals, bs, n, UNNEST(range(0, n - 7 + 1)) AS i
+  FROM arr WHERE n >= 7
+),
+pair AS (
+  SELECT w1.k, w1.i, w2.i AS j, w1.bs,
+         sqrt(list_sum(list_transform(range(0, 7), t ->
+           (w1.vals[w1.i + t + 1] - w1.vals[w2.i + t + 1])
+           * (w1.vals[w1.i + t + 1] - w1.vals[w2.i + t + 1])))) AS mp
+  FROM win w1 JOIN win w2 ON w1.k = w2.k AND abs(w1.i - w2.i) >= 3
+),
+best AS (
+  SELECT k, i, bs, mp, j,
+         row_number() OVER (PARTITION BY k, i ORDER BY mp, j) AS rn
+  FROM pair
+)
+SELECT k AS event_type, CAST(i AS BIGINT) AS w_idx, bs[i + 1] AS w_start,
+       mp, CAST(j AS BIGINT) AS mp_idx
+FROM best WHERE rn = 1
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -5611,6 +5665,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "sax_symbols": [("paa", "DOUBLE"), ("z", "DOUBLE")],
     "tier_diff": [("old_s", "DOUBLE"), ("new_s", "DOUBLE")],
     "dtw_daily": [("dtw", "DOUBLE"), ("dtw_norm", "DOUBLE")],
+    "matrix_profile": [("mp", "DOUBLE")],
 }
 
 
@@ -5749,6 +5804,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_words": q_sax_words,
         "tier_diff": q_tier_diff,
         "dtw_daily": q_dtw_daily,
+        "matrix_profile": q_matrix_profile,
     }
 
 
@@ -5861,4 +5917,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "sax_words": _sql_sax_words(),
         "tier_diff": SQL_TIER_DIFF,
         "dtw_daily": SQL_DTW_DAILY,
+        "matrix_profile": SQL_MATRIX_PROFILE,
     }

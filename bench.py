@@ -756,6 +756,18 @@ def main() -> None:
             "cohort", "ts", "value", 1, "day", agg="count",
         ).agg(F.count(F.lit(1)), F.sum("dtw")).collect(),
     )
+    from tablecloth_time_spark.operators.matrix_profile import matrix_profile
+
+    timed(
+        "matrix_profile_cohorts",
+        # 50 cohort series x 720 hourly points, m=24 (daily shape),
+        # canonical z-normalized profile: ~697 diagonals of O(n) numpy
+        # per series inside the streamed Arrow kernel
+        lambda: matrix_profile(
+            events.withColumn("cohort", F.col("user_id") % 50),
+            "cohort", "ts", "value", 1, "hour", m=24, agg="count",
+        ).agg(F.count(F.lit(1)), F.max("mp")).collect(),
+    )
     timed(
         "tier_diff_hourly_events",
         lambda: tier_diff(
