@@ -178,3 +178,73 @@ def test_holt_cayley_hamilton_weights_equal_recurrence(
     b_hat = float(wb @ y_desc)
     assert np.isclose(l_hat, l, rtol=1e-8, atol=1e-8)
     assert np.isclose(b_hat, b, rtol=1e-8, atol=1e-8)
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=4, max_size=40),
+    st.lists(st.integers(0, 1000), min_size=4, max_size=40),
+    st.integers(-500, 500),
+    st.one_of(st.none(), st.integers(0, 6)),
+)
+@settings(max_examples=60, deadline=None)
+def test_dtw_shift_invariance_exact(a, b, shift, band):
+    """|.|-cost DTW is EXACTLY invariant under a common integer shift:
+    every local cost |(a_i+c) - (b_j+c)| is the identical float, so the
+    whole DP reproduces bit-for-bit (the determinism the dtw_daily
+    DuckDB oracle also relies on)."""
+    from tablecloth_time_spark.operators.dtw import dtw_pairwise
+
+    x = np.array(a, dtype=np.float64)
+    y = np.array(b, dtype=np.float64)
+    d0 = dtw_pairwise(x, y, band)
+    d1 = dtw_pairwise(x + shift, y + shift, band)
+    assert d0 == d1
+
+
+@given(
+    st.lists(st.integers(0, 200), min_size=10, max_size=60),
+    st.integers(-300, 300),
+    st.integers(3, 8),
+)
+@settings(max_examples=60, deadline=None)
+def test_matrix_profile_unnormalized_shift_invariance_exact(vals, shift, m):
+    """Unnormalized (raw-Euclidean) matrix profile is exactly
+    shift-invariant: (a_i+c)-(a_j+c) is the same exact integer, so
+    distances AND tie-broken neighbor indices are bit-identical."""
+    from tablecloth_time_spark.operators.matrix_profile import (
+        matrix_profile_self,
+    )
+
+    x = np.array(vals, dtype=np.float64)
+    if len(x) < m + 1:
+        return
+    p0, i0 = matrix_profile_self(x, m, normalize=False)
+    p1, i1 = matrix_profile_self(x + shift, m, normalize=False)
+    assert np.array_equal(p0, p1, equal_nan=True)
+    assert np.array_equal(i0, i1)
+
+
+@given(
+    st.lists(st.integers(0, 500), min_size=6, max_size=80),
+    st.integers(1, 20),
+    st.integers(2, 10),
+)
+@settings(max_examples=60, deadline=None)
+def test_sax_breakpoint_binning_consistency(vals, w, a):
+    """paa_sax's numpy twin: symbols always bin the z value against the
+    same breakpoints (idx = #breakpoints strictly below z), the word
+    alphabet never exceeds `a` letters, and a constant series maps every
+    segment to the z=0 letter."""
+    from tablecloth_time_spark.operators.symbolic import sax_breakpoints
+
+    bps = sax_breakpoints(a)
+    assert bps == sorted(bps) and len(bps) == a - 1
+    x = np.array(vals, dtype=np.float64)
+    mean, std = x.mean(), x.std()
+    seg = (np.arange(len(x)) * w) // len(x)
+    for s in np.unique(seg):
+        z = 0.0 if std == 0 else (x[seg == s].mean() - mean) / std
+        idx = sum(z > b for b in bps)
+        assert 0 <= idx <= a - 1
+    z0 = sum(0.0 > b for b in bps)
+    assert z0 == sum(1 for b in bps if b < 0)  # the constant-series letter
