@@ -5550,6 +5550,122 @@ FROM best WHERE rn = 1
 """
 
 
+def q_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness profile per user: gap mean/std/CV and
+    the Goh-Barabasi burstiness coefficient B = (sigma-mu)/(sigma+mu)
+    over each user's event stream — descriptive stats on the TIME AXIS
+    itself (operators/stats.py:arrival_stats). ONE window Exchange on
+    the user key whose clustering the per-user aggregate reuses."""
+    from tablecloth_time_spark.operators.stats import arrival_stats
+
+    ev = _t(spark, sf_dir, "events")
+    out = arrival_stats(ev, ["user_id"], "ts", order_cols=["event_id"])
+    return out.select(
+        "user_id", "n_events", "n_gaps",
+        F.round("mean_gap_s", 6).alias("mean_gap_s"),
+        F.round("std_gap_s", 6).alias("std_gap_s"),
+        F.round("cv", 6).alias("cv"),
+        F.round("burstiness", 6).alias("burstiness"),
+    )
+
+
+SQL_ARRIVAL_STATS = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_ms(CAST(ts AS TIMESTAMP))
+          - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w) / 1000.0 AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id)
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(gap) AS n_gaps,
+       ROUND(AVG(gap), 6) AS mean_gap_s,
+       ROUND(stddev_samp(gap), 6) AS std_gap_s,
+       ROUND(stddev_samp(gap) / NULLIF(AVG(gap), 0), 6) AS cv,
+       ROUND((stddev_samp(gap) - AVG(gap))
+             / NULLIF(stddev_samp(gap) + AVG(gap), 0), 6) AS burstiness
+FROM g GROUP BY 1
+"""
+
+
+def q_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (bits) of the event-type distribution
+    plus the [0,1]-normalized diversity — the class-balance /
+    behavioral-diversity training-data quality signal
+    (operators/stats.py:categorical_entropy). Two mergeable hash
+    aggregates via H = log2(n) - sum(c*log2(c))/n; only
+    (key, category, count) ever shuffles."""
+    from tablecloth_time_spark.operators.stats import categorical_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    out = categorical_entropy(ev, ["user_id"], "event_type")
+    return out.select(
+        "user_id", "n_rows", "n_distinct",
+        F.round("entropy_bits", 6).alias("entropy_bits"),
+        F.round("norm_entropy", 6).alias("norm_entropy"),
+    )
+
+
+SQL_TYPE_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_distinct,
+       ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy_bits,
+       ROUND(CASE WHEN COUNT(*) > 1
+                  THEN (log2(SUM(c)) - SUM(c * log2(c)) / SUM(c))
+                       / log2(CAST(COUNT(*) AS DOUBLE))
+                  ELSE 0.0 END, 6) AS norm_entropy
+FROM c GROUP BY 1
+"""
+
+
+def q_role_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-pattern mining applied with generic role semantics:
+    every length-3 window of each user's ordered event_type sequence
+    (role trigram), its occurrence count, distinct-conversation count
+    and corpus share (operators/transcripts.py:role_ngrams). One window
+    Exchange materializes the lags; the per-gram aggregate shuffles only
+    (gram, conv) pairs; the share window runs over the |vocab|^3
+    aggregate frame — a constant, not a data scale."""
+    from tablecloth_time_spark.operators.transcripts import role_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    out = role_ngrams(ev, "user_id", ["ts", "event_id"], "event_type", n=3)
+    return out.select(
+        "ngram", "n_occurrences", "n_conversations",
+        F.round("share", 6).alias("share"),
+    )
+
+
+SQL_ROLE_NGRAMS = """
+WITH o AS (
+  SELECT user_id,
+         lag(event_type, 2) OVER w AS p0,
+         lag(event_type, 1) OVER w AS p1,
+         event_type AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+a AS (
+  SELECT p0 || '>' || p1 || '>' || p2 AS ngram,
+         COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT user_id) AS n_conversations
+  FROM o
+  WHERE p0 IS NOT NULL AND p1 IS NOT NULL AND p2 IS NOT NULL
+  GROUP BY 1
+)
+SELECT ngram, n_occurrences, n_conversations,
+       ROUND(n_occurrences / SUM(n_occurrences) OVER (), 6) AS share
+FROM a
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -5666,6 +5782,9 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "tier_diff": [("old_s", "DOUBLE"), ("new_s", "DOUBLE")],
     "dtw_daily": [("dtw", "DOUBLE"), ("dtw_norm", "DOUBLE")],
     "matrix_profile": [("mp", "DOUBLE")],
+    "arrival_stats": [("mean_gap_s", "DOUBLE"), ("std_gap_s", "DOUBLE"), ("cv", "DOUBLE"), ("burstiness", "DOUBLE")],
+    "type_entropy": [("entropy_bits", "DOUBLE"), ("norm_entropy", "DOUBLE")],
+    "role_ngrams": [("share", "DOUBLE")],
 }
 
 
@@ -5805,6 +5924,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_diff": q_tier_diff,
         "dtw_daily": q_dtw_daily,
         "matrix_profile": q_matrix_profile,
+        "arrival_stats": q_arrival_stats,
+        "type_entropy": q_type_entropy,
+        "role_ngrams": q_role_ngrams,
     }
 
 
@@ -5918,4 +6040,7 @@ def _raw_oracle_sql() -> dict[str, str]:
         "tier_diff": SQL_TIER_DIFF,
         "dtw_daily": SQL_DTW_DAILY,
         "matrix_profile": SQL_MATRIX_PROFILE,
+        "arrival_stats": SQL_ARRIVAL_STATS,
+        "type_entropy": SQL_TYPE_ENTROPY,
+        "role_ngrams": SQL_ROLE_NGRAMS,
     }

@@ -784,6 +784,29 @@ def main() -> None:
         ).groupBy("change").count().collect(),
     )
 
+    from tablecloth_time_spark.operators.stats import (
+        arrival_stats,
+        categorical_entropy,
+    )
+    from tablecloth_time_spark.operators.transcripts import role_ngrams
+
+    timed(
+        "arrival_stats_events",
+        lambda: arrival_stats(events, ["user_id"], "ts", order_cols=["event_id"])
+        .agg(F.avg("burstiness"), F.avg("cv")).collect(),
+    )
+    timed(
+        "type_entropy_events",
+        lambda: categorical_entropy(events, ["user_id"], "event_type")
+        .agg(F.avg("norm_entropy"), F.sum("n_rows")).collect(),
+    )
+    timed(
+        "role_ngrams_events",
+        lambda: role_ngrams(
+            events, "user_id", ["ts", "event_id"], "event_type", n=3
+        ).count(),
+    )
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed(
         "text_stats_documents",

@@ -688,3 +688,84 @@ def histogram_quantile(
         )
         cols.append(F.min(cand).getField("v").alias(name))
     return base.groupBy(*group_cols).agg(*cols)
+
+
+def arrival_stats(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key inter-arrival process statistics: the mean/std/CV of the
+    gap between consecutive events and the Goh-Barabasi burstiness
+    coefficient B = (sigma - mu) / (sigma + mu) (public: Goh & Barabasi,
+    "Burstiness and memory in complex systems", EPL 81, 2008). B -> -1
+    for a perfectly regular (clock-like) arrival process, B = 0 for a
+    memoryless Poisson process, B -> 1 for extreme burstiness — the
+    standard single-number activity-shape feature for event streams
+    (alert storms, chatty conversations, scraper traffic).
+
+    Extends the reference's descriptive-stats recipe
+    (README.md:20-36, mean/min/max over a column) from value columns to
+    the TIME AXIS itself. One window Exchange on ``keys`` whose
+    clustering the final per-key aggregate reuses — the lag/aggregate
+    fusion every shift-family operator here uses (operators/shift.py).
+
+    Keys with a single event have no gaps: mean/std/cv/burstiness are
+    null (undefined, not zero). ``stddev_samp`` needs >= 2 gaps. Ties on
+    ``ts_col`` are ordered by ``order_cols`` and contribute 0-second
+    gaps (they are real arrivals).
+    """
+    ms = to_epoch_millis(ts_col)
+    w = Window.partitionBy(*keys).orderBy(
+        ms.asc(), *[F.col(c).asc() for c in (order_cols or [])]
+    )
+    gap = (ms - F.lag(ms).over(w)).cast("double") / 1000.0
+    base = df.select(*keys, gap.alias("__gap"))
+    mu = F.avg("__gap")
+    sd = F.stddev_samp("__gap")
+    return base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("__gap").alias("n_gaps"),
+        mu.alias("mean_gap_s"),
+        sd.alias("std_gap_s"),
+        F.try_divide(sd, mu).alias("cv"),
+        F.try_divide(sd - mu, sd + mu).alias("burstiness"),
+    )
+
+
+def categorical_entropy(
+    df: DataFrame,
+    keys: list[str],
+    cat_col: str,
+) -> DataFrame:
+    """Per-key Shannon entropy (bits) of the distribution of
+    ``cat_col`` values, plus the distinct count and the entropy
+    normalized to [0, 1] by its log2(n_distinct) maximum. The standard
+    behavioral-diversity / class-balance feature (a training-data
+    quality signal: near-0 normalized entropy = a key dominated by one
+    category; near-1 = uniform mix).
+
+    Identity used: H = log2(n) - (1/n) * sum(c * log2(c)) over the
+    per-category counts c — so the whole operator is TWO mergeable hash
+    aggregates (count per (key, cat), then one pass over the tiny
+    per-key count frame). Both shuffles carry only key/category/count;
+    no window, no Python. NULL categories count as a category of their
+    own (both engines group NULLs together).
+
+    Single-category keys get entropy 0 and normalized entropy 0 (by
+    convention log2(1) = 0 would divide by zero).
+    """
+    counts = df.groupBy(*keys, cat_col).agg(F.count(F.lit(1)).alias("__c"))
+    c = F.col("__c").cast("double")
+    n = F.sum("__c").cast("double")
+    k = F.count(F.lit(1))
+    ent = F.log2(n) - F.sum(c * F.log2(c)) / n
+    return counts.groupBy(*keys).agg(
+        F.sum("__c").alias("n_rows"),
+        k.alias("n_distinct"),
+        ent.alias("entropy_bits"),
+        F.when(k > 1, ent / F.log2(k.cast("double")))
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )

@@ -27,6 +27,9 @@ north-star transcript table rather than a metric series.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -307,4 +310,55 @@ def role_transitions(
         F.count(F.lit(1)).alias("transitions"),
         F.avg("__gap_s").alias("mean_gap_s"),
         F.percentile(F.col("__gap_s"), F.lit(0.95)).alias("p95_gap_s"),
+    )
+
+
+def role_ngrams(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: str | list[str] = "turn_idx",
+    role_col: str = "role",
+    n: int = 3,
+    sep: str = ">",
+) -> DataFrame:
+    """Corpus-wide dialogue-pattern mining: count every length-``n``
+    window of the per-conversation ordered ``role_col`` sequence (role
+    n-grams, e.g. ``user>assistant>tool``), with how many distinct
+    conversations exhibit each pattern and its share of all n-gram
+    occurrences. The standard dialogue-act sequence profile for
+    transcript corpora (which interaction shapes dominate, which are
+    rare enough to audit).
+
+    Plan: ONE window Exchange on the conversation key materializes the
+    n-1 lagged roles; rows whose window is incomplete (the first n-1
+    turns of each conversation) or contains a NULL role are dropped
+    BEFORE the aggregate so a NULL can never silently shorten a gram
+    (concat_ws skips NULLs). The per-gram aggregate then shuffles only
+    (gram, conv_id) pairs — the distinct-conversation count is exact and
+    two-phase (partial distinct map-side). The trailing share is a
+    window over the AGGREGATED frame, which holds at most
+    |role vocabulary|^n rows — a constant, not a data-scale, so the
+    single-partition window is safe at any corpus size.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = Window.partitionBy(conv_col).orderBy(*_order(order_cols))
+    role = F.col(role_col)
+    parts = [F.lag(role, n - 1 - i).over(w) for i in range(n - 1)] + [role]
+    base = df.select(
+        F.col(conv_col).alias("__conv"),
+        *[p.alias(f"__p{i}") for i, p in enumerate(parts)],
+    )
+    complete = base.filter(
+        reduce(and_, [F.col(f"__p{i}").isNotNull() for i in range(n)])
+    )
+    gram = F.concat_ws(sep, *[F.col(f"__p{i}") for i in range(n)])
+    agg = complete.groupBy(gram.alias("ngram")).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("__conv").alias("n_conversations"),
+    )
+    total = Window.partitionBy()  # over the tiny |vocab|^n aggregate
+    return agg.withColumn(
+        "share",
+        F.col("n_occurrences") / F.sum("n_occurrences").over(total),
     )

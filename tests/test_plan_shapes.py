@@ -393,3 +393,39 @@ def test_star_rollup_broadcasts_all_dims(spark):
     # AQE may plan the small-SF agg without a shuffle stage boundary
     # visible pre-execution; the invariant is the JOIN side
     assert "BatchEvalPython" not in plan
+
+
+def test_arrival_stats_single_exchange_window_agg_fusion(events):
+    from tablecloth_time_spark.operators.stats import arrival_stats
+
+    p = _plan(arrival_stats(events, ["user_id"], "ts", order_cols=["event_id"]))
+    # the lag window's Exchange is the ONLY shuffle: the per-key
+    # aggregate's partial AND final both run on the window's clustering
+    assert p.count("Exchange") == 1
+    assert "Window" in p and "partial_stddev_samp" in p
+
+
+def test_categorical_entropy_two_mergeable_aggregates(events):
+    from tablecloth_time_spark.operators.stats import categorical_entropy
+
+    p = _plan(categorical_entropy(events, ["user_id"], "event_type"))
+    # count-per-(key,cat) + per-key fold, both with map-side partials;
+    # no window, no Python anywhere in the plan
+    assert p.count("Exchange") == 2
+    assert "partial_count" in p and "partial_sum" in p
+    assert "Window" not in p and "Python" not in p
+
+
+def test_role_ngrams_share_window_is_post_aggregate_only(events):
+    from tablecloth_time_spark.operators.transcripts import role_ngrams
+
+    p = _plan(role_ngrams(events, "user_id", ["ts", "event_id"], "event_type"))
+    # the SinglePartition exchange must sit ABOVE the per-gram aggregate
+    # (it runs over the |vocab|^n frame, never over the raw table)
+    single = p.index("Exchange SinglePartition")
+    gram_agg = p.index("count(distinct")
+    assert single < gram_agg  # physical plans print top-down
+    # exactly one shuffle touches raw-table-sized data: the lag window's.
+    # The exact distinct is two-phase ((gram, conv) then gram — both
+    # id-only), plus the tiny single-partition share window: 4 total
+    assert p.count("Exchange") == 4
