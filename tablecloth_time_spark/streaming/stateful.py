@@ -767,3 +767,93 @@ def streaming_budget_prefix(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_type_entropy(
+    stream: DataFrame,
+    key_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Streaming twin of ``operators/stats.categorical_entropy``: per-key
+    Shannon entropy of the category distribution, maintained across
+    micro-batches so the diversity signal is live instead of a nightly
+    batch job.
+
+    State per key is the per-category count map (two parallel arrays in
+    the state store) — size bounded by the key's CATEGORY VOCABULARY,
+    not by row count or time, so no watermark is required (the
+    ``streaming_counter_rate`` state-cardinality contract). Each
+    micro-batch folds its pandas ``value_counts`` into the map in one
+    vectorized pass; no per-row Python.
+
+    Output (append): one row per key per micro-batch in which the key
+    received rows — (key, n_rows, n_distinct, entropy_bits,
+    norm_entropy), computed over the category counts in SORTED category
+    order so the float summation is deterministic. The LAST emitted row
+    per key equals the batch operator on the same closed input (same
+    H = log2(n) - sum(c*log2(c))/n identity; equality is within float
+    summation-order noise, pinned <= 1e-9 bits by tests). Categories are
+    carried as strings; NULL categories count as a category of their
+    own, exactly as in batch.
+    """
+    from pyspark.sql.types import StringType
+
+    key_field = stream.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("n_rows", LongType()),
+            StructField("n_distinct", IntegerType()),
+            StructField("entropy_bits", DoubleType()),
+            StructField("norm_entropy", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cats", ArrayType(StringType())),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+
+    def kernel(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        vc = pdf["cat"].value_counts(dropna=False)
+        if state.exists:
+            cats, counts = state.get
+            d = dict(zip(cats, counts))
+        else:
+            d = {}
+        for cat, c in vc.items():
+            ck = None if pd.isna(cat) else str(cat)
+            d[ck] = d.get(ck, 0) + int(c)
+        state.update((list(d.keys()), list(d.values())))
+
+        # deterministic float order: NULL category first, then sorted
+        items = sorted(d.items(), key=lambda kv: (kv[0] is not None, kv[0] or ""))
+        c_arr = np.array([v for _, v in items], dtype=np.float64)
+        n = c_arr.sum()
+        k = len(c_arr)
+        ent = float(np.log2(n) - (c_arr * np.log2(c_arr)).sum() / n)
+        norm = float(ent / np.log2(k)) if k > 1 else 0.0
+        yield pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_rows": np.array([int(n)], dtype="int64"),
+                "n_distinct": np.array([k], dtype="int32"),
+                "entropy_bits": [ent],
+                "norm_entropy": [norm],
+            }
+        )
+
+    base = stream.select(
+        key_col, F.col(cat_col).cast("string").alias("cat")
+    )
+    return base.groupBy(key_col).applyInPandasWithState(
+        kernel,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -193,3 +193,80 @@ def test_role_ngrams_rejects_n_below_two(spark, tdata):
     df, _ = tdata
     with pytest.raises(ValueError):
         role_ngrams(df, "conv_id", "turn_idx", "role", n=1)
+
+
+# ------------------------------------------------------- streaming twin
+
+
+def test_streaming_type_entropy_matches_batch(spark, tmp_path):
+    """Per-key category-count state carried across micro-batches: the
+    LAST emitted row per key must equal the batch categorical_entropy on
+    the same closed input (entropy within float summation-order noise,
+    counts exact)."""
+    from tablecloth_time_spark.streaming.stateful import (
+        streaming_type_entropy,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 600
+    rows = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n).astype("int64"),
+            "cat": pd.Series(
+                rng.choice(["a", "b", "c", "d", None], n, p=[0.4, 0.3, 0.2, 0.05, 0.05])
+            ),
+            "seq": np.arange(n),
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    full = spark.createDataFrame(rows)
+    for i, part in enumerate(np.array_split(np.arange(n), 3)):
+        spark.createDataFrame(rows.iloc[part]).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_type_entropy(stream, "k", "cat")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got_all = spark.read.parquet(sink).toPandas()
+    # per key: the row with the largest n_rows is the final state
+    got = (
+        got_all.sort_values(["k", "n_rows"], kind="stable")
+        .groupby("k")
+        .tail(1)
+        .set_index("k")
+        .sort_index()
+    )
+    exp = (
+        categorical_entropy(full, ["k"], "cat")
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert (got["n_rows"] == exp["n_rows"]).all()
+    assert (got["n_distinct"] == exp["n_distinct"]).all()
+    np.testing.assert_allclose(
+        got["entropy_bits"], exp["entropy_bits"], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        got["norm_entropy"], exp["norm_entropy"], atol=1e-9
+    )
+    # monotone state: per-key emitted n_rows strictly increases per batch
+    for _, g in got_all.groupby("k"):
+        nr = g["n_rows"].sort_values().to_numpy()
+        assert (np.diff(nr) > 0).all()
