@@ -5666,6 +5666,159 @@ FROM a
 """
 
 
+def q_compressed_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice served FROM the compressed tier, oracle-checked end-to-end:
+    rollup the events to a minute tier, encode it into Gorilla/DoD daily
+    blocks, then answer an inclusive [from, to] slice with
+    read_blocks_slice (operators/compress.py:706) — whole blocks outside
+    the range are pruned by a plain block_start predicate BEFORE any
+    decode (parquet min-max file skipping when the block table is laid
+    out by block_start), only the ~7 touched conversation-days of 30
+    decode, and the exact per-point predicate is applied after. DuckDB
+    computes the same minute rollup directly from raw rows and filters
+    the same range: a hash match proves the compressed serving path is
+    bit-equal to the raw path (the reference's slice semantics,
+    /root/reference/src/tablecloth/time/api/slice.clj:76-137, over the
+    compressed representation)."""
+    from tablecloth_time_spark.operators.compress import (
+        compress_series,
+        read_blocks_slice,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    minute = rollup(
+        ev, ["user_id"], "ts", 1, "minute",
+        {"n": ("count", "event_id"), "s": ("sum", "value")},
+        order_cols=["ts", "event_id"],
+    )
+    blocks = compress_series(
+        minute.withColumn("user_id", F.col("user_id").cast("string")),
+        ts_col="bucket",
+        value_cols={"n": "int", "s": "float"},
+        key_col="user_id",
+        block_unit="day",
+    )
+    pts = read_blocks_slice(
+        blocks, {"n": "int", "s": "float"},
+        "2024-01-08", "2024-01-14 06:30:00",
+        block_unit="day",
+    )
+    return pts.select(
+        F.col("conv_id").cast("bigint").alias("user_id"),
+        F.col("ts").alias("bucket"),
+        "n",
+        F.round("s", 6).alias("s"),
+    )
+
+
+SQL_COMPRESSED_SLICE = """
+SELECT * FROM (
+  SELECT user_id,
+         date_trunc('minute', CAST(ts AS TIMESTAMP)) AS bucket,
+         COUNT(*) AS n, ROUND(SUM(value), 6) AS s
+  FROM events
+  GROUP BY 1, 2
+)
+WHERE bucket >= TIMESTAMP '2024-01-08 00:00:00'
+  AND bucket <= TIMESTAMP '2024-01-14 06:30:00'
+"""
+
+
+def q_tier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-based retention expiry, oracle-checked end-to-end (the last
+    north-star pipeline stage to earn a SQL-oracle slot; previously
+    pytest-only). A three-tier continuous aggregate (minute/hour/day)
+    refreshes once from the full events snapshot, then expire() drops
+    day-partitions older than each tier's horizon as of the data's last
+    day (minute keeps 7 days, hour keeps 14, day keeps forever) —
+    metadata-only partition drops through the TierStore seam
+    (plans/continuous.py:327). The surviving state is summarized as
+    per-tier per-p_date row and event counts; DuckDB re-derives the
+    identical summary from raw rows with the same horizons, so a hash
+    match proves exactly the right partitions survived AND their content
+    is untouched."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tablecloth_time_spark.plans.continuous import (
+        ContinuousAggregate,
+        TierSpec,
+    )
+    from tablecloth_time_spark.plans.snapshots import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    root = os.path.join(tempfile.gettempdir(), "tts_ret_workdir")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = SnapshotTable(spark, f"{root}/src")
+    ca = ContinuousAggregate(
+        spark,
+        src,
+        f"{root}/tiers",
+        keys=["user_id"],
+        ts_col="ts",
+        aggs={"n": ("count", "event_id")},
+        tiers=(
+            TierSpec("minute", 1, "minute", retention_days=7),
+            TierSpec("hour", 1, "hour", retention_days=14),
+            TierSpec("day", 1, "day", retention_days=None),
+        ),
+        order_cols=["ts", "event_id"],
+    )
+    src.append(ev)
+    ca.refresh()
+    ca.expire("2024-01-30")
+    parts = []
+    for tier in ("minute", "hour", "day"):
+        t = ca.read_tier(tier).select(
+            F.lit(tier).alias("tier"),
+            F.date_format("bucket", "yyyy-MM-dd").alias("p_date"),
+            "n",
+        )
+        parts.append(
+            t.groupBy("tier", "p_date").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n").alias("n_events"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_TIER_RETENTION = """
+WITH m AS (
+  SELECT user_id, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT 'minute' AS tier, strftime(bucket, '%Y-%m-%d') AS p_date,
+       COUNT(*) AS n_rows, CAST(SUM(n) AS BIGINT) AS n_events
+FROM m WHERE strftime(bucket, '%Y-%m-%d') >= '2024-01-23' GROUP BY 1, 2
+UNION ALL
+SELECT 'hour' AS tier, strftime(bucket, '%Y-%m-%d') AS p_date,
+       COUNT(*) AS n_rows, CAST(SUM(n) AS BIGINT) AS n_events
+FROM h WHERE strftime(bucket, '%Y-%m-%d') >= '2024-01-16' GROUP BY 1, 2
+UNION ALL
+SELECT 'day' AS tier, strftime(bucket, '%Y-%m-%d') AS p_date,
+       COUNT(*) AS n_rows, CAST(SUM(n) AS BIGINT) AS n_events
+FROM d GROUP BY 1, 2
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -5785,6 +5938,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "arrival_stats": [("mean_gap_s", "DOUBLE"), ("std_gap_s", "DOUBLE"), ("cv", "DOUBLE"), ("burstiness", "DOUBLE")],
     "type_entropy": [("entropy_bits", "DOUBLE"), ("norm_entropy", "DOUBLE")],
     "role_ngrams": [("share", "DOUBLE")],
+    "compressed_slice": [("s", "DOUBLE")],
 }
 
 
@@ -5927,6 +6081,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrival_stats": q_arrival_stats,
         "type_entropy": q_type_entropy,
         "role_ngrams": q_role_ngrams,
+        "compressed_slice": q_compressed_slice,
+        "tier_retention": q_tier_retention,
     }
 
 
@@ -6043,4 +6199,6 @@ def _raw_oracle_sql() -> dict[str, str]:
         "arrival_stats": SQL_ARRIVAL_STATS,
         "type_entropy": SQL_TYPE_ENTROPY,
         "role_ngrams": SQL_ROLE_NGRAMS,
+        "compressed_slice": SQL_COMPRESSED_SLICE,
+        "tier_retention": SQL_TIER_RETENTION,
     }
