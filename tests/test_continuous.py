@@ -224,6 +224,47 @@ def test_retention_expiry(spark, tmp_path, batches):
     assert minute.count() > 0
 
 
+def test_retention_horizon_boundary_inclusive(spark, tmp_path):
+    """A partition EXACTLY at the horizon survives: retention_days=R as of
+    day D keeps p_date >= D - R (the driver's tier_retention oracle writes
+    the same >= into SQL, so the two sides must agree on the boundary)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    days = [dt.datetime(2024, 3, d, 12, 0, 0) for d in range(1, 11)]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 10,
+            "turn_idx": list(range(10)),
+            "role": ["user"] * 10,
+            "text": ["x"] * 10,
+            "tool": [None] * 10,
+            "ts": days,
+        }
+    )
+    df = _with_len(spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA))
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    ca = ContinuousAggregate(
+        spark, src, str(tmp_path / "agg"),
+        keys=["conv_id"], ts_col="ts", aggs=AGGS,
+        tiers=(TierSpec("day", 1, "day", retention_days=3),),
+        order_cols=["ts", "turn_idx"],
+    )
+    src.append(df)
+    ca.refresh()
+    expired = ca.expire("2024-03-10")
+    # horizon = 2024-03-07: days 1-6 drop, day 7 (exactly at horizon) stays
+    assert expired["day"] == [f"2024-03-0{d}" for d in range(1, 7)]
+    kept = sorted(
+        r[0]
+        for r in ca.read_tier("day").select(F.to_date("bucket")).collect()
+    )
+    assert [str(d) for d in kept] == [
+        "2024-03-07", "2024-03-08", "2024-03-09", "2024-03-10",
+    ]
+
+
 def test_compression_stage_in_refresh(spark, tmp_path, batches):
     df1, _ = batches
     src, ca = _make_ca(
