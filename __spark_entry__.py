@@ -5819,6 +5819,125 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q_series_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tsfresh/catch22-style per-series feature battery
+    (operators/features.py:series_features): population moments from
+    explicit power sums (Spark's and DuckDB's built-in skewness/kurtosis
+    use different bias corrections, so the formulas are spelled out and
+    mirrored), lag-1 sample autocorrelation, absolute-change features,
+    mean-crossing count and longest strike above the mean — the standard
+    series -> fixed-width feature vector step before clustering or
+    quality-filtering series at corpus scale. One raw-data Exchange (the
+    per-key window).
+
+    Exactness note: the driver tables carry 2-decimal values, and
+    n-normalized grid sums (mean, mean_abs_change, mean_square) land
+    EXACTLY on ROUND(x, 6) half-boundaries often enough that
+    cross-engine summation-order wobble flips ties (observed once in
+    1,500 users at sf0.1). The query therefore feeds the operator the
+    integer CENT scale (round(value*100)): every power/lag sum that
+    feeds a grid-aligned output stays below 2^53 and is exact, so both
+    engines perform identical IEEE ops on identical inputs and the
+    whole battery is deterministically byte-equal (S3/S4 may exceed
+    2^53 but only feed scale-free ratios, where the ~1e-13 wobble sits
+    seven orders below the rounding boundary). skewness / kurtosis /
+    autocorr1 / crossings / strikes are affine-invariant, so the unit
+    change is display-only; mean/std/energy are in cents."""
+    from tablecloth_time_spark.operators.features import series_features
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100, 0)
+    )
+    out = series_features(ev, ["user_id"], "ts", "value_c",
+                          order_cols=["event_id"])
+    return out.select(
+        "user_id",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("std_pop", 6).alias("std_pop"),
+        F.round("skewness", 6).alias("skewness"),
+        F.round("kurtosis", 6).alias("kurtosis"),
+        F.round(F.col("abs_energy") / F.col("n"), 6).alias("mean_square"),
+        F.round("mean_abs_change", 6).alias("mean_abs_change"),
+        F.round("autocorr1", 6).alias("autocorr1"),
+        "n_mean_crossings",
+        "longest_above",
+    )
+
+
+SQL_SERIES_FEATURES = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         ROUND(CAST(value AS DOUBLE) * 100, 0) AS x
+  FROM events
+),
+s0 AS (
+  SELECT user_id, ts, event_id, x,
+         lag(x) OVER w AS prev,
+         avg(x) OVER (PARTITION BY user_id) AS mu
+  FROM v
+  WHERE x IS NOT NULL AND NOT isnan(x)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, x, prev, mu,
+         CASE WHEN x > mu THEN 1 ELSE 0 END AS above,
+         SUM(CASE WHEN prev IS NULL OR (x > mu) <> (prev > mu)
+              THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM s0
+),
+m AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         CAST(COUNT(*) AS DOUBLE) AS nd,
+         SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3,
+         SUM(x*x*x*x) AS s4,
+         SUM(x*prev) AS p,
+         SUM(CASE WHEN prev IS NOT NULL THEN x END) AS t1,
+         SUM(prev) AS t2,
+         CAST(COUNT(prev) AS DOUBLE) AS cnt,
+         SUM(ABS(x - prev)) AS asc_,
+         CAST(SUM(CASE WHEN (x - mu) * (prev - mu) < 0.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_crossings
+  FROM s GROUP BY 1
+),
+runs AS (
+  SELECT user_id, run, COUNT(*) AS len FROM s WHERE above = 1 GROUP BY 1, 2
+),
+la AS (
+  SELECT user_id, MAX(len) AS longest_above FROM runs GROUP BY 1
+)
+SELECT m.user_id, m.n,
+       ROUND(s1/nd, 6) AS mean,
+       ROUND(sqrt(s2/nd - (s1/nd)*(s1/nd)), 6) AS std_pop,
+       ROUND(CASE WHEN sqrt(s2/nd - (s1/nd)*(s1/nd))
+                       * sqrt(s2/nd - (s1/nd)*(s1/nd))
+                       * sqrt(s2/nd - (s1/nd)*(s1/nd)) = 0.0 THEN NULL
+             ELSE (s3/nd - 3.0*(s1/nd)*(s2/nd) + 2.0*(s1/nd)*(s1/nd)*(s1/nd))
+                  / (sqrt(s2/nd - (s1/nd)*(s1/nd))
+                     * sqrt(s2/nd - (s1/nd)*(s1/nd))
+                     * sqrt(s2/nd - (s1/nd)*(s1/nd))) END, 6) AS skewness,
+       ROUND(CASE WHEN (s2/nd - (s1/nd)*(s1/nd))
+                       * (s2/nd - (s1/nd)*(s1/nd)) = 0.0 THEN NULL
+             ELSE (s4/nd - 4.0*(s1/nd)*(s3/nd)
+                   + 6.0*(s1/nd)*(s1/nd)*(s2/nd)
+                   - 3.0*(s1/nd)*(s1/nd)*(s1/nd)*(s1/nd))
+                  / ((s2/nd - (s1/nd)*(s1/nd))
+                     * (s2/nd - (s1/nd)*(s1/nd))) END, 6) AS kurtosis,
+       ROUND(s2/nd, 6) AS mean_square,
+       ROUND(CASE WHEN cnt = 0.0 THEN NULL ELSE asc_/cnt END, 6)
+         AS mean_abs_change,
+       ROUND(CASE WHEN s2 - nd*(s1/nd)*(s1/nd) = 0.0 THEN NULL
+             ELSE (p - (s1/nd)*(t1 + t2) + cnt*(s1/nd)*(s1/nd))
+                  / (s2 - nd*(s1/nd)*(s1/nd)) END, 6) AS autocorr1,
+       m.n_mean_crossings,
+       COALESCE(la.longest_above, 0) AS longest_above
+FROM m LEFT JOIN la ON m.user_id = la.user_id
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -5939,6 +6058,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "type_entropy": [("entropy_bits", "DOUBLE"), ("norm_entropy", "DOUBLE")],
     "role_ngrams": [("share", "DOUBLE")],
     "compressed_slice": [("s", "DOUBLE")],
+    "series_features": [("mean", "DOUBLE"), ("std_pop", "DOUBLE"), ("skewness", "DOUBLE"), ("kurtosis", "DOUBLE"), ("mean_square", "DOUBLE"), ("mean_abs_change", "DOUBLE"), ("autocorr1", "DOUBLE")],
 }
 
 
@@ -6083,6 +6203,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_ngrams": q_role_ngrams,
         "compressed_slice": q_compressed_slice,
         "tier_retention": q_tier_retention,
+        "series_features": q_series_features,
     }
 
 
@@ -6201,4 +6322,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "role_ngrams": SQL_ROLE_NGRAMS,
         "compressed_slice": SQL_COMPRESSED_SLICE,
         "tier_retention": SQL_TIER_RETENTION,
+        "series_features": SQL_SERIES_FEATURES,
     }

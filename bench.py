@@ -682,6 +682,14 @@ def main() -> None:
             ["user_id"], "ts", "value", "plen", 6, "hour",
         ).agg(F.avg("corr")).collect(),
     )
+    from tablecloth_time_spark.operators.features import series_features
+
+    timed(
+        "series_features_events",
+        lambda: series_features(
+            events, ["user_id"], "ts", "value", order_cols=["event_id"]
+        ).agg(F.avg("autocorr1"), F.sum("n_mean_crossings")).collect(),
+    )
     timed(
         "sequence_fingerprints_transcripts",
         # positions path: turn_idx tags come from the table, so hashing

@@ -1,0 +1,162 @@
+"""Per-series feature extraction (tsfresh / catch22-style battery).
+
+The standard "series -> fixed-width feature vector" step a training-data
+pipeline runs before clustering, classification, or quality filtering of
+time series at corpus scale. Every feature here is a published, public
+definition (the tsfresh feature-calculator catalogue and the classic
+moment/autocorrelation formulas); the implementation is pure Spark
+window + aggregate expressions — no Python in the plan, one raw-data
+shuffle.
+
+Extends the reference's descriptive-statistics recipe (mean/min/max
+over a column, /root/reference/README.md:20-36) to the full feature
+battery the host ecosystem reaches for next.
+
+Numerical contract: every moment-derived feature is computed from the
+raw power sums (S1..S4) and lagged cross sums with EXPLICIT formulas,
+so a SQL oracle can reproduce the identical operation sequence —
+important because Spark's built-in ``skewness``/``kurtosis`` and
+DuckDB's use different bias corrections and would never hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def series_features(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed feature battery per key over the value series ordered by
+    (``ts_col``, ``order_cols``):
+
+    - ``n`` — observations (NULL/NaN values dropped first);
+    - ``mean``, ``std_pop`` — population moments from power sums;
+    - ``skewness``, ``kurtosis`` — population (biased) g1 and Pearson
+      (non-excess) kurtosis m4/m2^2, from S1..S4;
+    - ``abs_energy`` — sum of squares (tsfresh ``abs_energy``);
+    - ``abs_sum_changes``, ``mean_abs_change`` — tsfresh
+      ``absolute_sum_of_changes`` / ``mean_abs_change``;
+    - ``autocorr1`` — lag-1 sample autocorrelation with the standard
+      ACF denominator sum((x-mean)^2) over ALL n points;
+    - ``n_mean_crossings`` — sign changes of (x - mean) between
+      consecutive points (boundary touches where a point equals the
+      mean count as no crossing, matching tsfresh
+      ``number_crossing_m``'s strict sign product < 0);
+    - ``longest_above`` — longest consecutive run strictly above the
+      series mean (tsfresh ``longest_strike_above_mean``), 0 when no
+      point exceeds the mean.
+
+    Degenerate series follow SQL semantics via try_divide: n = 1 leaves
+    the change/autocorr features NULL; zero variance leaves
+    skewness/kurtosis/autocorr1 NULL (0/0), crossings 0.
+
+    Plan: ONE raw-data Exchange (the per-key window) materializes the
+    lagged value, the full-partition mean, and the run-id counter in a
+    single sort; the per-key power-sum aggregate reuses that clustering
+    (partials under the Window). The run-length branch aggregates
+    (keys, run_id) — counts only, mergeable — and joins its one row per
+    key back. Nothing wider than (keys, 8-byte sums) ever shuffles
+    twice, so the operator holds the sessionize/arrival_stats plan
+    class at 10^12 rows.
+    """
+    order_cols = order_cols or []
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        *keys, F.col(ts_col).alias("__ts"), v.alias("__v"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+    )
+    ordering = [F.col("__ts").asc()] + [
+        F.col(f"__o{i}").asc() for i in range(len(order_cols))
+    ]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    wfull = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    x = F.col("__v")
+    prev = F.lag(x).over(w)
+    mu = F.avg(x).over(wfull)
+    above = (x > mu).cast("int")
+    run_start = F.when(
+        F.lag(x).over(w).isNull()
+        | ((x > mu).cast("int") != (F.lag(x).over(w) > mu).cast("int")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run_id = F.sum(run_start).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = base.select(
+        *keys,
+        x.alias("__x"),
+        prev.alias("__prev"),
+        mu.alias("__mu"),
+        above.alias("__above"),
+        run_id.alias("__run"),
+    )
+
+    n = F.count(F.lit(1)).cast("double")
+    s1 = F.sum("__x")
+    s2 = F.sum(F.col("__x") * F.col("__x"))
+    s3 = F.sum(F.col("__x") * F.col("__x") * F.col("__x"))
+    s4 = F.sum(F.col("__x") * F.col("__x") * F.col("__x") * F.col("__x"))
+    mean = s1 / n
+    var_pop = s2 / n - mean * mean
+    std_pop = F.sqrt(var_pop)
+    # lagged cross sums over the n-1 adjacent pairs
+    p = F.sum(F.col("__x") * F.col("__prev"))
+    t1 = F.sum(F.when(F.col("__prev").isNotNull(), F.col("__x")))
+    t2 = F.sum(F.col("__prev"))
+    cnt = F.count("__prev").cast("double")
+    acf_num = p - mean * (t1 + t2) + cnt * mean * mean
+    acf_den = s2 - n * mean * mean
+    moments = staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        mean.alias("mean"),
+        std_pop.alias("std_pop"),
+        F.try_divide(
+            s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean,
+            std_pop * std_pop * std_pop,
+        ).alias("skewness"),
+        F.try_divide(
+            s4 / n
+            - F.lit(4.0) * mean * (s3 / n)
+            + F.lit(6.0) * mean * mean * (s2 / n)
+            - F.lit(3.0) * mean * mean * mean * mean,
+            var_pop * var_pop,
+        ).alias("kurtosis"),
+        s2.alias("abs_energy"),
+        F.sum(F.abs(F.col("__x") - F.col("__prev"))).alias("abs_sum_changes"),
+        F.try_divide(
+            F.sum(F.abs(F.col("__x") - F.col("__prev"))), cnt
+        ).alias("mean_abs_change"),
+        F.try_divide(acf_num, acf_den).alias("autocorr1"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("__x") - F.col("__mu"))
+                    * (F.col("__prev") - F.col("__mu"))
+                    < F.lit(0.0)
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_mean_crossings"),
+    )
+    runs = (
+        staged.filter(F.col("__above") == 1)
+        .groupBy(*keys, "__run")
+        .agg(F.count(F.lit(1)).alias("__len"))
+        .groupBy(*keys)
+        .agg(F.max("__len").alias("longest_above"))
+    )
+    return moments.join(runs, on=list(keys), how="left").select(
+        *keys,
+        "n", "mean", "std_pop", "skewness", "kurtosis", "abs_energy",
+        "abs_sum_changes", "mean_abs_change", "autocorr1",
+        "n_mean_crossings",
+        F.coalesce(F.col("longest_above"), F.lit(0)).alias("longest_above"),
+    )

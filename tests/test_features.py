@@ -1,0 +1,156 @@
+"""series_features (operators/features.py) vs an independent numpy oracle.
+
+Every feature is re-derived in numpy from its published definition
+(tsfresh calculator semantics for abs_energy / absolute_sum_of_changes /
+mean_abs_change / number_crossing_m / longest_strike_above_mean; the
+classic population-moment and lag-1 sample ACF formulas), on a seeded
+multi-key panel plus hand-built degenerate series.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tablecloth_time_spark.operators.features import series_features
+
+
+def _oracle(x: np.ndarray) -> dict:
+    n = len(x)
+    mean = x.sum() / n
+    var = (x * x).sum() / n - mean * mean
+    std = math.sqrt(var) if var > 0 else 0.0
+    d = np.diff(x)
+    out = {
+        "n": n,
+        "mean": mean,
+        "std_pop": std,
+        "abs_energy": float((x * x).sum()),
+        "abs_sum_changes": float(np.abs(d).sum()) if n > 1 else None,
+        "mean_abs_change": float(np.abs(d).mean()) if n > 1 else None,
+    }
+    if std > 0:
+        c = x - mean
+        out["skewness"] = float((c**3).mean() / std**3)
+        out["kurtosis"] = float((c**4).mean() / var**2)
+        out["autocorr1"] = (
+            float((c[1:] * c[:-1]).sum() / (c * c).sum()) if n > 1 else None
+        )
+    else:
+        out["skewness"] = out["kurtosis"] = out["autocorr1"] = None
+    s = x - mean
+    out["n_mean_crossings"] = int(((s[1:] * s[:-1]) < 0).sum()) if n > 1 else 0
+    above = x > mean
+    longest = cur = 0
+    for a in above:
+        cur = cur + 1 if a else 0
+        longest = max(longest, cur)
+    out["longest_above"] = longest
+    return out
+
+
+@pytest.fixture(scope="module")
+def panel():
+    rng = np.random.default_rng(7)
+    rows = []
+    t0 = dt.datetime(2024, 5, 1)
+    series = {
+        "sine": 10 + 3 * np.sin(np.arange(96) / 4.0) + rng.normal(0, 0.3, 96),
+        "walk": np.cumsum(rng.normal(0, 1, 200)) + 50,
+        "spiky": np.where(rng.random(150) < 0.1, 40.0, 1.0),
+        "constant": np.full(30, 7.5),
+        "single": np.array([3.25]),
+        "pair": np.array([1.0, 2.0]),
+    }
+    for key, vals in series.items():
+        for i, val in enumerate(vals):
+            rows.append((key, t0 + dt.timedelta(minutes=i), i, float(val)))
+    return pd.DataFrame(rows, columns=["k", "ts", "idx", "v"]), {
+        k: np.asarray(v, dtype=np.float64) for k, v in series.items()
+    }
+
+
+def test_series_features_matches_numpy(spark, panel):
+    pdf, series = panel
+    df = spark.createDataFrame(pdf)
+    got = (
+        series_features(df, ["k"], "ts", "v", order_cols=["idx"])
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert sorted(got.index) == sorted(series)
+    for key, x in series.items():
+        exp = _oracle(x)
+        row = got.loc[key]
+        for feat, want in exp.items():
+            have = row[feat]
+            if want is None:
+                assert have is None or (
+                    isinstance(have, float) and np.isnan(have)
+                ), (key, feat, have)
+            elif feat in ("n", "n_mean_crossings", "longest_above"):
+                assert int(have) == int(want), (key, feat, have, want)
+            else:
+                assert have == pytest.approx(want, rel=1e-9, abs=1e-9), (
+                    key, feat, have, want,
+                )
+
+
+def test_series_features_goldens(spark):
+    # hand-built: mean 3.0; above-run of 2 (5,4); crossings at 1->5, 4->1,
+    # 1->5 (the 3->? touches: 3 == mean counts as NO crossing)
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 6,
+            "ts": pd.date_range("2024-01-01", periods=6, freq="1min"),
+            "v": [1.0, 5.0, 4.0, 1.0, 5.0, 2.0],
+        }
+    )
+    row = (
+        series_features(spark.createDataFrame(pdf), ["k"], "ts", "v")
+        .collect()[0]
+        .asDict()
+    )
+    assert row["n"] == 6 and row["mean"] == pytest.approx(3.0)
+    assert row["longest_above"] == 2
+    assert row["n_mean_crossings"] == 4
+    assert row["abs_sum_changes"] == pytest.approx(4 + 1 + 3 + 4 + 3)
+
+
+def test_series_features_nan_and_null_dropped(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 5,
+            "ts": pd.date_range("2024-01-01", periods=5, freq="1min"),
+            "v": [1.0, float("nan"), None, 2.0, 3.0],
+        }
+    )
+    row = (
+        series_features(spark.createDataFrame(pdf), ["k"], "ts", "v")
+        .collect()[0]
+        .asDict()
+    )
+    assert row["n"] == 3
+    assert row["abs_sum_changes"] == pytest.approx(2.0)  # gaps close up
+
+
+def test_series_features_plan(spark, panel):
+    pdf, _ = panel
+    df = spark.createDataFrame(pdf)
+    plan = (
+        series_features(df, ["k"], "ts", "v", order_cols=["idx"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    # the raw data crosses the wire once: the per-key window Exchange;
+    # everything after shuffles only per-key sums / (key, run) counts
+    first = plan.find("Exchange")
+    assert first != -1
