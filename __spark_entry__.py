@@ -5938,6 +5938,68 @@ FROM m LEFT JOIN la ON m.user_id = la.user_id
 """
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per user over daily bucket means
+    (operators/features.py:theil_sen_trend): slope = exact median of all
+    C(n_buckets, 2) pairwise bucket slopes, intercept = median residual
+    at the series-start anchor — the outlier-robust companion to the OLS
+    trend members (datetime_stats trend fit, predict_linear). Runs on
+    the integer cent scale (same determinism rationale as
+    series_features): bucket sums are exact, so every slope is an
+    identical IEEE double in both engines and even a median landing on a
+    ROUND half-boundary ties identically. DuckDB re-derives the full
+    pair enumeration + quantile_cont medians."""
+    from tablecloth_time_spark.operators.features import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100, 0)
+    )
+    out = theil_sen_trend(ev, ["user_id"], "ts", "value_c", 1, "day")
+    return out.select(
+        "user_id", "n_buckets", "n_pairs",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+SQL_THEIL_SEN = """
+WITH g AS (
+  SELECT user_id,
+         epoch_ms(CAST(ts AS TIMESTAMP))
+           - epoch_ms(CAST(ts AS TIMESTAMP)) % 86400000 AS bms,
+         SUM(ROUND(CAST(value AS DOUBLE) * 100, 0)) AS s,
+         COUNT(*) AS c
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+  GROUP BY 1, 2
+),
+gx AS (
+  SELECT user_id,
+         CAST(bms - MIN(bms) OVER (PARTITION BY user_id) AS DOUBLE)
+           / 86400000 AS x,
+         s / c AS y
+  FROM g
+),
+p AS (
+  SELECT a.user_id AS user_id, (b.y - a.y) / (b.x - a.x) AS m
+  FROM gx a JOIN gx b ON a.user_id = b.user_id AND b.x > a.x
+),
+sl AS (
+  SELECT user_id, quantile_cont(m, 0.5) AS slope, COUNT(*) AS n_pairs
+  FROM p GROUP BY 1
+),
+r AS (
+  SELECT gx.user_id AS user_id, gx.y - sl.slope * gx.x AS resid,
+         sl.slope AS slope, sl.n_pairs AS n_pairs
+  FROM gx JOIN sl ON gx.user_id = sl.user_id
+)
+SELECT user_id, COUNT(*) AS n_buckets, MAX(n_pairs) AS n_pairs,
+       ROUND(MAX(slope), 6) AS slope,
+       ROUND(quantile_cont(resid, 0.5), 6) AS intercept
+FROM r GROUP BY 1
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -6059,6 +6121,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "role_ngrams": [("share", "DOUBLE")],
     "compressed_slice": [("s", "DOUBLE")],
     "series_features": [("mean", "DOUBLE"), ("std_pop", "DOUBLE"), ("skewness", "DOUBLE"), ("kurtosis", "DOUBLE"), ("mean_square", "DOUBLE"), ("mean_abs_change", "DOUBLE"), ("autocorr1", "DOUBLE")],
+    "theil_sen": [("slope", "DOUBLE"), ("intercept", "DOUBLE")],
 }
 
 
@@ -6204,6 +6267,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compressed_slice": q_compressed_slice,
         "tier_retention": q_tier_retention,
         "series_features": q_series_features,
+        "theil_sen": q_theil_sen,
     }
 
 
@@ -6323,4 +6387,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "compressed_slice": SQL_COMPRESSED_SLICE,
         "tier_retention": SQL_TIER_RETENTION,
         "series_features": SQL_SERIES_FEATURES,
+        "theil_sen": SQL_THEIL_SEN,
     }

@@ -682,13 +682,22 @@ def main() -> None:
             ["user_id"], "ts", "value", "plen", 6, "hour",
         ).agg(F.avg("corr")).collect(),
     )
-    from tablecloth_time_spark.operators.features import series_features
+    from tablecloth_time_spark.operators.features import (
+        series_features,
+        theil_sen_trend,
+    )
 
     timed(
         "series_features_events",
         lambda: series_features(
             events, ["user_id"], "ts", "value", order_cols=["event_id"]
         ).agg(F.avg("autocorr1"), F.sum("n_mean_crossings")).collect(),
+    )
+    timed(
+        "theil_sen_daily_events",
+        lambda: theil_sen_trend(
+            events, ["user_id"], "ts", "value", 1, "day"
+        ).agg(F.avg("slope"), F.avg("intercept")).collect(),
     )
     timed(
         "sequence_fingerprints_transcripts",

@@ -24,6 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tablecloth_time_spark.functions.timeops import to_epoch_millis
+from tablecloth_time_spark.functions.units import milliseconds_in, normalize_unit
+
 
 def series_features(
     df: DataFrame,
@@ -159,4 +162,91 @@ def series_features(
         "abs_sum_changes", "mean_abs_change", "autocorr1",
         "n_mean_crossings",
         F.coalesce(F.col("longest_above"), F.lit(0)).alias("longest_above"),
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    interval: int = 1,
+    unit: str = "day",
+    slope_col: str = "slope",
+    intercept_col: str = "intercept",
+) -> DataFrame:
+    """Theil-Sen robust trend per key: bucket the series to
+    (``interval``, ``unit``) means, then slope = MEDIAN over all bucket
+    pairs i<j of (y_j - y_i)/(x_j - x_i) and intercept = median of the
+    per-bucket residuals y - slope*x (Theil 1950 / Sen 1968 — the
+    standard outlier-robust alternative to OLS trend: up to ~29% of the
+    points can be arbitrary outliers before the estimate breaks,
+    where one bad point already drags a least-squares fit;
+    complements the OLS members ``trend_fit`` / ``predict_linear``).
+
+    The time axis is the bucket INDEX anchored at each key's first
+    bucket (exact small integers — the same anchoring rationale as
+    predict_linear), so the slope reads "value per ``unit``" and the
+    intercept is the robust level at the series start.
+
+    Scale contract: pair enumeration is O(buckets^2) PER KEY — by
+    construction of the bucketing, bounded by the series span over the
+    bucket width (e.g. 30 buckets -> 435 pairs for daily buckets over a
+    month), NOT by the raw row count; raw rows fold into bucket means in
+    one mergeable aggregate first. The self-join carries only the tiny
+    per-key bucket frames, and the exact medians sort O(buckets^2)
+    values per key inside a hash aggregate. Metric units only (a
+    calendar-varying bucket width has no linear x axis).
+
+    Keys with a single bucket have no pairs and are dropped (a trend
+    needs two points). NULL/NaN values are dropped first.
+    """
+    u = normalize_unit(unit)
+    width = interval * milliseconds_in(u)
+    v = F.col(value_col).cast("double")
+    ms = to_epoch_millis(ts_col)
+    base = df.filter(v.isNotNull() & ~F.isnan(v))
+    g = base.groupBy(
+        *keys, (ms - ms % F.lit(width)).alias("__bms")
+    ).agg(F.sum(v).alias("__s"), F.count(v).alias("__c"))
+    wk = Window.partitionBy(*keys)
+    g = g.select(
+        *keys,
+        (
+            (F.col("__bms") - F.min("__bms").over(wk)) / F.lit(width)
+        ).cast("double").alias("__x"),
+        (F.col("__s") / F.col("__c")).alias("__y"),
+    )
+    a = g.select(
+        *keys, F.col("__x").alias("__xa"), F.col("__y").alias("__ya")
+    )
+    b = g.select(
+        *keys, F.col("__x").alias("__xb"), F.col("__y").alias("__yb")
+    )
+    slopes = (
+        a.join(b, on=list(keys))
+        .filter(F.col("__xb") > F.col("__xa"))
+        .select(
+            *keys,
+            (
+                (F.col("__yb") - F.col("__ya"))
+                / (F.col("__xb") - F.col("__xa"))
+            ).alias("__m"),
+        )
+    )
+    med = slopes.groupBy(*keys).agg(
+        F.expr("percentile(__m, 0.5)").alias("__slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return (
+        g.join(med, on=list(keys))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n_pairs").alias("n_pairs"),
+            F.max("__slope").alias(slope_col),
+            F.expr("percentile(__y - __slope * __x, 0.5)").alias(
+                intercept_col
+            ),
+        )
     )

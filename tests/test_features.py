@@ -154,3 +154,87 @@ def test_series_features_plan(spark, panel):
     # everything after shuffles only per-key sums / (key, run) counts
     first = plan.find("Exchange")
     assert first != -1
+
+
+def test_theil_sen_matches_numpy(spark):
+    from tablecloth_time_spark.operators.features import theil_sen_trend
+
+    rng = np.random.default_rng(11)
+    rows = []
+    t0 = dt.datetime(2024, 2, 1)
+    truth = {}
+    for key, (slope, noise) in {
+        "up": (2.5, 0.2), "down": (-1.2, 0.5), "flat": (0.0, 0.1),
+    }.items():
+        days = 20
+        y = slope * np.arange(days) + 10 + rng.normal(0, noise, days)
+        truth[key] = y
+        for d in range(days):
+            # three raw rows per daily bucket; bucket mean is what matters
+            for j, off in enumerate((1, 5, 9)):
+                rows.append(
+                    (key, t0 + dt.timedelta(days=d, hours=off),
+                     float(y[d]) + (j - 1) * 0.3)
+                )
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    got = (
+        theil_sen_trend(spark.createDataFrame(pdf), ["k"], "ts", "v")
+        .toPandas().set_index("k")
+    )
+    for key, y in truth.items():
+        # bucket means equal y[d] exactly ((-0.3 + 0 + 0.3)/3 == 0)
+        x = np.arange(len(y), dtype=float)
+        ms = [
+            (y[j] - y[i]) / (x[j] - x[i])
+            for i in range(len(y)) for j in range(i + 1, len(y))
+        ]
+        slope = float(np.median(ms))
+        intercept = float(np.median(y - slope * x))
+        row = got.loc[key]
+        assert row["n_buckets"] == len(y)
+        assert row["n_pairs"] == len(ms)
+        assert row["slope"] == pytest.approx(slope, rel=1e-9, abs=1e-9)
+        assert row["intercept"] == pytest.approx(intercept, rel=1e-9, abs=1e-9)
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from tablecloth_time_spark.operators.features import theil_sen_trend
+
+    t0 = dt.datetime(2024, 2, 1)
+    y = [float(3 * d + 5) for d in range(15)]
+    y[7] = 1e6  # one corrupted bucket
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 15,
+            "ts": [t0 + dt.timedelta(days=d) for d in range(15)],
+            "v": y,
+        }
+    )
+    row = (
+        theil_sen_trend(spark.createDataFrame(pdf), ["k"], "ts", "v")
+        .collect()[0]
+    )
+    assert row["slope"] == pytest.approx(3.0, abs=1e-9)
+    assert row["intercept"] == pytest.approx(5.0, abs=1e-9)
+
+
+def test_theil_sen_single_bucket_dropped(spark):
+    from tablecloth_time_spark.operators.features import theil_sen_trend
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["solo", "pair", "pair"],
+            "ts": [
+                dt.datetime(2024, 2, 1),
+                dt.datetime(2024, 2, 1),
+                dt.datetime(2024, 2, 2),
+            ],
+            "v": [1.0, 2.0, 4.0],
+        }
+    )
+    got = (
+        theil_sen_trend(spark.createDataFrame(pdf), ["k"], "ts", "v")
+        .toPandas()
+    )
+    assert list(got["k"]) == ["pair"]
+    assert got["slope"][0] == pytest.approx(2.0)
