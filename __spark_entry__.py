@@ -6000,6 +6000,76 @@ FROM r GROUP BY 1
 """
 
 
+def q_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality detection over the hourly tier
+    (operators/acf.py:dominant_period): per user, the ACF-argmax lag in
+    [2, 30] over hourly mean values, the peak autocorrelation, and the
+    Bartlett 1.96/sqrt(n) white-noise significance verdict. DuckDB
+    re-derives the full 30-lag correlogram and the row_number pick."""
+    from tablecloth_time_spark.operators.acf import dominant_period
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("b")
+    ).agg(F.avg("value").alias("v"))
+    out = dominant_period(hourly, ["user_id"], "b", "v", max_lag=30)
+    return out.select(
+        "user_id", "period",
+        F.round("peak_acf", 6).alias("peak_acf"),
+        "n", "significant",
+    )
+
+
+def _sql_dominant_period(max_lag: int = 30, min_lag: int = 2) -> str:
+    lags = ",\n         ".join(
+        f"lag(yc, {k}) OVER w AS yc{k}" for k in range(1, max_lag + 1)
+    )
+    sums = ",\n         ".join(
+        f"SUM(yc * yc{k}) AS n{k}" for k in range(1, max_lag + 1)
+    )
+    union = "\n  UNION ALL ".join(
+        f"SELECT user_id, {k} AS lag, n{k} AS num, denom FROM agg"
+        for k in range(min_lag, max_lag + 1)
+    )
+    return f"""
+WITH s AS (
+  SELECT user_id, date_trunc('hour', ts) AS b, AVG(value) AS v
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT user_id, AVG(v) AS mu, COUNT(*) AS n FROM s GROUP BY 1
+), c AS (
+  SELECT s.user_id, s.b, s.v - st.mu AS yc
+  FROM s JOIN st USING (user_id)
+), l AS (
+  SELECT user_id, yc,
+         {lags}
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY b)
+), agg AS (
+  SELECT user_id, SUM(yc * yc) AS denom,
+         {sums}
+  FROM l GROUP BY 1
+), cand AS (
+  SELECT user_id, lag, num / denom AS acf
+  FROM (
+  {union}
+  )
+  WHERE denom > 0 AND num IS NOT NULL
+), top AS (
+  SELECT user_id, lag AS period, acf AS peak_acf,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY acf DESC, lag ASC) AS rn
+  FROM cand
+)
+SELECT CAST(t.user_id AS VARCHAR) AS user_id,
+       CAST(t.period AS INT) AS period,
+       ROUND(t.peak_acf, 6) AS peak_acf, st.n AS n,
+       CAST(t.peak_acf > 1.96 / sqrt(CAST(st.n AS DOUBLE)) AS INT)
+         AS significant
+FROM top t JOIN st ON t.user_id = st.user_id
+WHERE t.rn = 1
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -6122,6 +6192,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "compressed_slice": [("s", "DOUBLE")],
     "series_features": [("mean", "DOUBLE"), ("std_pop", "DOUBLE"), ("skewness", "DOUBLE"), ("kurtosis", "DOUBLE"), ("mean_square", "DOUBLE"), ("mean_abs_change", "DOUBLE"), ("autocorr1", "DOUBLE")],
     "theil_sen": [("slope", "DOUBLE"), ("intercept", "DOUBLE")],
+    "dominant_period": [("peak_acf", "DOUBLE")],
 }
 
 
@@ -6268,6 +6339,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_retention": q_tier_retention,
         "series_features": q_series_features,
         "theil_sen": q_theil_sen,
+        "dominant_period": q_dominant_period,
     }
 
 
@@ -6388,4 +6460,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "tier_retention": SQL_TIER_RETENTION,
         "series_features": SQL_SERIES_FEATURES,
         "theil_sen": SQL_THEIL_SEN,
+        "dominant_period": _sql_dominant_period(),
     }

@@ -699,6 +699,18 @@ def main() -> None:
             events, ["user_id"], "ts", "value", 1, "day"
         ).agg(F.avg("slope"), F.avg("intercept")).collect(),
     )
+
+    from tablecloth_time_spark.operators.acf import dominant_period
+
+    timed(
+        "dominant_period_events",
+        lambda: dominant_period(
+            events.groupBy(
+                "user_id", F.date_trunc("hour", "ts").alias("b")
+            ).agg(F.avg("value").alias("v")),
+            ["user_id"], "b", "v", max_lag=30,
+        ).agg(F.avg("peak_acf"), F.sum("significant")).collect(),
+    )
     timed(
         "sequence_fingerprints_transcripts",
         # positions path: turn_idx tags come from the table, so hashing

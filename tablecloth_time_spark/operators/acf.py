@@ -246,3 +246,71 @@ def pacf(
         return res
 
     return grouped_apply_stream(acf_df, keys, ["lag"], kernel, schema)
+
+
+def dominant_period(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int,
+    min_lag: int = 2,
+) -> DataFrame:
+    """Per-key seasonality detection: the lag in [``min_lag``,
+    ``max_lag``] with the maximum sample autocorrelation (ties broken
+    toward the SMALLEST lag), the peak value, and whether the peak
+    clears the classic white-noise 95% band 1.96/sqrt(n) (Bartlett's
+    large-lag approximation — the same band fpp3's ACF plots draw). The
+    standard first-pass period detector for bucketed tier series:
+    period 24 on hourly buckets = daily seasonality, 7 on daily =
+    weekly.
+
+    ``min_lag`` defaults to 2 because lag-1 autocorrelation reflects
+    smoothness, not periodicity (a trending series maximizes ACF at
+    lag 1; difference the series first for trend-dominated data).
+
+    Plan: the :func:`acf` aggregate (one window Exchange + one per-key
+    hash aggregate over max_lag lagged-product sums) -> a row_number
+    pick over the tiny (key, max_lag) correlogram frame -> an equi-join
+    with the per-key observation count. Raw rows shuffle once, in the
+    ACF stage; everything downstream is correlogram-sized.
+
+    Output: (*keys as string — the :func:`acf` convention, ``period``
+    int, ``peak_acf`` double, ``n`` long, ``significant`` int 0/1).
+    Keys whose ACF is undefined at every candidate lag (shorter than
+    min_lag+1 points, or zero variance) are dropped.
+    """
+    if not 1 <= min_lag <= max_lag:
+        raise ValueError(
+            f"dominant_period: need 1 <= min_lag <= max_lag, "
+            f"got {min_lag}..{max_lag}"
+        )
+    a = acf(df, keys, order_col, value_col, max_lag)
+    cand = a.filter(
+        (F.col("lag") >= F.lit(min_lag)) & F.col("acf").isNotNull()
+        & ~F.isnan("acf")
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("acf").desc(), F.col("lag").asc()
+    )
+    top = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *keys,
+            F.col("lag").alias("period"),
+            F.col("acf").alias("peak_acf"),
+        )
+    )
+    v = F.col(value_col).cast("double")
+    counts = (
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .groupBy(*[F.col(k).cast("string").alias(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return top.join(counts, on=list(keys)).select(
+        *keys, "period", "peak_acf", "n",
+        (
+            F.col("peak_acf") > F.lit(1.96) / F.sqrt(F.col("n").cast("double"))
+        ).cast("int").alias("significant"),
+    )

@@ -238,3 +238,55 @@ def test_theil_sen_single_bucket_dropped(spark):
     )
     assert list(got["k"]) == ["pair"]
     assert got["slope"][0] == pytest.approx(2.0)
+
+
+def _np_acf(x: np.ndarray, k: int) -> float:
+    c = x - x.mean()
+    return float((c[k:] * c[:-k]).sum() / (c * c).sum())
+
+
+def test_dominant_period_planted_seasonality(spark):
+    from tablecloth_time_spark.operators.acf import dominant_period
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for key, period in (("p12", 12), ("p6", 6)):
+        y = 5 + 2 * np.sin(2 * np.pi * np.arange(120) / period)
+        y = y + rng.normal(0, 0.1, 120)
+        rows += [(key, i, float(v)) for i, v in enumerate(y)]
+    rows += [("short", 0, 1.0), ("short", 1, 2.0)]  # < min_lag+1 points
+    pdf = pd.DataFrame(rows, columns=["k", "i", "v"])
+    got = (
+        dominant_period(spark.createDataFrame(pdf), ["k"], "i", "v",
+                        max_lag=24)
+        .toPandas().set_index("k")
+    )
+    assert "short" not in got.index
+    for key, period in (("p12", 12), ("p6", 6)):
+        y = np.array(
+            pdf[pdf["k"] == key].sort_values("i")["v"], dtype=float
+        )
+        accs = {k: _np_acf(y, k) for k in range(2, 25)}
+        want = min(accs, key=lambda k: (-accs[k], k))
+        row = got.loc[key]
+        assert int(row["period"]) == want == period
+        assert row["peak_acf"] == pytest.approx(accs[want], rel=1e-9)
+        assert int(row["n"]) == 120
+        assert int(row["significant"]) == int(
+            accs[want] > 1.96 / math.sqrt(120)
+        )
+
+
+def test_dominant_period_min_lag_excludes_smoothness(spark):
+    from tablecloth_time_spark.operators.acf import dominant_period
+
+    # a pure trend maximizes ACF at the smallest admissible lag
+    pdf = pd.DataFrame(
+        {"k": ["t"] * 50, "i": range(50),
+         "v": [float(i) for i in range(50)]}
+    )
+    df = spark.createDataFrame(pdf)
+    row = dominant_period(df, ["k"], "i", "v", max_lag=10).collect()[0]
+    assert row["period"] == 2
+    with pytest.raises(ValueError):
+        dominant_period(df, ["k"], "i", "v", max_lag=5, min_lag=0)
