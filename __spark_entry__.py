@@ -6070,6 +6070,49 @@ WHERE t.rn = 1
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user quantile winsorization of the value column
+    (operators/features.py:winsorize): clamp into the user's own
+    [p5, p95] band, flag clamped rows. Spark's exact percentile() and
+    DuckDB's quantile_cont use the same type-7 linear interpolation and
+    are byte-identical on most groups, but not all (one 1-ulp
+    interpolation divergence observed in 1,500 users at sf0.1), so
+    value_w carries ROUND(,6) — provably tie-safe here: with 2-decimal
+    grid data and p in twentieths, every band edge is a multiple of
+    1/2000 in rationals, which is never closer than 5e-7 to a
+    ROUND(,6) half-boundary (odd/2e6 needs an odd numerator; 1000k/2e6
+    is even), so a ~1e-15 engine wobble cannot flip a tie. Band frame
+    is |users| rows and broadcasts; the clamp is a pure projection."""
+    from tablecloth_time_spark.operators.features import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    out = winsorize(ev, ["user_id"], "value", 0.05, 0.95)
+    return out.select(
+        "event_id", "user_id", "value",
+        F.round("value_w", 6).alias("value_w"),
+        F.col("clipped"),
+    )
+
+
+SQL_WINSORIZE = """
+WITH q AS (
+  SELECT user_id,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+  GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.value,
+       ROUND(CASE WHEN e.value IS NULL OR isnan(CAST(e.value AS DOUBLE))
+                  THEN e.value
+                  ELSE LEAST(GREATEST(e.value, q.lo), q.hi) END, 6)
+         AS value_w,
+       CAST(e.value < q.lo OR e.value > q.hi AS INT) AS clipped
+FROM events e LEFT JOIN q ON e.user_id = q.user_id
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -6193,6 +6236,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "series_features": [("mean", "DOUBLE"), ("std_pop", "DOUBLE"), ("skewness", "DOUBLE"), ("kurtosis", "DOUBLE"), ("mean_square", "DOUBLE"), ("mean_abs_change", "DOUBLE"), ("autocorr1", "DOUBLE")],
     "theil_sen": [("slope", "DOUBLE"), ("intercept", "DOUBLE")],
     "dominant_period": [("peak_acf", "DOUBLE")],
+    "winsorize": [("value", "DOUBLE"), ("value_w", "DOUBLE")],
 }
 
 
@@ -6340,6 +6384,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_features": q_series_features,
         "theil_sen": q_theil_sen,
         "dominant_period": q_dominant_period,
+        "winsorize": q_winsorize,
     }
 
 
@@ -6461,4 +6506,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "series_features": SQL_SERIES_FEATURES,
         "theil_sen": SQL_THEIL_SEN,
         "dominant_period": _sql_dominant_period(),
+        "winsorize": SQL_WINSORIZE,
     }

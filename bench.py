@@ -700,6 +700,15 @@ def main() -> None:
         ).agg(F.avg("slope"), F.avg("intercept")).collect(),
     )
 
+    from tablecloth_time_spark.operators.features import winsorize
+
+    timed(
+        "winsorize_events",
+        lambda: winsorize(events, ["user_id"], "value").agg(
+            F.avg("value_w"), F.sum("clipped")
+        ).collect(),
+    )
+
     from tablecloth_time_spark.operators.acf import dominant_period
 
     timed(

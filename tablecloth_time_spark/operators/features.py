@@ -250,3 +250,73 @@ def theil_sen_trend(
             ),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    out_col: str | None = None,
+    flag_col: str = "clipped",
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-key quantile winsorization: clamp ``value_col`` into its own
+    key's [p_lo, p_hi] quantile band and flag the clamped rows — the
+    standard robust-cleaning step before feeding heavy-tailed metrics to
+    training or aggregation (a fat-finger price or a runaway counter
+    stops dominating every mean downstream while the row itself
+    survives, unlike a filter).
+
+    ``exact=True`` uses the exact type-7 (linear-interpolation)
+    percentile — measured byte-identical between Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` on identical groups, which is what
+    makes the driver oracle exact with NO rounding. The exact aggregate
+    buffers each key's values, so it is for keys that fit an executor
+    (the usual per-entity series); at mega-key scale pass
+    ``exact=False`` for ``percentile_approx`` (bounded-memory KLL-style
+    sketch, rank error 1/``accuracy``) — same plan shape, approximate
+    band edges, pytest-oracled only.
+
+    NULL/NaN values pass through unclamped with a NULL flag (unknown
+    can't be compared to a band); a key whose values are all NULL gets
+    no band and passes through whole.
+
+    Plan: one per-key aggregate (two percentiles in a single pass) +
+    one equi-join of the two-column band frame back onto the rows —
+    at 10^12 rows the band frame is |keys| rows and broadcasts; the
+    clamp itself is a pure projection.
+    """
+    if not 0.0 <= p_lo <= p_hi <= 1.0:
+        raise ValueError(f"winsorize: need 0 <= p_lo <= p_hi <= 1, got {p_lo}, {p_hi}")
+    out_col = out_col or f"{value_col}_w"
+    v = F.col(value_col).cast("double")
+    if exact:
+        agg = [
+            F.expr(f"percentile({value_col}, {p_lo!r})").alias("__lo"),
+            F.expr(f"percentile({value_col}, {p_hi!r})").alias("__hi"),
+        ]
+    else:
+        agg = [
+            F.expr(
+                f"percentile_approx({value_col}, {p_lo!r}, {accuracy})"
+            ).cast("double").alias("__lo"),
+            F.expr(
+                f"percentile_approx({value_col}, {p_hi!r}, {accuracy})"
+            ).cast("double").alias("__hi"),
+        ]
+    q = df.filter(v.isNotNull() & ~F.isnan(v)).groupBy(*keys).agg(*agg)
+    lo, hi = F.col("__lo"), F.col("__hi")
+    return (
+        df.join(F.broadcast(q), on=list(keys), how="left")
+        .withColumn(
+            out_col,
+            F.when(v.isNull() | F.isnan(v), v).otherwise(
+                F.least(F.greatest(v, lo), hi)
+            ),
+        )
+        .withColumn(flag_col, ((v < lo) | (v > hi)).cast("int"))
+        .drop("__lo", "__hi")
+    )

@@ -290,3 +290,69 @@ def test_dominant_period_min_lag_excludes_smoothness(spark):
     assert row["period"] == 2
     with pytest.raises(ValueError):
         dominant_period(df, ["k"], "i", "v", max_lag=5, min_lag=0)
+
+
+def test_winsorize_matches_numpy(spark):
+    from tablecloth_time_spark.operators.features import winsorize
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for key in ("a", "b"):
+        vals = np.concatenate(
+            [rng.normal(50, 5, 90), rng.normal(500, 50, 10)]  # fat tail
+        )
+        rng.shuffle(vals)
+        rows += [(key, i, float(v)) for i, v in enumerate(vals)]
+    pdf = pd.DataFrame(rows, columns=["k", "i", "v"])
+    got = (
+        winsorize(spark.createDataFrame(pdf), ["k"], "v")
+        .toPandas().sort_values(["k", "i"]).reset_index(drop=True)
+    )
+    for key in ("a", "b"):
+        x = np.array(pdf[pdf["k"] == key].sort_values("i")["v"])
+        lo, hi = np.quantile(x, 0.05), np.quantile(x, 0.95)  # type-7
+        sub = got[got["k"] == key]
+        np.testing.assert_allclose(
+            sub["v_w"], np.clip(x, lo, hi), rtol=1e-12
+        )
+        assert (sub["clipped"] == ((x < lo) | (x > hi)).astype(int)).all()
+        # winsorized mean is pulled off the contaminated mean
+        assert sub["v_w"].mean() < x.mean()
+
+
+def test_winsorize_null_nan_passthrough(spark):
+    from tablecloth_time_spark.operators.features import winsorize
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 6,
+            "v": [1.0, 2.0, 3.0, 100.0, None, float("nan")],
+        }
+    )
+    got = winsorize(
+        spark.createDataFrame(pdf), ["k"], "v", p_lo=0.0, p_hi=0.75
+    ).toPandas()
+    body = got[got["v"].notna()]
+    assert body["v_w"].max() <= np.quantile([1.0, 2.0, 3.0, 100.0], 0.75)
+    nulls = got[got["v"].isna()]
+    assert nulls["v_w"].isna().all() and nulls["clipped"].isna().all()
+    with pytest.raises(ValueError):
+        winsorize(spark.createDataFrame(pdf), ["k"], "v", p_lo=0.9, p_hi=0.1)
+
+
+def test_winsorize_approx_close(spark):
+    from tablecloth_time_spark.operators.features import winsorize
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {"k": ["a"] * 2000, "v": rng.normal(0, 1, 2000)}
+    )
+    df = spark.createDataFrame(pdf)
+    ex = winsorize(df, ["k"], "v", exact=True).agg(
+        F.avg("v_w"), F.sum("clipped")
+    ).collect()[0]
+    ap = winsorize(df, ["k"], "v", exact=False).agg(
+        F.avg("v_w"), F.sum("clipped")
+    ).collect()[0]
+    assert ap[0] == pytest.approx(ex[0], abs=0.01)
+    assert abs(ap[1] - ex[1]) <= 20  # rank error 1/accuracy on 2000 rows
