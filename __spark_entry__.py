@@ -6113,6 +6113,72 @@ FROM events e LEFT JOIN q ON e.user_id = q.user_id
 """
 
 
+def q_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel spike filter over the hourly tier
+    (operators/rolling.py:hampel_filter): centered 7-point window,
+    exact interpolated median + 1.4826*MAD scale, k=3 replacement —
+    the robust despiking pass a metrics pipeline runs before rollups.
+    Deterministic with NO rounding: hourly means are exact-integer cent
+    sums over counts (identical doubles in both engines), and the
+    median/MAD interpolation arithmetic is spelled out identically on
+    both sides, so flags, replacements, and pass-throughs are all
+    byte-equal. DuckDB mirrors the windowed list + list_transform
+    pipeline."""
+    from tablecloth_time_spark.operators.rolling import hampel_filter
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100, 0)
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("b")
+    ).agg((F.sum("value_c") / F.count("value_c")).alias("v"))
+    out = hampel_filter(hourly, ["user_id"], ["b"], "v", n=7, k=3.0)
+    return out.select("user_id", "b", "v", "v_f", "is_spike")
+
+
+SQL_HAMPEL = """
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS b,
+         SUM(ROUND(CAST(value AS DOUBLE) * 100, 0))
+           / COUNT(ROUND(CAST(value AS DOUBLE) * 100, 0)) AS v
+  FROM events GROUP BY 1, 2
+),
+wd AS (
+  SELECT user_id, b, v,
+         list_sort(list(v) OVER (
+           PARTITION BY user_id ORDER BY b
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+  FROM h
+),
+m1 AS (
+  SELECT *, len(arr) AS s, 0.5 * (len(arr) - 1) AS idx FROM wd
+),
+m2 AS (
+  SELECT *, CAST(floor(idx) AS INT) AS lo, idx - floor(idx) AS frac
+  FROM m1
+),
+m3 AS (
+  SELECT *,
+         arr[lo + 1] + (arr[LEAST(lo + 2, s)] - arr[lo + 1]) * frac AS med
+  FROM m2
+),
+m4 AS (
+  SELECT *, list_sort(list_transform(arr, e -> abs(e - med))) AS devs
+  FROM m3
+),
+m5 AS (
+  SELECT *,
+         (devs[lo + 1] + (devs[LEAST(lo + 2, s)] - devs[lo + 1]) * frac)
+           * 1.4826 AS mad
+  FROM m4
+)
+SELECT user_id, b, v,
+       CASE WHEN abs(v - med) > 3.0 * mad THEN med ELSE v END AS v_f,
+       CAST(abs(v - med) > 3.0 * mad AS INT) AS is_spike
+FROM m5
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -6237,6 +6303,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "theil_sen": [("slope", "DOUBLE"), ("intercept", "DOUBLE")],
     "dominant_period": [("peak_acf", "DOUBLE")],
     "winsorize": [("value", "DOUBLE"), ("value_w", "DOUBLE")],
+    "hampel": [("v", "DOUBLE"), ("v_f", "DOUBLE")],
 }
 
 
@@ -6385,6 +6452,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "dominant_period": q_dominant_period,
         "winsorize": q_winsorize,
+        "hampel": q_hampel,
     }
 
 
@@ -6507,4 +6575,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "theil_sen": SQL_THEIL_SEN,
         "dominant_period": _sql_dominant_period(),
         "winsorize": SQL_WINSORIZE,
+        "hampel": SQL_HAMPEL,
     }

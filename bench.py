@@ -709,6 +709,18 @@ def main() -> None:
         ).collect(),
     )
 
+    from tablecloth_time_spark.operators.rolling import hampel_filter
+
+    timed(
+        "hampel_hourly_events",
+        lambda: hampel_filter(
+            events.groupBy(
+                "user_id", F.date_trunc("hour", "ts").alias("b")
+            ).agg(F.avg("value").alias("v")),
+            ["user_id"], ["b"], "v", n=7, k=3.0,
+        ).agg(F.sum("is_spike"), F.avg("v_f")).collect(),
+    )
+
     from tablecloth_time_spark.operators.acf import dominant_period
 
     timed(

@@ -356,3 +356,59 @@ def test_winsorize_approx_close(spark):
     ).collect()[0]
     assert ap[0] == pytest.approx(ex[0], abs=0.01)
     assert abs(ap[1] - ex[1]) <= 20  # rank error 1/accuracy on 2000 rows
+
+
+def _np_hampel(x: np.ndarray, n: int, k: float):
+    half = n // 2
+    med = np.empty(len(x)); mad = np.empty(len(x))
+    for i in range(len(x)):
+        wnd = x[max(0, i - half): i + half + 1]
+        m = np.quantile(wnd, 0.5)
+        med[i] = m
+        mad[i] = 1.4826 * np.quantile(np.abs(wnd - m), 0.5)
+    spike = np.abs(x - med) > k * mad
+    out = np.where(spike, med, x)
+    return out, spike
+
+
+def test_hampel_matches_numpy(spark):
+    from tablecloth_time_spark.operators.rolling import hampel_filter
+
+    rng = np.random.default_rng(13)
+    x = np.sin(np.arange(80) / 5.0) * 3 + 20 + rng.normal(0, 0.2, 80)
+    for i in (10, 41, 42, 77):
+        x[i] += 25.0  # planted spikes (incl. adjacent pair)
+    pdf = pd.DataFrame({"k": ["a"] * 80, "i": range(80), "v": x})
+    got = (
+        hampel_filter(spark.createDataFrame(pdf), ["k"], ["i"], "v")
+        .toPandas().sort_values("i")
+    )
+    out, spike = _np_hampel(x, 7, 3.0)
+    np.testing.assert_allclose(got["v_f"], out, rtol=1e-12)
+    assert (got["is_spike"].to_numpy() == spike.astype(int)).all()
+    assert got["is_spike"].sum() >= 3  # planted spikes caught
+
+
+def test_hampel_null_and_constant(spark):
+    from tablecloth_time_spark.operators.rolling import hampel_filter
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 9,
+            "i": range(9),
+            "v": [5.0, 5.0, 5.0, None, 5.0, 5.0, 9.0, 5.0, 5.0],
+        }
+    )
+    got = (
+        hampel_filter(spark.createDataFrame(pdf), ["k"], ["i"], "v")
+        .toPandas().sort_values("i")
+    )
+    # constant window: MAD 0 -> the lone 9.0 deviates -> replaced by 5.0
+    assert got.loc[got["i"] == 6, "v_f"].iloc[0] == 5.0
+    assert got.loc[got["i"] == 6, "is_spike"].iloc[0] == 1
+    # null passes through unflagged; neighbors unaffected
+    assert pd.isna(got.loc[got["i"] == 3, "v_f"].iloc[0])
+    assert pd.isna(got.loc[got["i"] == 3, "is_spike"].iloc[0])
+    assert (got.loc[got["v"] == 5.0, "is_spike"] == 0).all()
+    with pytest.raises(ValueError):
+        hampel_filter(spark.createDataFrame(pdf), ["k"], ["i"], "v", n=4)
