@@ -6179,6 +6179,59 @@ FROM m5
 """
 
 
+def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature scaling (operators/features.py:standardize):
+    z-score (explicit power-sum moments), min-max, and robust
+    (median/IQR) columns in one stats pass + broadcast join. Cent scale
+    again: mean/std come from exact integer sums, min/max/x are exact
+    grid doubles, so z and mm are fully deterministic; the robust
+    column inherits the known 1-ulp percentile interpolation wobble and
+    all three round at 6 (ratios are non-grid after division by an
+    irrational-ish spread, and the deterministic pair tie identically
+    by construction)."""
+    from tablecloth_time_spark.operators.features import standardize
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100, 0)
+    )
+    out = standardize(ev, ["user_id"], "value_c")
+    return out.select(
+        "event_id", "user_id",
+        F.round("value_c_z", 6).alias("z"),
+        F.round("value_c_mm", 6).alias("mm"),
+        F.round("value_c_rb", 6).alias("rb"),
+    )
+
+
+SQL_STANDARDIZE = """
+WITH v AS (
+  SELECT event_id, user_id,
+         ROUND(CAST(value AS DOUBLE) * 100, 0) AS x
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         SUM(x) AS s1, SUM(x * x) AS s2,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         MIN(x) AS lo, MAX(x) AS hi,
+         quantile_cont(x, 0.5) AS med,
+         quantile_cont(x, 0.75) - quantile_cont(x, 0.25) AS iqr
+  FROM v WHERE x IS NOT NULL AND NOT isnan(x)
+  GROUP BY 1
+)
+SELECT v.event_id, v.user_id,
+       ROUND(CASE WHEN sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) > 0
+                  THEN (v.x - s.s1 / s.n)
+                       / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))
+             END, 6) AS z,
+       ROUND(CASE WHEN s.hi > s.lo
+                  THEN (v.x - s.lo) / (s.hi - s.lo) END, 6) AS mm,
+       ROUND(CASE WHEN s.iqr > 0
+                  THEN (v.x - s.med) / s.iqr END, 6) AS rb
+FROM v LEFT JOIN s ON v.user_id = s.user_id
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -6304,6 +6357,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "dominant_period": [("peak_acf", "DOUBLE")],
     "winsorize": [("value", "DOUBLE"), ("value_w", "DOUBLE")],
     "hampel": [("v", "DOUBLE"), ("v_f", "DOUBLE")],
+    "standardize": [("z", "DOUBLE"), ("mm", "DOUBLE"), ("rb", "DOUBLE")],
 }
 
 
@@ -6453,6 +6507,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_period": q_dominant_period,
         "winsorize": q_winsorize,
         "hampel": q_hampel,
+        "standardize": q_standardize,
     }
 
 
@@ -6576,4 +6631,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "dominant_period": _sql_dominant_period(),
         "winsorize": SQL_WINSORIZE,
         "hampel": SQL_HAMPEL,
+        "standardize": SQL_STANDARDIZE,
     }

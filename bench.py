@@ -709,6 +709,15 @@ def main() -> None:
         ).collect(),
     )
 
+    from tablecloth_time_spark.operators.features import standardize
+
+    timed(
+        "standardize_events",
+        lambda: standardize(events, ["user_id"], "value").agg(
+            F.avg("value_z"), F.avg("value_mm"), F.avg("value_rb")
+        ).collect(),
+    )
+
     from tablecloth_time_spark.operators.rolling import hampel_filter
 
     timed(

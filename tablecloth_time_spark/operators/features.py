@@ -320,3 +320,81 @@ def winsorize(
         .withColumn(flag_col, ((v < lo) | (v > hi)).cast("int"))
         .drop("__lo", "__hi")
     )
+
+
+def standardize(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    methods: tuple[str, ...] = ("zscore", "minmax", "robust"),
+    prefix: str | None = None,
+) -> DataFrame:
+    """Per-key feature scaling, the training-prep staple: add one column
+    per requested method —
+
+    - ``zscore``: (x - mean) / std_pop (population moments from explicit
+      power sums, the same cross-engine-mirrorable formulas as
+      :func:`series_features`);
+    - ``minmax``: (x - min) / (max - min), NULL when the key is constant
+      (zero range carries no information, not infinity);
+    - ``robust``: (x - median) / IQR (p75 - p25, exact type-7
+      percentiles) — scikit-learn RobustScaler semantics, immune to the
+      fat tails that stretch a min-max or z scale.
+
+    One per-key aggregate computes every needed statistic in a single
+    pass; the stats frame is |keys| rows and broadcasts back onto the
+    rows, so the scaling itself is a pure projection — no second
+    raw-data shuffle at any size. NULL/NaN values pass through NULL.
+    Zero-spread keys (std/range/IQR = 0) yield NULL scaled values for
+    that method.
+    """
+    allowed = {"zscore", "minmax", "robust"}
+    bad = set(methods) - allowed
+    if bad:
+        raise ValueError(f"standardize: unknown methods {sorted(bad)}")
+    prefix = prefix if prefix is not None else f"{value_col}_"
+    v = F.col(value_col).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    s1, s2 = F.sum(v), F.sum(v * v)
+    mean = s1 / n
+    aggs = []
+    if "zscore" in methods:
+        aggs += [
+            mean.alias("__mu"),
+            F.sqrt(s2 / n - mean * mean).alias("__sd"),
+        ]
+    if "minmax" in methods:
+        aggs += [F.min(v).alias("__lo"), F.max(v).alias("__hi")]
+    if "robust" in methods:
+        aggs += [
+            F.expr(f"percentile({value_col}, 0.5)").alias("__med"),
+            (
+                F.expr(f"percentile({value_col}, 0.75)")
+                - F.expr(f"percentile({value_col}, 0.25)")
+            ).alias("__iqr"),
+        ]
+    stats = df.filter(v.isNotNull() & ~F.isnan(v)).groupBy(*keys).agg(*aggs)
+    out = df.join(F.broadcast(stats), on=list(keys), how="left")
+    if "zscore" in methods:
+        out = out.withColumn(
+            f"{prefix}z",
+            F.when(
+                F.col("__sd") > 0, (v - F.col("__mu")) / F.col("__sd")
+            ),
+        )
+    if "minmax" in methods:
+        out = out.withColumn(
+            f"{prefix}mm",
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                (v - F.col("__lo")) / (F.col("__hi") - F.col("__lo")),
+            ),
+        )
+    if "robust" in methods:
+        out = out.withColumn(
+            f"{prefix}rb",
+            F.when(
+                F.col("__iqr") > 0, (v - F.col("__med")) / F.col("__iqr")
+            ),
+        )
+    return out.drop("__mu", "__sd", "__lo", "__hi", "__med", "__iqr")

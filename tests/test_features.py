@@ -412,3 +412,55 @@ def test_hampel_null_and_constant(spark):
     assert (got.loc[got["v"] == 5.0, "is_spike"] == 0).all()
     with pytest.raises(ValueError):
         hampel_filter(spark.createDataFrame(pdf), ["k"], ["i"], "v", n=4)
+
+
+def test_standardize_matches_numpy(spark):
+    from tablecloth_time_spark.operators.features import standardize
+
+    rng = np.random.default_rng(21)
+    rows = []
+    series = {
+        "a": rng.normal(50, 7, 120),
+        "b": np.concatenate([rng.normal(5, 1, 95), [500.0] * 5]),
+        "const": np.full(10, 3.0),
+    }
+    for key, vals in series.items():
+        rows += [(key, i, float(v)) for i, v in enumerate(vals)]
+    pdf = pd.DataFrame(rows, columns=["k", "i", "v"])
+    got = (
+        standardize(spark.createDataFrame(pdf), ["k"], "v")
+        .toPandas().sort_values(["k", "i"]).reset_index(drop=True)
+    )
+    for key, x in series.items():
+        x = np.asarray(x, dtype=float)
+        sub = got[got["k"] == key]
+        mu, sd = x.mean(), x.std()  # population
+        lo, hi = x.min(), x.max()
+        med = np.quantile(x, 0.5)
+        iqr = np.quantile(x, 0.75) - np.quantile(x, 0.25)
+        if key == "const":
+            assert sub["v_z"].isna().all()
+            assert sub["v_mm"].isna().all()
+            assert sub["v_rb"].isna().all()
+            continue
+        np.testing.assert_allclose(sub["v_z"], (x - mu) / sd, rtol=1e-9)
+        np.testing.assert_allclose(sub["v_mm"], (x - lo) / (hi - lo), rtol=1e-9)
+        np.testing.assert_allclose(sub["v_rb"], (x - med) / iqr, rtol=1e-9)
+        # the fat-tail key: robust scale keeps the body tight where
+        # minmax crushes it
+        if key == "b":
+            body = sub["v_mm"][:95]
+            assert body.max() < 0.05  # crushed by the 500s
+            assert sub["v_rb"][:95].abs().max() > 1.0  # body preserved
+
+
+def test_standardize_null_and_validation(spark):
+    from tablecloth_time_spark.operators.features import standardize
+
+    pdf = pd.DataFrame({"k": ["a"] * 4, "v": [1.0, 2.0, 3.0, None]})
+    df = spark.createDataFrame(pdf)
+    got = standardize(df, ["k"], "v", methods=("minmax",)).toPandas()
+    assert got[got["v"].isna()]["v_mm"].isna().all()
+    assert set(got.columns) == {"k", "v", "v_mm"}
+    with pytest.raises(ValueError):
+        standardize(df, ["k"], "v", methods=("zscore", "nope"))
