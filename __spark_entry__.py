@@ -6232,6 +6232,62 @@ FROM v LEFT JOIN s ON v.user_id = s.user_id
 """
 
 
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity profile over the documents table
+    (functions/text.py:lexical_diversity): token/type/hapax counts plus
+    TTR, hapax ratio, and Guiraud's length-corrected R — the
+    vocabulary-richness training-data quality signal. All counts are
+    exact integers and every ratio is a single deterministic division,
+    so no rounding is needed; DuckDB mirrors the normalize → split →
+    unnest (explode_outer semantics via a [NULL] placeholder) → two-
+    aggregate pipeline."""
+    from tablecloth_time_spark.functions.text import lexical_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return lexical_diversity(docs, ["doc_id"])
+
+
+SQL_LEXICAL_DIVERSITY = r"""
+WITH nm AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+tk AS (
+  SELECT doc_id,
+         CASE WHEN t IS NULL THEN NULL
+              WHEN t = '' THEN []::VARCHAR[]
+              ELSE string_split(t, ' ') END AS toks
+  FROM nm
+),
+w AS (
+  SELECT doc_id,
+         unnest(CASE WHEN toks IS NULL OR len(toks) = 0
+                     THEN [CAST(NULL AS VARCHAR)] ELSE toks END) AS wd
+  FROM tk
+),
+wc AS (
+  SELECT doc_id, wd, COUNT(wd) AS c FROM w GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CASE WHEN CAST(SUM(c) AS DOUBLE) = 0 THEN NULL
+            ELSE CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(c) AS DOUBLE) END AS ttr,
+       CASE WHEN CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS DOUBLE) = 0
+            THEN NULL
+            ELSE CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       END AS hapax_ratio,
+       CASE WHEN sqrt(CAST(SUM(c) AS DOUBLE)) = 0 THEN NULL
+            ELSE CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / sqrt(CAST(SUM(c) AS DOUBLE)) END AS guiraud
+FROM wc GROUP BY 1
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -6358,6 +6414,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "winsorize": [("value", "DOUBLE"), ("value_w", "DOUBLE")],
     "hampel": [("v", "DOUBLE"), ("v_f", "DOUBLE")],
     "standardize": [("z", "DOUBLE"), ("mm", "DOUBLE"), ("rb", "DOUBLE")],
+    "lexical_diversity": [("ttr", "DOUBLE"), ("hapax_ratio", "DOUBLE"), ("guiraud", "DOUBLE")],
 }
 
 
@@ -6508,6 +6565,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "hampel": q_hampel,
         "standardize": q_standardize,
+        "lexical_diversity": q_lexical_diversity,
     }
 
 
@@ -6632,4 +6690,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "winsorize": SQL_WINSORIZE,
         "hampel": SQL_HAMPEL,
         "standardize": SQL_STANDARDIZE,
+        "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     }

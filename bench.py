@@ -709,6 +709,16 @@ def main() -> None:
         ).collect(),
     )
 
+    from tablecloth_time_spark.functions.text import lexical_diversity
+
+    documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed(
+        "lexical_diversity_documents",
+        lambda: lexical_diversity(documents, ["doc_id"]).agg(
+            F.avg("ttr"), F.sum("n_hapax")
+        ).collect(),
+    )
+
     from tablecloth_time_spark.operators.features import standardize
 
     timed(

@@ -500,3 +500,47 @@ def add_repetition_metrics(df, text_col: str = "text"):
         .withColumn("dup_word_frac", _dup_frac(F.col("__words")))
         .drop("__words")
     )
+
+
+def lexical_diversity(df, id_cols: list[str], text_col: str = "text"):
+    """Per-document lexical-diversity profile — the vocabulary-richness
+    training-data quality signal that complements the surface-shape
+    metrics in :func:`add_text_metrics`: template/boilerplate expansions
+    and keyword-stuffed spam read as LOW type-token ratios long before a
+    perplexity filter sees them.
+
+    Tokens are the whitespace tokens of the normalized text (lowercase,
+    collapsed whitespace — the same canonicalization the dedup keys
+    use). Emits per ``id_cols``: ``n_tokens``, ``n_types`` (distinct
+    tokens), ``n_hapax`` (tokens occurring exactly once), ``ttr``
+    (type-token ratio), ``hapax_ratio`` (hapax / types), and
+    ``guiraud`` (types / sqrt(tokens) — Guiraud 1954's R, the classic
+    length-corrected TTR). Empty/NULL documents keep their row with
+    zero counts and NULL ratios.
+
+    Plan: explode -> count per (id, token) -> fold per id: two
+    mergeable hash aggregates; the only shuffled payload is (id, token,
+    count) — the same explode-then-aggregate class as the MinHash
+    signature pass, bounded by corpus tokens, with the text column
+    itself never shuffling.
+    """
+    words = df.select(
+        *id_cols,
+        F.explode_outer(tokens_ws(normalize_text(text_col))).alias("__w"),
+    )
+    wc = words.groupBy(*id_cols, "__w").agg(F.count("__w").alias("__c"))
+    types = F.sum(F.when(F.col("__c") > 0, 1).otherwise(0)).cast("long")
+    hapax = F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("long")
+    tokens = F.sum("__c").cast("long")
+    return wc.groupBy(*id_cols).agg(
+        tokens.alias("n_tokens"),
+        types.alias("n_types"),
+        hapax.alias("n_hapax"),
+        F.try_divide(types.cast("double"), tokens.cast("double")).alias("ttr"),
+        F.try_divide(hapax.cast("double"), types.cast("double")).alias(
+            "hapax_ratio"
+        ),
+        F.try_divide(
+            types.cast("double"), F.sqrt(tokens.cast("double"))
+        ).alias("guiraud"),
+    )

@@ -464,3 +464,35 @@ def test_standardize_null_and_validation(spark):
     assert set(got.columns) == {"k", "v", "v_mm"}
     with pytest.raises(ValueError):
         standardize(df, ["k"], "v", methods=("zscore", "nope"))
+
+
+def test_lexical_diversity(spark):
+    from tablecloth_time_spark.functions.text import lexical_diversity
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat sat on the mat",          # the x2 -> 5 types, 4 hapax
+                "Spam  spam SPAM spam",            # 1 type, 0 hapax
+                "",                                 # empty
+                None,                               # null
+            ],
+        }
+    )
+    got = (
+        lexical_diversity(spark.createDataFrame(pdf), ["doc_id"])
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    r1 = got.loc[1]
+    assert r1["n_tokens"] == 6 and r1["n_types"] == 5 and r1["n_hapax"] == 4
+    assert r1["ttr"] == pytest.approx(5 / 6)
+    assert r1["hapax_ratio"] == pytest.approx(4 / 5)
+    assert r1["guiraud"] == pytest.approx(5 / math.sqrt(6))
+    r2 = got.loc[2]
+    assert r2["n_tokens"] == 4 and r2["n_types"] == 1 and r2["n_hapax"] == 0
+    assert r2["ttr"] == pytest.approx(0.25) and r2["hapax_ratio"] == 0.0
+    for d in (3, 4):
+        r = got.loc[d]
+        assert r["n_tokens"] == 0 and r["n_types"] == 0
+        assert pd.isna(r["ttr"]) and pd.isna(r["guiraud"])
