@@ -6288,6 +6288,62 @@ FROM wc GROUP BY 1
 """
 
 
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screening over the labeled embeddings
+    table (operators/similarity.py:centroid_outliers): per-label mean
+    embedding, each vector's cosine to its own label centroid, and the
+    z_thresh=2 below-mean outlier flag. Vectors never shuffle — the
+    posexplode aggregate carries 8-byte dim partials and both joins
+    broadcast |labels|-row frames. cos rounds at 6 (the similarity
+    family's proven parity band for the sequential-fold dot vs DuckDB
+    list_inner_product)."""
+    from tablecloth_time_spark.operators.similarity import centroid_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = centroid_outliers(emb, ["label"], "vec_id", "embedding")
+    return out.select(
+        "label", "vec_id",
+        F.round("cos_centroid", 6).alias("cos_centroid"),
+        "is_outlier",
+    )
+
+
+SQL_CENTROID_OUTLIERS = """
+WITH ed AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+d AS (
+  SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM ed
+),
+c AS (
+  SELECT label, pos, AVG(val) AS cv FROM d GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list(cv ORDER BY pos) AS centroid FROM c GROUP BY 1
+),
+s AS (
+  SELECT e.label, e.vec_id,
+         list_inner_product(e.v, c.centroid)
+           / (sqrt(list_inner_product(e.v, e.v))
+              * sqrt(list_inner_product(c.centroid, c.centroid)))
+           AS cos
+  FROM ed e JOIN cent c ON e.label = c.label
+),
+st AS (
+  SELECT label, SUM(cos) AS s1, SUM(cos * cos) AS s2,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM s GROUP BY 1
+)
+SELECT s.label, s.vec_id, ROUND(s.cos, 6) AS cos_centroid,
+       CAST(s.cos < st.s1 / st.n
+                    - 2.0 * sqrt(st.s2 / st.n
+                                 - (st.s1 / st.n) * (st.s1 / st.n))
+            AS INT) AS is_outlier
+FROM s JOIN st ON s.label = st.label
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -6415,6 +6471,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "hampel": [("v", "DOUBLE"), ("v_f", "DOUBLE")],
     "standardize": [("z", "DOUBLE"), ("mm", "DOUBLE"), ("rb", "DOUBLE")],
     "lexical_diversity": [("ttr", "DOUBLE"), ("hapax_ratio", "DOUBLE"), ("guiraud", "DOUBLE")],
+    "centroid_outliers": [("cos_centroid", "DOUBLE")],
 }
 
 
@@ -6566,6 +6623,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hampel": q_hampel,
         "standardize": q_standardize,
         "lexical_diversity": q_lexical_diversity,
+        "centroid_outliers": q_centroid_outliers,
     }
 
 
@@ -6691,4 +6749,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "hampel": SQL_HAMPEL,
         "standardize": SQL_STANDARDIZE,
         "lexical_diversity": SQL_LEXICAL_DIVERSITY,
+        "centroid_outliers": SQL_CENTROID_OUTLIERS,
     }

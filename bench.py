@@ -709,6 +709,16 @@ def main() -> None:
         ).collect(),
     )
 
+    from tablecloth_time_spark.operators.similarity import centroid_outliers
+
+    embeddings_t = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed(
+        "centroid_outliers_embeddings",
+        lambda: centroid_outliers(
+            embeddings_t, ["label"], "vec_id", "embedding"
+        ).agg(F.sum("is_outlier"), F.avg("cos_centroid")).collect(),
+    )
+
     from tablecloth_time_spark.functions.text import lexical_diversity
 
     documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")

@@ -346,3 +346,69 @@ def cosine_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    vec_col: str,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Embedding-space quality screening: per group (``keys``), the mean
+    embedding (centroid), each vector's cosine similarity to its own
+    group's centroid, and a z-score outlier flag (cos more than
+    ``z_thresh`` population-stddevs BELOW the group mean similarity) —
+    the standard first-pass detector for mislabeled / off-topic /
+    garbage members of a labeled embedding corpus before training.
+
+    Plan: posexplode -> (keys, dim, sum/count) mergeable aggregate
+    (the only raw-vector shuffle, carrying 8-byte partials per
+    dimension) -> centroid arrays reassembled per key and
+    ``broadcast()`` back -> cosine as pure array expressions (the
+    similarity-family fold, no Python) -> one tiny (keys, cos) stats
+    pass for the z threshold. Vectors themselves never shuffle: both
+    joins broadcast |keys|-row frames.
+
+    Mean/std use the explicit power-sum formulas (cross-engine
+    mirrorable, as everywhere in this engine). NULL embeddings drop.
+    """
+    if z_thresh < 0:
+        raise ValueError(f"centroid_outliers: z_thresh must be >= 0, got {z_thresh}")
+    base = df.filter(F.col(vec_col).isNotNull())
+    dims = base.select(
+        *keys, F.posexplode(vec_col).alias("__pos", "__val")
+    )
+    cent = dims.groupBy(*keys, "__pos").agg(
+        F.avg(F.col("__val").cast("double")).alias("__cv")
+    )
+    carr = cent.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__cv"))),
+            lambda s: s["__cv"],
+        ).alias("__centroid")
+    )
+    j = base.join(F.broadcast(carr), on=list(keys))
+    sims = j.select(
+        *keys,
+        F.col(id_col).alias(id_col),
+        cosine(F.col(vec_col), F.col("__centroid")).alias("cos_centroid"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    s1 = F.sum("cos_centroid")
+    s2 = F.sum(F.col("cos_centroid") * F.col("cos_centroid"))
+    mean = s1 / n
+    stats = sims.groupBy(*keys).agg(
+        mean.alias("__m"),
+        F.sqrt(s2 / n - mean * mean).alias("__sd"),
+    )
+    return (
+        sims.join(F.broadcast(stats), on=list(keys))
+        .select(
+            *keys, id_col, "cos_centroid",
+            (
+                F.col("cos_centroid")
+                < F.col("__m") - F.lit(z_thresh) * F.col("__sd")
+            ).cast("int").alias("is_outlier"),
+        )
+    )

@@ -496,3 +496,37 @@ def test_lexical_diversity(spark):
         r = got.loc[d]
         assert r["n_tokens"] == 0 and r["n_types"] == 0
         assert pd.isna(r["ttr"]) and pd.isna(r["guiraud"])
+
+
+def test_centroid_outliers(spark):
+    from tablecloth_time_spark.operators.similarity import centroid_outliers
+
+    rng = np.random.default_rng(17)
+    rows = []
+    # two tight clusters + one planted off-cluster vector per label
+    base = {0: np.array([1.0, 0.0, 0.0, 0.0]), 1: np.array([0.0, 1.0, 0.0, 0.0])}
+    for label, b in base.items():
+        for i in range(40):
+            v = b + rng.normal(0, 0.02, 4)
+            rows.append((label * 100 + i, label, [float(x) for x in v]))
+        rows.append((label * 100 + 99, label, [0.0, 0.0, 1.0, 0.0]))  # planted
+    pdf = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    got = (
+        centroid_outliers(
+            spark.createDataFrame(pdf), ["label"], "vec_id", "embedding"
+        )
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    # numpy oracle
+    for label in (0, 1):
+        sub = pdf[pdf["label"] == label]
+        V = np.array(sub["embedding"].tolist())
+        c = V.mean(axis=0)
+        cos = (V @ c) / (np.linalg.norm(V, axis=1) * np.linalg.norm(c))
+        m, sd = cos.mean(), cos.std()
+        for (vid, _), s in zip(sub[["vec_id", "label"]].values, cos):
+            row = got.loc[vid]
+            assert row["cos_centroid"] == pytest.approx(s, rel=1e-9)
+            assert int(row["is_outlier"]) == int(s < m - 2.0 * sd)
+    # exactly the planted vectors flag
+    assert set(got[got["is_outlier"] == 1].index) == {99, 199}
