@@ -6344,6 +6344,36 @@ FROM s JOIN st ON s.label = st.label
 """
 
 
+def q_tenure_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-tenure features
+    (operators/features.py:tenure_features): first/last activity,
+    inclusive calendar span, exact distinct active days, event count,
+    and activity density — one mergeable aggregate, timestamps and
+    exact integers throughout, no rounding anywhere."""
+    from tablecloth_time_spark.operators.features import tenure_features
+
+    ev = _t(spark, sf_dir, "events")
+    return tenure_features(ev, ["user_id"], "ts")
+
+
+SQL_TENURE_FEATURES = """
+SELECT user_id,
+       MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+       MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+       CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                      MAX(CAST(ts AS DATE))) + 1 AS BIGINT) AS span_days,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE)
+         / CAST(CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                               MAX(CAST(ts AS DATE))) + 1 AS BIGINT)
+                AS DOUBLE) AS density
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -6472,6 +6502,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "standardize": [("z", "DOUBLE"), ("mm", "DOUBLE"), ("rb", "DOUBLE")],
     "lexical_diversity": [("ttr", "DOUBLE"), ("hapax_ratio", "DOUBLE"), ("guiraud", "DOUBLE")],
     "centroid_outliers": [("cos_centroid", "DOUBLE")],
+    "tenure_features": [("density", "DOUBLE")],
 }
 
 
@@ -6624,6 +6655,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize": q_standardize,
         "lexical_diversity": q_lexical_diversity,
         "centroid_outliers": q_centroid_outliers,
+        "tenure_features": q_tenure_features,
     }
 
 
@@ -6750,4 +6782,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "standardize": SQL_STANDARDIZE,
         "lexical_diversity": SQL_LEXICAL_DIVERSITY,
         "centroid_outliers": SQL_CENTROID_OUTLIERS,
+        "tenure_features": SQL_TENURE_FEATURES,
     }

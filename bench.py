@@ -709,6 +709,15 @@ def main() -> None:
         ).collect(),
     )
 
+    from tablecloth_time_spark.operators.features import tenure_features
+
+    timed(
+        "tenure_features_events",
+        lambda: tenure_features(events, ["user_id"], "ts").agg(
+            F.avg("density"), F.sum("active_days")
+        ).collect(),
+    )
+
     from tablecloth_time_spark.operators.similarity import centroid_outliers
 
     embeddings_t = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

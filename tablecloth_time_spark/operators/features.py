@@ -398,3 +398,41 @@ def standardize(
             ),
         )
     return out.drop("__mu", "__sd", "__lo", "__hi", "__med", "__iqr")
+
+
+def tenure_features(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Per-key activity-tenure features — the entity-level signals a
+    retention / cohort / sampling pipeline keys on: ``first_ts`` /
+    ``last_ts`` (activity bounds), ``span_days`` (calendar days between
+    them, inclusive of both endpoints' dates), ``active_days``
+    (distinct calendar dates with any event), ``n_events``, and
+    ``density`` = active_days / span_days (1.0 = active every calendar
+    day of the tenure, -> 0 for drive-by-then-dormant keys).
+
+    ONE mergeable hash aggregate: min/max/count combine map-side and
+    the exact distinct-date count is the classic two-phase
+    count-distinct on (key, date) — nothing but key/date/count partials
+    shuffle. All outputs are timestamps and exact integers (plus one
+    exact-integer ratio), so the whole row is cross-engine
+    deterministic with no rounding.
+    """
+    ts = F.col(ts_col)
+    d = F.to_date(ts)
+    out = df.filter(ts.isNotNull()).groupBy(*keys).agg(
+        F.min(ts).alias("first_ts"),
+        F.max(ts).alias("last_ts"),
+        (
+            F.datediff(F.max(d), F.min(d)) + F.lit(1)
+        ).cast("long").alias("span_days"),
+        F.count_distinct(d).alias("active_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).withColumn(
+        "density",
+        F.col("active_days").cast("double")
+        / F.col("span_days").cast("double"),
+    )
+    return out

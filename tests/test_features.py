@@ -530,3 +530,32 @@ def test_centroid_outliers(spark):
             assert int(row["is_outlier"]) == int(s < m - 2.0 * sd)
     # exactly the planted vectors flag
     assert set(got[got["is_outlier"] == 1].index) == {99, 199}
+
+
+def test_tenure_features(spark):
+    from tablecloth_time_spark.operators.features import tenure_features
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 2,
+            "ts": [
+                dt.datetime(2024, 3, 1, 8), dt.datetime(2024, 3, 1, 22),
+                dt.datetime(2024, 3, 3, 5), dt.datetime(2024, 3, 10, 1),
+                dt.datetime(2024, 3, 10, 2),
+                dt.datetime(2024, 4, 1, 0), dt.datetime(2024, 4, 1, 12),
+            ],
+        }
+    )
+    got = (
+        tenure_features(spark.createDataFrame(pdf), ["k"], "ts")
+        .toPandas().set_index("k")
+    )
+    a = got.loc["a"]
+    assert a["first_ts"] == pd.Timestamp("2024-03-01 08:00")
+    assert a["last_ts"] == pd.Timestamp("2024-03-10 02:00")
+    assert a["span_days"] == 10 and a["active_days"] == 3
+    assert a["n_events"] == 5
+    assert a["density"] == pytest.approx(0.3)
+    b = got.loc["b"]
+    assert b["span_days"] == 1 and b["active_days"] == 1
+    assert b["density"] == 1.0
