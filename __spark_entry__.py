@@ -6374,6 +6374,44 @@ GROUP BY 1
 """
 
 
+def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-structure transition matrix applied with generic role
+    semantics (operators/transcripts.py:role_transitions): one row per
+    adjacent (from_type, to_type) pair per user sequence with the count
+    and the gap distribution (exact-ms mean + exact-interpolated p95
+    seconds). Deterministic with no rounding: the mean accumulates
+    exact integer milliseconds and divides once; each p95 input is a
+    single k/1000 division; percentile()/quantile_cont interpolation
+    parity is the measured property the winsorize/theil_sen family
+    established."""
+    from tablecloth_time_spark.operators.transcripts import role_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return role_transitions(
+        ev, conv_col="user_id", order_cols=["ts", "event_id"],
+        ts_col="ts", role_col="event_type",
+    )
+
+
+SQL_ROLE_TRANSITIONS = """
+WITH p AS (
+  SELECT lag(event_type) OVER w AS from_role,
+         event_type AS to_role,
+         CAST(epoch_ms(CAST(ts AS TIMESTAMP))
+              - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w
+              AS DOUBLE) AS gap_ms
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT from_role, to_role,
+       COUNT(*) AS transitions,
+       AVG(gap_ms) / 1000.0 AS mean_gap_s,
+       quantile_cont(gap_ms / 1000.0, 0.95) AS p95_gap_s
+FROM p WHERE from_role IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -6503,6 +6541,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "lexical_diversity": [("ttr", "DOUBLE"), ("hapax_ratio", "DOUBLE"), ("guiraud", "DOUBLE")],
     "centroid_outliers": [("cos_centroid", "DOUBLE")],
     "tenure_features": [("density", "DOUBLE")],
+    "role_transitions": [("mean_gap_s", "DOUBLE"), ("p95_gap_s", "DOUBLE")],
 }
 
 
@@ -6656,6 +6695,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "centroid_outliers": q_centroid_outliers,
         "tenure_features": q_tenure_features,
+        "role_transitions": q_role_transitions,
     }
 
 
@@ -6783,4 +6823,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "lexical_diversity": SQL_LEXICAL_DIVERSITY,
         "centroid_outliers": SQL_CENTROID_OUTLIERS,
         "tenure_features": SQL_TENURE_FEATURES,
+        "role_transitions": SQL_ROLE_TRANSITIONS,
     }

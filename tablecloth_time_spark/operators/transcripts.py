@@ -300,15 +300,20 @@ def role_transitions(
     ms = to_epoch_millis(ts_col)
     w = Window.partitionBy(conv_col).orderBy(*_order(order_cols))
     prev_role = F.lag(F.col(role_col)).over(w)
-    gap_s = (ms - F.lag(ms).over(w)).cast("double") / 1000.0
+    gap_ms = (ms - F.lag(ms).over(w)).cast("double")
     pairs = df.select(
         prev_role.alias("from_role"),
         F.col(role_col).alias("to_role"),
-        gap_s.alias("__gap_s"),
+        gap_ms.alias("__gap_ms"),
+        (gap_ms / 1000.0).alias("__gap_s"),
     ).filter(F.col("from_role").isNotNull())
+    # mean accumulates EXACT integer milliseconds (sums below 2^53) and
+    # divides once at the end, so the result is summation-order-free and
+    # bit-reproducible across engines; the quantile interpolates over
+    # per-row k/1000 doubles, which are already deterministic
     return pairs.groupBy("from_role", "to_role").agg(
         F.count(F.lit(1)).alias("transitions"),
-        F.avg("__gap_s").alias("mean_gap_s"),
+        (F.avg("__gap_ms") / F.lit(1000.0)).alias("mean_gap_s"),
         F.percentile(F.col("__gap_s"), F.lit(0.95)).alias("p95_gap_s"),
     )
 
