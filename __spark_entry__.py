@@ -6412,6 +6412,332 @@ GROUP BY 1, 2
 """
 
 
+def q_alternation_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue run-length profile with generic role semantics
+    (operators/transcripts.py:alternation_runs): per user sequence the
+    consecutive-same-type runs of the events stream — n_turns, n_runs,
+    max/mean run length, alternation ratio, and the longest run's type
+    (earliest run wins ties via a (len, -run_id) struct-max). All-integer
+    arithmetic plus two exact single divisions — no rounding."""
+    from tablecloth_time_spark.operators.transcripts import alternation_runs
+
+    ev = _t(spark, sf_dir, "events")
+    return alternation_runs(
+        ev, conv_col="user_id", order_cols=["ts", "event_id"],
+        role_col="event_type",
+    )
+
+
+SQL_ALTERNATION_RUNS = """
+WITH m AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN row_number() OVER w = 1
+                   OR lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), rr AS (
+  SELECT user_id, event_type,
+         SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM m
+), runs AS (
+  SELECT user_id, run_id,
+         CAST(COUNT(*) AS BIGINT) AS len,
+         MIN(event_type) AS r
+  FROM rr GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY len DESC, run_id ASC) AS rk
+  FROM runs
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_turns,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(len) AS BIGINT) AS max_run_len,
+       CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_run_len,
+       CASE WHEN SUM(len) > 1
+            THEN CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(len) - 1 AS DOUBLE)
+       END AS alternation_ratio,
+       MIN(CASE WHEN rk = 1 THEN r END) AS longest_run_role
+FROM ranked
+GROUP BY 1
+"""
+
+
+def q_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Response-latency calendar heatmap
+    (operators/transcripts.py:transition_latency_buckets): adjacent
+    view->click gaps bucketed by the click's (ISO dow, hour) — count,
+    exact-ms mean, exact-interpolated p95 seconds. Same exactness
+    discipline as role_transitions (integer-ms mean, k/1000 p95 inputs,
+    percentile/quantile_cont interpolation parity)."""
+    from tablecloth_time_spark.operators.transcripts import (
+        transition_latency_buckets,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_latency_buckets(
+        ev, conv_col="user_id", order_cols=["ts", "event_id"],
+        ts_col="ts", role_col="event_type",
+        initiator="view", responder="click",
+    )
+
+
+SQL_LATENCY_BUCKETS = """
+WITH p AS (
+  SELECT ts, event_type,
+         lag(event_type) OVER w AS prev_t,
+         CAST(epoch_ms(CAST(ts AS TIMESTAMP))
+              - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER w
+              AS DOUBLE) AS gap_ms
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS iso_dow,
+       CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour_of_day,
+       COUNT(*) AS n_responses,
+       AVG(gap_ms) / 1000.0 AS mean_gap_s,
+       quantile_cont(gap_ms / 1000.0, 0.95) AS p95_gap_s
+FROM p
+WHERE event_type = 'click' AND prev_t = 'view' AND gap_ms IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_sortedness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key is-sorted? report (operators/validate.py:
+    sortedness_report — the DataFrame form of the reference's
+    binary_search.clj:8-25 check). The fixture events arrive perfectly
+    ordered, so the query injects DETERMINISTIC ingest jitter first —
+    observed time = ts + (event_id % 7) * 90 s, NULLed every 97th id —
+    then validates monotonicity per user in event_id (arrival) order:
+    n_rows / n_nulls / n_violations / is_sorted, exercising both failure
+    modes (nulls and out-of-order) that gate the reference's
+    binary-search slice precondition."""
+    from tablecloth_time_spark.operators.validate import sortedness_report
+
+    ev = _t(spark, sf_dir, "events")
+    # interval arithmetic (not unix_millis) so the jitter works on both
+    # TIMESTAMP and TIMESTAMP_NTZ inputs; when() without otherwise()
+    # yields NULL of the branch's own type
+    jitter = F.when(
+        F.col("event_id") % 97 != 0,
+        F.col("ts")
+        + F.make_dt_interval(
+            secs=((F.col("event_id") % 7) * 90).cast("double")
+        ),
+    )
+    jittered = ev.withColumn("obs_ts", jitter)
+    return sortedness_report(
+        jittered, "obs_ts", partition_by="user_id", order_by="event_id"
+    )
+
+
+SQL_SORTEDNESS_REPORT = """
+WITH j AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 97 = 0 THEN NULL
+              ELSE CAST(ts AS TIMESTAMP)
+                   + (event_id % 7) * INTERVAL 90 SECOND
+         END AS obs_ts
+  FROM events
+), p AS (
+  SELECT user_id,
+         obs_ts,
+         lag(obs_ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM j
+)
+SELECT user_id,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE obs_ts IS NULL) AS BIGINT) AS n_nulls,
+       CAST(COUNT(*) FILTER (WHERE obs_ts IS NOT NULL AND prev IS NOT NULL
+                             AND obs_ts < prev) AS BIGINT) AS n_violations,
+       (COUNT(*) FILTER (WHERE obs_ts IS NULL) = 0
+        AND COUNT(*) FILTER (WHERE obs_ts IS NOT NULL AND prev IS NOT NULL
+                             AND obs_ts < prev) = 0) AS is_sorted
+FROM p
+GROUP BY 1
+"""
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction audit (functions/text.py:pii_counts /
+    redact_pii) on the RE2-safe category subset (email/ssn/card/ipv4 —
+    'phone' needs Java-regex lookaround, driver-excluded and documented).
+    The fixture corpus contains no PII shapes, so the query first appends
+    a DETERMINISTIC synthetic tail per doc (email always; ipv4 always;
+    ssn on doc_id%3=0; card on doc_id%5=0; a second email on doc_id%4=0)
+    — both engines build the identical string, then count and redact with
+    the same most-specific-first masking order."""
+    from tablecloth_time_spark.functions import text as TX
+
+    cats = ("email", "ssn", "card", "ipv4")
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" uid"), did.cast("string"),
+        F.lit("@ex"), (did % 7).cast("string"),
+        F.lit(".com ip 10.0."), (did % 200).cast("string"), F.lit(".5"),
+        F.when(did % 3 == 0, F.lit(" 123-45-6789")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" 4111111111111111")).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit(" a.b@x.io")).otherwise(F.lit("")),
+    )
+    counts = TX.pii_counts(aug, cats)
+    return docs.select(
+        "doc_id",
+        counts.getField("email").cast("long").alias("n_email"),
+        counts.getField("ssn").cast("long").alias("n_ssn"),
+        counts.getField("card").cast("long").alias("n_card"),
+        counts.getField("ipv4").cast("long").alias("n_ipv4"),
+        F.length(TX.redact_pii(aug, cats)).cast("long").alias("redacted_len"),
+    )
+
+
+def _sql_pii_scan() -> str:
+    """DuckDB mirror of q_pii_scan built from the SAME PII_PATTERNS dict
+    (single source of truth): progressive mask-then-count in the
+    canonical order, len(regexp_extract_all) as the count."""
+    from tablecloth_time_spark.functions.text import PII_PATTERNS
+
+    e, s, c, i = (
+        PII_PATTERNS["email"], PII_PATTERNS["ssn"],
+        PII_PATTERNS["card"], PII_PATTERNS["ipv4"],
+    )
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' uid' || CAST(doc_id AS VARCHAR)
+              || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+              || '.com ip 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.5'
+              || CASE WHEN doc_id % 3 = 0 THEN ' 123-45-6789' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN ' 4111111111111111' ELSE '' END
+              || CASE WHEN doc_id % 4 = 0 THEN ' a.b@x.io' ELSE '' END AS t
+  FROM documents
+), m1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{e}')) AS BIGINT) AS n_email,
+         regexp_replace(t, '{e}', '<email>', 'g') AS t1
+  FROM a
+), m2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1, '{s}')) AS BIGINT) AS n_ssn,
+         regexp_replace(t1, '{s}', '<ssn>', 'g') AS t2
+  FROM m1
+), m3 AS (
+  SELECT doc_id, n_email, n_ssn,
+         CAST(len(regexp_extract_all(t2, '{c}')) AS BIGINT) AS n_card,
+         regexp_replace(t2, '{c}', '<card>', 'g') AS t3
+  FROM m2
+)
+SELECT doc_id, n_email, n_ssn, n_card,
+       CAST(len(regexp_extract_all(t3, '{i}')) AS BIGINT) AS n_ipv4,
+       CAST(length(regexp_replace(t3, '{i}', '<ipv4>', 'g')) AS BIGINT)
+         AS redacted_len
+FROM m3
+"""
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (functions/text.py:
+    add_repetition_metrics): duplicate-line / duplicate-paragraph /
+    duplicate-word fractions. The fixture corpus is single-line, so the
+    query first derives deterministic structure — every standalone
+    'spark' token becomes a paragraph break, every 'the' a line break —
+    identically in both engines; the fractions are 1 - int/int
+    divisions, bit-exact."""
+    from tablecloth_time_spark.functions.text import add_repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    structured = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"\bspark\b", "\n\n"),
+        r"\bthe\b", "\n",
+    )
+    out = add_repetition_metrics(
+        docs.select("doc_id", structured.alias("text")), "text"
+    )
+    return out.select(
+        "doc_id", "dup_line_frac", "dup_para_frac", "dup_word_frac"
+    )
+
+
+SQL_REPETITION_METRICS = (
+    r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '\bspark\b', chr(10) || chr(10), 'g'),
+           '\bthe\b', chr(10), 'g') AS t
+  FROM documents
+), x AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split_regex(t, '\n'),
+                               s -> regexp_replace(s, '^\s+|\s+$', '', 'g')),
+                s -> s <> '') AS lines,
+    list_filter(list_transform(string_split_regex(t, '\n{2,}'),
+                               s -> regexp_replace(s, '^\s+|\s+$', '', 'g')),
+                s -> s <> '') AS paras,
+    trim(regexp_replace(lower(trim(t)), '\s+', ' ', 'g')) AS norm
+  FROM d
+), y AS (
+  SELECT doc_id, lines, paras,
+         CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(norm, '\s+') END AS words
+  FROM x
+)
+SELECT doc_id,
+  CASE WHEN len(lines) > 0
+       THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                  / CAST(len(lines) AS DOUBLE) END AS dup_line_frac,
+  CASE WHEN len(paras) > 0
+       THEN 1.0 - CAST(len(list_distinct(paras)) AS DOUBLE)
+                  / CAST(len(paras) AS DOUBLE) END AS dup_para_frac,
+  CASE WHEN len(words) > 0
+       THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                  / CAST(len(words) AS DOUBLE) END AS dup_word_frac
+FROM y
+"""
+)
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling (operators/pack.py:
+    mixture_sample): keep a doc iff its md5 hash-fraction (salt 'mix')
+    clears its language's target rate (en 0.9 / de 0.5 / fr 0.25,
+    default 0.1) — the domain-rebalancing step of training-data prep,
+    reproducible across engines/runs/partitionings. The emitted frac
+    makes the hash itself part of the verified surface."""
+    from tablecloth_time_spark.operators.pack import mixture_sample
+    from tablecloth_time_spark.operators.sample import hash_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs, "lang", {"en": 0.9, "de": 0.5, "fr": 0.25}, "doc_id",
+        default_rate=0.1, salt="mix",
+    )
+    return kept.select(
+        "doc_id", "lang", "source",
+        F.round(hash_fraction("doc_id", "mix"), 8).alias("frac"),
+    )
+
+
+SQL_MIXTURE_RESAMPLE = """
+WITH h AS (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS frac
+  FROM documents
+)
+SELECT doc_id, lang, source, ROUND(frac, 8) AS frac
+FROM h
+WHERE frac < CASE lang WHEN 'en' THEN 0.9
+                       WHEN 'de' THEN 0.5
+                       WHEN 'fr' THEN 0.25
+                       ELSE 0.1 END
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -6542,6 +6868,10 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "centroid_outliers": [("cos_centroid", "DOUBLE")],
     "tenure_features": [("density", "DOUBLE")],
     "role_transitions": [("mean_gap_s", "DOUBLE"), ("p95_gap_s", "DOUBLE")],
+    "alternation_runs": [("mean_run_len", "DOUBLE"), ("alternation_ratio", "DOUBLE")],
+    "latency_buckets": [("mean_gap_s", "DOUBLE"), ("p95_gap_s", "DOUBLE")],
+    "repetition_metrics": [("dup_line_frac", "DOUBLE"), ("dup_para_frac", "DOUBLE"), ("dup_word_frac", "DOUBLE")],
+    "mixture_resample": [("frac", "DOUBLE")],
 }
 
 
@@ -6696,6 +7026,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_outliers": q_centroid_outliers,
         "tenure_features": q_tenure_features,
         "role_transitions": q_role_transitions,
+        "alternation_runs": q_alternation_runs,
+        "latency_buckets": q_latency_buckets,
+        "sortedness_report": q_sortedness_report,
+        "pii_scan": q_pii_scan,
+        "repetition_metrics": q_repetition_metrics,
+        "mixture_resample": q_mixture_resample,
     }
 
 
@@ -6824,4 +7160,10 @@ def _raw_oracle_sql() -> dict[str, str]:
         "centroid_outliers": SQL_CENTROID_OUTLIERS,
         "tenure_features": SQL_TENURE_FEATURES,
         "role_transitions": SQL_ROLE_TRANSITIONS,
+        "alternation_runs": SQL_ALTERNATION_RUNS,
+        "latency_buckets": SQL_LATENCY_BUCKETS,
+        "sortedness_report": SQL_SORTEDNESS_REPORT,
+        "pii_scan": _sql_pii_scan(),
+        "repetition_metrics": SQL_REPETITION_METRICS,
+        "mixture_resample": SQL_MIXTURE_RESAMPLE,
     }

@@ -433,25 +433,47 @@ PII_PATTERNS: dict[str, str] = {
 _PII_ORDER = ("email", "ssn", "card", "ipv4", "phone")
 
 
-def redact_pii(c: str | Column) -> Column:
+def _pii_order(categories: tuple[str, ...] | None) -> tuple[str, ...]:
+    if categories is None:
+        return _PII_ORDER
+    unknown = [c for c in categories if c not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(
+            f"unknown PII categories {unknown}; known: {sorted(PII_PATTERNS)}"
+        )
+    # keep the canonical most-specific-first masking order regardless of
+    # the order the caller listed them in
+    return tuple(n for n in _PII_ORDER if n in categories)
+
+
+def redact_pii(
+    c: str | Column, categories: tuple[str, ...] | None = None
+) -> Column:
     """Replace PII-shaped substrings with ``<category>`` tags — chained
     regexp_replace, pure codegen, one pass per category. Order is
     most-specific-first so overlapping shapes (SSN vs phone) tag
-    deterministically."""
+    deterministically. ``categories`` restricts to a subset (canonical
+    order preserved); the default runs all patterns. The 'phone' pattern
+    uses lookaround (Java-regex only) — the other four are plain RE2, so
+    a cross-engine pipeline (the driver oracle) runs
+    ``categories=('email','ssn','card','ipv4')``."""
     out = _col(c)
-    for name in _PII_ORDER:
+    for name in _pii_order(categories):
         out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name}>")
     return out
 
 
-def pii_counts(c: str | Column) -> Column:
+def pii_counts(
+    c: str | Column, categories: tuple[str, ...] | None = None
+) -> Column:
     """Struct of per-category PII match counts (regexp_count, JVM-side) —
     the filter signal ('drop docs with > k emails') without redacting.
     Counts follow the same most-specific-first masking as redact_pii so a
-    substring is attributed to exactly one category."""
+    substring is attributed to exactly one category. ``categories`` as in
+    :func:`redact_pii`."""
     masked = _col(c)
     fields = []
-    for name in _PII_ORDER:
+    for name in _pii_order(categories):
         fields.append(
             F.regexp_count(masked, F.lit(PII_PATTERNS[name])).alias(name)
         )

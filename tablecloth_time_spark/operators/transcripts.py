@@ -318,6 +318,145 @@ def role_transitions(
     )
 
 
+def alternation_runs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: str | list[str] = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Per-conversation dialogue run-length profile: collapse each key's
+    ordered ``role_col`` sequence into maximal runs of consecutive equal
+    roles and summarize them — ``n_turns``, ``n_runs``, ``max_run_len``,
+    ``mean_run_len`` (= n_turns / n_runs), ``alternation_ratio``
+    (= (n_runs - 1) / (n_turns - 1): 1.0 for strict turn-taking, 0.0 for
+    a single monologue, NULL for one-turn conversations — undefined, not
+    zero), and ``longest_run_role`` (earliest run wins ties).
+
+    Monologue runs are the turn-taking-health signal conversation_stats
+    can't see: an agent that answers in six consecutive assistant turns
+    and one that alternates cleanly have identical role counts but very
+    different run profiles. Same skew posture as ``sessionize``.
+
+    Plan: ONE raw-data Exchange. The lag window marks run starts, a
+    running-sum window over the same sort numbers the runs (two Window
+    nodes sharing one sort), and BOTH downstream aggregates —
+    (key, run_id) run lengths, then the per-key fold — reuse the
+    window's hash partitioning (grouping keys are supersets/equal of the
+    partition key, so Catalyst plans no further Exchange; pinned in
+    tests). Run identity uses null-SAFE role comparison: a NULL role is
+    its own run value, never a silent run extension.
+    """
+    keys_order = _order(order_cols)
+    w = Window.partitionBy(conv_col).orderBy(*keys_order)
+    role = F.col(role_col)
+    is_start = F.when(
+        (F.row_number().over(w) == 1) | ~F.lag(role).over(w).eqNullSafe(role),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    # keep conv_col UN-aliased through both windows so Catalyst sees one
+    # partitioning attribute end to end (aliasing between the two Window
+    # nodes forces a second Exchange; renamed only at the final groupBy)
+    marked = df.select(
+        conv_col,
+        role.alias("__role"),
+        *[F.col(c) for c in (
+            [order_cols] if isinstance(order_cols, str) else order_cols
+        )],
+        is_start.alias("__start"),
+    )
+    wrun = (
+        Window.partitionBy(conv_col)
+        .orderBy(*keys_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs_rows = marked.select(
+        F.col(conv_col).alias("__conv"),
+        "__role",
+        F.sum("__start").over(wrun).alias("__run"),
+    )
+    runs = runs_rows.groupBy("__conv", "__run").agg(
+        F.count(F.lit(1)).alias("__len"),
+        # role is constant within a run by construction (null-safe change
+        # detection); min() keeps the aggregate mergeable and handles the
+        # all-NULL run honestly
+        F.min("__role").alias("__r"),
+    )
+    n_turns = F.sum("__len").cast("long")
+    n_runs = F.count(F.lit(1)).cast("long")
+    return runs.groupBy(F.col("__conv").alias(conv_col)).agg(
+        n_turns.alias("n_turns"),
+        n_runs.alias("n_runs"),
+        F.max("__len").cast("long").alias("max_run_len"),
+        (n_turns.cast("double") / n_runs.cast("double")).alias(
+            "mean_run_len"
+        ),
+        F.try_divide(
+            (n_runs - F.lit(1)).cast("double"),
+            (n_turns - F.lit(1)).cast("double"),
+        ).alias("alternation_ratio"),
+        # (len, -run_id) is unique per key, so the struct-max picks the
+        # longest run with the EARLIEST run breaking ties — the role
+        # field never decides the comparison
+        F.max(
+            F.struct(
+                F.col("__len").alias("l"),
+                (-F.col("__run")).alias("nr"),
+                F.col("__r").alias("r"),
+            )
+        ).getField("r").alias("longest_run_role"),
+    )
+
+
+def transition_latency_buckets(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: str | list[str] = "turn_idx",
+    ts_col: str = "ts",
+    role_col: str = "role",
+    initiator: str = "user",
+    responder: str = "assistant",
+) -> DataFrame:
+    """Response-latency calendar heatmap: for every adjacent
+    initiator->responder turn pair, bucket by the RESPONDER turn's
+    (ISO day-of-week, hour-of-day) and emit the per-bucket count plus
+    the gap distribution (exact-ms mean + exact-interpolated p95
+    seconds) — "how slow are answers on Monday mornings", the capacity/
+    staffing view of the same signal ``role_transitions`` profiles by
+    role pair.
+
+    Plan: the one lag-window Exchange on the conversation key, then ONE
+    aggregate on the (dow, hour) frame — at most 168 output rows, so the
+    aggregate's shuffle carries a constant-bounded frame. Exactness
+    discipline matches ``role_transitions``: the mean accumulates exact
+    integer milliseconds and divides once (summation-order-free); each
+    p95 input is one k/1000 division.
+    """
+    ms = to_epoch_millis(ts_col)
+    w = Window.partitionBy(conv_col).orderBy(*_order(order_cols))
+    role = F.col(role_col)
+    is_resp = (role == responder) & (F.lag(role).over(w) == initiator)
+    gap_ms = (ms - F.lag(ms).over(w)).cast("double")
+    pairs = df.select(
+        F.when(is_resp, gap_ms).alias("__gap_ms"),
+        # ISO day-of-week (Mon=1..Sun=7) — the engine's documented dow
+        # convention (functions/timeops.py field extractors)
+        F.dayofweek(F.col(ts_col)).alias("__dow_sun1"),
+        F.hour(F.col(ts_col)).cast("long").alias("hour_of_day"),
+    ).filter(F.col("__gap_ms").isNotNull())
+    iso_dow = (F.pmod(F.col("__dow_sun1") + F.lit(5), F.lit(7)) + F.lit(1)).cast(
+        "long"
+    )
+    return pairs.select(
+        iso_dow.alias("iso_dow"), "hour_of_day", "__gap_ms"
+    ).groupBy("iso_dow", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        (F.avg("__gap_ms") / F.lit(1000.0)).alias("mean_gap_s"),
+        F.percentile(F.col("__gap_ms") / F.lit(1000.0), F.lit(0.95)).alias(
+            "p95_gap_s"
+        ),
+    )
+
+
 def role_ngrams(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -33,7 +33,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -182,6 +182,56 @@ def is_sorted(
                 return False
         prev_last = r["last"]
     return True
+
+
+def sortedness_report(
+    df: DataFrame,
+    time_col: str,
+    partition_by: str | list[str],
+    order_by: str | list[str],
+    direction: str = "ascending",
+) -> DataFrame:
+    """DataFrame form of the per-key ``is-sorted?`` check (reference
+    binary_search.clj:8-25): one row per key with ``n_rows``,
+    ``n_nulls`` (NULL ``time_col`` values), ``n_violations``
+    (adjacent non-null pairs out of order under ``order_by``), and
+    ``is_sorted`` — the same verdict :func:`is_sorted` booleanizes,
+    kept per-key so a 10^12-row validation run reports WHICH series
+    violate the slice precondition instead of one global False.
+
+    Null semantics match :func:`is_sorted`: any null timestamp makes
+    the key unsorted (nulls have no order), and monotonicity is
+    non-strict (duplicates allowed, the reference's >=/<= comparator).
+
+    Plan: ONE Exchange — the lag window materializes predecessor
+    timestamps and the per-key aggregate reuses the window's hash
+    partitioning (pinned in tests/test_plan_shapes.py).
+    """
+    if direction not in ("ascending", "descending"):
+        raise ValueError(
+            f"direction must be ascending|descending, got {direction!r}"
+        )
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
+    cur = F.col(time_col)
+    prev = F.lag(time_col).over(w)
+    out_of_order = (cur > prev) if direction == "descending" else (cur < prev)
+    marked = df.select(
+        *keys,
+        F.when(cur.isNull(), 1).otherwise(0).alias("__null"),
+        F.when(
+            cur.isNotNull() & prev.isNotNull() & out_of_order, 1
+        ).otherwise(0).alias("__viol"),
+    )
+    return marked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__null").cast("long").alias("n_nulls"),
+        F.sum("__viol").cast("long").alias("n_violations"),
+        (
+            (F.sum("__null") == 0) & (F.sum("__viol") == 0)
+        ).alias("is_sorted"),
+    )
 
 
 @dataclass
