@@ -613,6 +613,29 @@ def main() -> None:
         lambda: role_transitions(transcripts)
         .agg(F.sum("transitions")).collect(),
     )
+    from tablecloth_time_spark.operators.transcripts import (
+        alternation_runs,
+        transition_latency_buckets,
+    )
+
+    timed(
+        "alternation_runs_transcripts",
+        lambda: alternation_runs(transcripts)
+        .agg(F.sum("n_runs"), F.avg("alternation_ratio")).collect(),
+    )
+    timed(
+        "latency_buckets_transcripts",
+        lambda: transition_latency_buckets(transcripts)
+        .agg(F.sum("n_responses"), F.avg("p95_gap_s")).collect(),
+    )
+    from tablecloth_time_spark.operators.validate import sortedness_report
+
+    timed(
+        "sortedness_report_transcripts",
+        lambda: sortedness_report(
+            transcripts, "ts", partition_by="conv_id", order_by="turn_idx"
+        ).agg(F.sum("n_violations"), F.sum("n_rows")).collect(),
+    )
 
     # training-data ops + compression (sf tables: documents / embeddings)
     from tablecloth_time_spark.operators.compress import compress_series
@@ -736,6 +759,34 @@ def main() -> None:
         lambda: lexical_diversity(documents, ["doc_id"]).agg(
             F.avg("ttr"), F.sum("n_hapax")
         ).collect(),
+    )
+
+    from tablecloth_time_spark.functions.text import (
+        add_repetition_metrics,
+        pii_counts,
+    )
+
+    _RE2_CATS = ("email", "ssn", "card", "ipv4")
+    timed(
+        "pii_scan_documents",
+        lambda: documents.select(
+            pii_counts("text", _RE2_CATS).alias("c")
+        ).agg(F.sum("c.email"), F.sum("c.ipv4")).collect(),
+    )
+    timed(
+        "repetition_metrics_documents",
+        lambda: add_repetition_metrics(documents, "text")
+        .agg(F.avg("dup_word_frac"), F.avg("dup_line_frac")).collect(),
+    )
+
+    from tablecloth_time_spark.operators.pack import mixture_sample
+
+    timed(
+        "mixture_resample_documents",
+        lambda: mixture_sample(
+            documents, "lang", {"en": 0.9, "de": 0.5, "fr": 0.25},
+            "doc_id", default_rate=0.1, salt="mix",
+        ).groupBy("lang").count().collect(),
     )
 
     from tablecloth_time_spark.operators.features import standardize
