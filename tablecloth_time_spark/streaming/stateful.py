@@ -857,3 +857,93 @@ def streaming_type_entropy(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sortedness(
+    stream: DataFrame,
+    key_col: str,
+    order_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Streaming ingest-order monitor — the stateful twin of the batch
+    ``operators.validate.sortedness_report``: per key, flag every row
+    whose event time is NULL or runs backward against the immediately
+    preceding row (in ``order_col`` arrival order), carrying the
+    predecessor across micro-batches.
+
+    Output (append, one row per input row): key, <order_col>, ts_ms,
+    is_null, is_violation. Aggregating the flags per key reproduces the
+    batch report's n_rows / n_nulls / n_violations / is_sorted EXACTLY
+    when micro-batches respect the arrival order (pinned by
+    tests/test_streaming_sortedness.py) — which ``order_col`` guarantees
+    by construction when it is the ingest sequence number.
+
+    Violation semantics match the batch operator bit-for-bit: the
+    comparison predecessor is the previous ROW's timestamp (which may
+    itself be NULL — then no violation can fire at this row), nulls have
+    no order, monotonicity is non-strict. State per key is 10 bytes
+    (nullable prev-ms + has-prev), so 10^9 live keys fit comfortably in
+    executor state stores.
+    """
+    key_field = stream.schema[key_col]
+    order_field = stream.schema[order_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField(order_col, order_field.dataType),
+            StructField("ts_ms", LongType()),
+            StructField("is_null", BooleanType()),
+            StructField("is_violation", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("prev_ms", LongType()),
+            StructField("has_prev", BooleanType()),
+        ]
+    )
+
+    def kernel(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values(order_col, kind="stable")
+        ms = pdf["ts_ms"].to_numpy(dtype="float64")  # NULL -> NaN
+        prev = np.roll(ms, 1)
+        if state.exists:
+            prev_ms, has_prev = state.get
+            prev[0] = float(prev_ms) if (has_prev and prev_ms is not None) else np.nan
+        else:
+            prev[0] = np.nan
+        is_null = np.isnan(ms)
+        with np.errstate(invalid="ignore"):
+            viol = ~is_null & ~np.isnan(prev) & (ms < prev)
+        last = ms[-1]
+        state.update(
+            (None if np.isnan(last) else int(last), True)
+        )
+        out_ms = pd.array(
+            [None if np.isnan(x) else int(x) for x in ms], dtype="Int64"
+        )
+        yield pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                order_col: pdf[order_col].to_numpy(),
+                "ts_ms": out_ms,
+                "is_null": is_null,
+                "is_violation": viol,
+            }
+        )
+
+    base = stream.select(
+        key_col,
+        order_col,
+        to_epoch_millis(ts_col).alias("ts_ms"),
+    )
+    return base.groupBy(key_col).applyInPandasWithState(
+        kernel,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
