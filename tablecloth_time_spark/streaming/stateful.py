@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -939,6 +940,107 @@ def streaming_sortedness(
         key_col,
         order_col,
         to_epoch_millis(ts_col).alias("ts_ms"),
+    )
+    return base.groupBy(key_col).applyInPandasWithState(
+        kernel,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_alternation_runs(
+    stream: DataFrame,
+    key_col: str,
+    order_col: str,
+    role_col: str,
+) -> DataFrame:
+    """Streaming twin of ``operators.transcripts.alternation_runs``: the
+    per-key dialogue run-length profile maintained incrementally — one
+    row per key per micro-batch carrying the RUNNING profile (n_turns,
+    n_runs, max/mean run length, alternation ratio, longest-run role);
+    the last emission per key equals the batch operator on the full
+    input when micro-batches respect arrival order (pinned by
+    tests/test_streaming_sortedness.py).
+
+    State per key is one small tuple: the previous role (null-safe — a
+    NULL role is its own run value, exactly the batch semantics), the
+    open run's length and role, the counters, and the best run so far.
+    Earliest-run tie-breaking falls out of the scan order: a later run
+    only replaces the champion when STRICTLY longer. applyInPandasWithState
+    keeps the whole profile at ~60 bytes/key, so 10^9 live conversations
+    fit executor state stores.
+    """
+    key_field = stream.schema[key_col]
+    out_schema = StructType(
+        [
+            StructField(key_col, key_field.dataType),
+            StructField("n_turns", LongType()),
+            StructField("n_runs", LongType()),
+            StructField("max_run_len", LongType()),
+            StructField("mean_run_len", DoubleType()),
+            StructField("alternation_ratio", DoubleType()),
+            StructField("longest_run_role", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("has_prev", BooleanType()),
+            StructField("prev_role", StringType()),
+            StructField("n_turns", LongType()),
+            StructField("n_runs", LongType()),
+            StructField("cur_len", LongType()),
+            StructField("best_len", LongType()),
+            StructField("best_role", StringType()),
+        ]
+    )
+
+    def kernel(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values(order_col, kind="stable")
+        roles = pdf["role"].to_numpy(dtype=object)
+        if state.exists:
+            has_prev, prev_role, n_turns, n_runs, cur_len, best_len, best_role = (
+                state.get
+            )
+        else:
+            has_prev, prev_role = False, None
+            n_turns = n_runs = cur_len = best_len = 0
+            best_role = None
+        for r in roles:
+            r = None if pd.isna(r) else r
+            n_turns += 1
+            if has_prev and r == prev_role:
+                cur_len += 1
+            else:
+                n_runs += 1
+                cur_len = 1
+            if cur_len > best_len:
+                best_len, best_role = cur_len, r
+            has_prev, prev_role = True, r
+        state.update(
+            (has_prev, prev_role, int(n_turns), int(n_runs), int(cur_len),
+             int(best_len), best_role)
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_turns": np.array([n_turns], dtype="int64"),
+                "n_runs": np.array([n_runs], dtype="int64"),
+                "max_run_len": np.array([best_len], dtype="int64"),
+                "mean_run_len": [n_turns / n_runs],
+                "alternation_ratio": [
+                    (n_runs - 1) / (n_turns - 1) if n_turns > 1 else np.nan
+                ],
+                "longest_run_role": [best_role],
+            }
+        )
+
+    base = stream.select(
+        key_col, order_col, F.col(role_col).cast("string").alias("role")
     )
     return base.groupBy(key_col).applyInPandasWithState(
         kernel,

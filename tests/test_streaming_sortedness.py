@@ -132,3 +132,73 @@ def test_streaming_sortedness_null_predecessor_carry(spark, tmp_path):
         full, "ts", partition_by="k", order_by="seq"
     ).collect()[0]
     assert exp["n_violations"] == 0 and exp["n_nulls"] == 1
+
+
+def test_streaming_alternation_runs_matches_batch(spark, tmp_path):
+    """Final per-key emission of the streaming run-length profile equals
+    the batch alternation_runs on the full input (in-order replay,
+    3 micro-batches, state carried across run boundaries)."""
+    from tablecloth_time_spark.operators.transcripts import alternation_runs
+    from tablecloth_time_spark.streaming.stateful import (
+        streaming_alternation_runs,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 500
+    keys = rng.integers(0, 7, n).astype("int64")
+    seq = np.zeros(n, dtype="int64")
+    for k in np.unique(keys):
+        m = keys == k
+        seq[m] = np.arange(m.sum())
+    roles = pd.Series(
+        np.take(np.array(["user", "assistant", "tool"]), rng.integers(0, 3, n))
+    )
+    roles[rng.random(n) < 0.04] = None  # NULL roles are their own run value
+    rows = pd.DataFrame({"k": keys, "seq": seq, "role": roles})
+    full = spark.createDataFrame(rows)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    order = rows.sort_values(["seq"], kind="stable").index.to_numpy()
+    for i, part in enumerate(np.array_split(order, 3)):
+        spark.createDataFrame(rows.loc[part]).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    out = streaming_alternation_runs(stream, "k", "seq", "role")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.read.parquet(sink).toPandas()
+    # last emission per key = the one with the largest running n_turns
+    got = (
+        emitted.sort_values(["k", "n_turns"], kind="stable")
+        .groupby("k", as_index=False)
+        .tail(1)
+        .sort_values("k", kind="stable")
+        .reset_index(drop=True)
+    )
+    exp = (
+        alternation_runs(full, conv_col="k", order_cols="seq", role_col="role")
+        .toPandas()
+        .rename(columns={"k": "k"})
+        .sort_values("k", kind="stable")
+        .reset_index(drop=True)
+    )
+    cols = [
+        "k", "n_turns", "n_runs", "max_run_len", "mean_run_len",
+        "alternation_ratio", "longest_run_role",
+    ]
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
