@@ -60,6 +60,16 @@ from tablecloth_time_spark.operators.sessions import (  # noqa: F401
 from tablecloth_time_spark.operators.validate import (  # noqa: F401
     ensure_time_column,
     is_sorted,
+    sortedness_report,
+)
+from tablecloth_time_spark.operators.transcripts import (  # noqa: F401
+    alternation_runs,
+    budget_prefix,
+    conversation_stats,
+    role_ngrams,
+    role_transitions,
+    sequence_fingerprints,
+    transition_latency_buckets,
 )
 from tablecloth_time_spark.operators.rolling import rolling, rolling_rows  # noqa: F401
 from tablecloth_time_spark.operators.decompose import (  # noqa: F401
