@@ -6738,6 +6738,64 @@ WHERE frac < CASE lang WHEN 'en' THEN 0.9
 """
 
 
+def q_hygiene_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed per-document keep/drop quality gate
+    (functions/text.py:hygiene_gate): fixed-order checks length -> lang
+    allow-list -> quality floor (on the rounded-6 value, so the decision
+    is cross-engine-reproducible) -> Gopher dup_word_frac ceiling, with
+    the FIRST failing check as the exact drop reason. Thresholds chosen
+    so all four legs fire on this corpus (len<100 / 'und' lang /
+    quality<0.75 / dwf>0.6). Zero shuffles — the whole gate is chained
+    regexp/array codegen inside the scan task."""
+    from tablecloth_time_spark.functions.text import hygiene_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    return hygiene_gate(docs, ["doc_id"])
+
+
+def _sql_hygiene_gate() -> str:
+    """Composes the (independently green) text_stats + lang_id oracle
+    CTEs with the dup-word-frac leg and the same COALESCE(fail) CASE
+    ladder — the reason column re-derived end to end in DuckDB."""
+    return f"""
+WITH s AS ({SQL_TEXT_STATS}),
+l AS ({SQL_LANG_ID}),
+tw AS (
+  SELECT doc_id, length(text) AS n_chars,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+), w AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(norm, ' ') END AS toks
+  FROM tw
+), dw AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN len(toks) > 0
+              THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE) END AS dwf
+  FROM w
+), j AS (
+  SELECT s.doc_id, dw.n_chars, l.lang_pred, s.quality, dw.dwf
+  FROM s JOIN l USING (doc_id) JOIN dw USING (doc_id)
+), g AS (
+  SELECT *,
+    CASE
+      WHEN NOT COALESCE(n_chars >= 100 AND n_chars <= 20000, FALSE)
+        THEN 'length'
+      WHEN NOT COALESCE(lang_pred IN ('en','de','fr','es'), FALSE)
+        THEN 'lang'
+      WHEN NOT COALESCE(quality >= 0.75, FALSE) THEN 'quality'
+      WHEN NOT COALESCE(dwf <= 0.6, FALSE) THEN 'repetition'
+    END AS reason
+  FROM j
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang_pred, quality,
+       dwf AS dup_word_frac, reason IS NULL AS keep, reason
+FROM g
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -6872,6 +6930,7 @@ _NZ_FLOAT_COLS: dict[str, list[tuple[str, str]]] = {
     "latency_buckets": [("mean_gap_s", "DOUBLE"), ("p95_gap_s", "DOUBLE")],
     "repetition_metrics": [("dup_line_frac", "DOUBLE"), ("dup_para_frac", "DOUBLE"), ("dup_word_frac", "DOUBLE")],
     "mixture_resample": [("frac", "DOUBLE")],
+    "hygiene_gate": [("quality", "DOUBLE"), ("dup_word_frac", "DOUBLE")],
 }
 
 
@@ -7032,6 +7091,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "repetition_metrics": q_repetition_metrics,
         "mixture_resample": q_mixture_resample,
+        "hygiene_gate": q_hygiene_gate,
     }
 
 
@@ -7166,4 +7226,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "pii_scan": _sql_pii_scan(),
         "repetition_metrics": SQL_REPETITION_METRICS,
         "mixture_resample": SQL_MIXTURE_RESAMPLE,
+        "hygiene_gate": _sql_hygiene_gate(),
     }

@@ -779,6 +779,14 @@ def main() -> None:
         .agg(F.avg("dup_word_frac"), F.avg("dup_line_frac")).collect(),
     )
 
+    from tablecloth_time_spark.functions.text import hygiene_gate
+
+    timed(
+        "hygiene_gate_documents",
+        lambda: hygiene_gate(documents, ["doc_id"])
+        .groupBy("reason").count().collect(),
+    )
+
     from tablecloth_time_spark.operators.pack import mixture_sample
 
     timed(

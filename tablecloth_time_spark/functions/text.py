@@ -524,6 +524,65 @@ def add_repetition_metrics(df, text_col: str = "text"):
     )
 
 
+def hygiene_gate(
+    df,
+    id_cols: list[str],
+    text_col: str = "text",
+    min_chars: int = 100,
+    max_chars: int = 20_000,
+    allowed_langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    min_quality: float = 0.75,
+    max_dup_word_frac: float = 0.6,
+):
+    """The composed keep/drop quality gate every training-data pipeline
+    ends its per-document hygiene pass with: fixed-order checks —
+    ``length`` (char bounds) → ``lang`` (allow-list on :func:`lang_id`)
+    → ``quality`` (:func:`quality_score` floor, compared on the rounded-6
+    value so the decision is cross-engine-reproducible) → ``repetition``
+    (Gopher ``dup_word_frac`` ceiling) — emitting per document the
+    gating metrics, ``keep``, and ``reason`` (the FIRST failing check;
+    NULL when kept). Deterministic drop accounting ("42% of the crawl
+    fell to repetition") is the point: the reason column is exact, not
+    sampled.
+
+    Composition, not new math: one :func:`add_text_metrics` tokenize
+    pass + the ``dup_word_frac`` array expression + the :func:`lang_id`
+    marker scan — all chained regexp/array codegen in the document's own
+    scan task. Zero shuffles at any corpus size.
+    """
+    m = add_text_metrics(df, text_col)
+    m = add_repetition_metrics(m, text_col)
+    q6 = F.round("quality_score", 6)
+    n_chars = F.length(F.col(text_col))
+    lang = lang_id(text_col)
+    # every check coalesces NULL -> fail, so a NULL/empty document falls
+    # at the FIRST check (length), not wherever a NULL happens to skip to
+    checks = [
+        ("length", (n_chars >= min_chars) & (n_chars <= max_chars)),
+        ("lang", lang.isin(*allowed_langs)),
+        ("quality", q6 >= min_quality),
+        ("repetition", F.col("dup_word_frac") <= max_dup_word_frac),
+    ]
+    expr = None
+    for name, ok in checks:
+        fail = ~F.coalesce(ok, F.lit(False))
+        expr = (
+            F.when(fail, F.lit(name))
+            if expr is None
+            else expr.when(fail, F.lit(name))
+        )
+    reason = expr.otherwise(F.lit(None).cast("string"))
+    return m.select(
+        *id_cols,
+        n_chars.cast("long").alias("n_chars"),
+        lang.alias("lang_pred"),
+        q6.alias("quality"),
+        F.col("dup_word_frac"),
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 def lexical_diversity(df, id_cols: list[str], text_col: str = "text"):
     """Per-document lexical-diversity profile — the vocabulary-richness
     training-data quality signal that complements the surface-shape

@@ -230,3 +230,51 @@ def test_pii_categories_subset_and_order(spark):
     assert c == {"email": 1, "ssn": 1, "card": 1, "ipv4": 1}
     with pytest.raises(ValueError, match="unknown PII categories"):
         redact_pii("t", ("email", "iban"))
+
+
+def test_hygiene_gate_first_failure_reason(spark):
+    from tablecloth_time_spark.functions.text import hygiene_gate
+
+    good = (
+        "the quick brown fox jumps over a lazy dog while seven wizards "
+        "brew strong coffee and discuss ancient maps near that harbor "
+        "during one early autumn morning with calm winds outside"
+    )
+    rows = [
+        (1, good),                       # keep
+        (2, "short"),                    # length (first check wins)
+        (3, "der und das ist nicht " * 10),   # de -> allowed lang, low quality ok?
+        (4, None),                       # NULL text -> fails length, not a skip
+        (5, ("the spam and the spam " * 15).strip()),  # en but repetitive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in hygiene_gate(df, ["doc_id"], min_chars=50).collect()
+    }
+    assert got[1]["keep"] and got[1]["reason"] is None
+    assert not got[2]["keep"] and got[2]["reason"] == "length"
+    assert not got[4]["keep"] and got[4]["reason"] == "length"
+    # repetitive but English-markered doc: passes length and lang, falls
+    # at quality or repetition (the two value checks)
+    assert not got[5]["keep"]
+    assert got[5]["reason"] in ("quality", "repetition")
+    # check order is fixed: a doc failing BOTH lang and quality reports lang
+    und = (7, "zzz qqq xxx " * 20)
+    df2 = spark.createDataFrame([und], "doc_id long, text string")
+    r = hygiene_gate(df2, ["doc_id"], min_chars=50).collect()[0]
+    assert r["reason"] == "lang"
+
+
+def test_hygiene_gate_no_shuffle_no_python(spark):
+    from tablecloth_time_spark.functions.text import hygiene_gate
+
+    df = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    )
+    plan = (
+        hygiene_gate(df, ["doc_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
