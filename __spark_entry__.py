@@ -6796,6 +6796,40 @@ FROM g
 """
 
 
+def q_slice_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``{:result-type :as-indices}`` slice
+    (slice.clj:114-137), order-parameterized for the distributed engine
+    (operators/slice.py:slice_indices — closing the engine's last
+    documented deviation): global 0-based row positions under the total
+    order (ts, event_id) for the rows inside the inclusive time range.
+    The index is assigned over the FULL dataset by range-repartition +
+    partition-offset + streamed Arrow running position (the
+    10^12-row-safe form of row_number() OVER (ORDER BY ...) — no
+    single-partition window), then the slice filter applies on top.
+    DuckDB re-derives it with a plain global row_number."""
+    from tablecloth_time_spark.operators.slice import slice_indices
+
+    ev = _t(spark, sf_dir, "events")
+    out = slice_indices(
+        ev, "ts", "2024-01-03", "2024-01-05 12:00:00",
+        order_by=["ts", "event_id"],
+    )
+    return out.select("row_index", "event_id", "ts")
+
+
+SQL_SLICE_INDICES = """
+WITH i AS (
+  SELECT event_id, ts,
+         row_number() OVER (ORDER BY ts, event_id) - 1 AS row_index
+  FROM events
+)
+SELECT CAST(row_index AS BIGINT) AS row_index, event_id, ts
+FROM i
+WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-05 12:00:00'
+"""
+
+
 def _nz(fn: Callable[[SparkSession, str], DataFrame]):
     """Canonicalize IEEE negative zero (-0.0 -> +0.0) on float output cols.
 
@@ -7092,6 +7126,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "mixture_resample": q_mixture_resample,
         "hygiene_gate": q_hygiene_gate,
+        "slice_indices": q_slice_indices,
     }
 
 
@@ -7227,4 +7262,5 @@ def _raw_oracle_sql() -> dict[str, str]:
         "repetition_metrics": SQL_REPETITION_METRICS,
         "mixture_resample": SQL_MIXTURE_RESAMPLE,
         "hygiene_gate": _sql_hygiene_gate(),
+        "slice_indices": SQL_SLICE_INDICES,
     }

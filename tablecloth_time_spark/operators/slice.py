@@ -14,8 +14,13 @@ Semantic contract preserved from the reference:
 - string keys are parsed through an ISO-8601 cascade (date, datetime);
 - a missing time column raises.
 
-``:as-indices`` has no distributed analogue (no stable row ids) and is
-provided only by the single-node oracle (oracle/timeops.py).
+``:as-indices`` (closed in r5 after three rounds as a documented
+deviation): distributed frames have no IMPLICIT physical row order, so
+:func:`slice_indices` parameterizes the reference's notion of "row
+index" with an explicit total order — with ``order_by`` = the time
+column (+ tie-breaker) it reproduces the reference's indices exactly,
+since the reference's binary search presumes time-sorted physical
+order anyway. The single-node oracle form remains in oracle/timeops.py.
 """
 
 from __future__ import annotations
@@ -104,3 +109,91 @@ def slice_time(
     # column itself is date-typed; against timestamps we compare at the
     # given instant (midnight), matching the reference's key normalization.
     return df.filter((c >= F.lit(lo)) & (c <= F.lit(hi)))
+
+
+def add_row_index(
+    df: DataFrame,
+    order_by: list[str],
+    index_col: str = "row_index",
+) -> DataFrame:
+    """Stable 0-based global row index under a TOTAL order — the
+    distributed primitive behind the reference's ``:as-indices`` slice
+    result (reference src/tablecloth/time/api/slice.clj:114-137): in a
+    single-node frame "row index" means position in the physical row
+    order; distributed, position is only well-defined under an explicit
+    total order, which ``order_by`` supplies. When the columns form a
+    unique key (e.g. the transcripts contract's (conv_id, turn_idx) or
+    events' (ts, event_id)) the assignment is deterministic across runs,
+    partitionings, and engines; with ties, tied rows receive the tied
+    positions in an arbitrary (but valid) permutation — pass a
+    tie-breaking column for exactness.
+
+    Plan (scale audit): ONE range Exchange (``repartitionByRange`` on the
+    order columns) + in-partition sort; an O(partitions) count collect
+    (the partition-summary class the engine sanctions — same as
+    is_sorted's physical check); and one streamed Arrow pass that adds
+    ``partition offset + local running position`` without buffering.
+    Spark reuses the materialized shuffle across the two jobs, so the
+    counts and the index pass see the SAME partitioning. No global
+    single-partition window anywhere — this is the 10^12-row-safe form
+    of ``row_number() OVER (ORDER BY ...)``.
+    """
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if not order_by:
+        raise ValueError("add_row_index requires a non-empty order_by")
+    if index_col in df.columns:
+        raise ValueError(f"column {index_col!r} already exists")
+    d = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in d.groupBy(
+            F.spark_partition_id().alias("__pid")
+        ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+
+    schema = StructType(
+        list(d.schema.fields) + [StructField(index_col, LongType(), False)]
+    )
+
+    def add_idx(batches):
+        import numpy as np
+
+        pid = TaskContext.get().partitionId()
+        pos = offsets.get(pid, 0)
+        for pdf in batches:
+            n = len(pdf)
+            pdf[index_col] = np.arange(pos, pos + n, dtype="int64")
+            pos += n
+            yield pdf
+
+    return d.mapInPandas(add_idx, schema)
+
+
+def slice_indices(
+    df: DataFrame,
+    time_col: str,
+    from_key,
+    to_key,
+    order_by: list[str],
+    index_col: str = "row_index",
+) -> DataFrame:
+    """The reference's ``{:result-type :as-indices}`` slice (reference
+    src/tablecloth/time/api/slice.clj:114-137), order-parameterized for
+    the distributed engine: global row positions under ``order_by`` for
+    the rows whose ``time_col`` falls in the inclusive [from, to] range.
+    With ``order_by`` = the time column (+ tie-breaker), this reproduces
+    the reference's indices exactly — its binary search presumes the
+    dataset is sorted by time, so its physical row order IS this order.
+
+    Index assignment runs over the FULL dataset (positions are dataset-
+    relative, as in the reference), then the slice filter applies on top.
+    """
+    indexed = add_row_index(df, order_by, index_col)
+    return slice_time(indexed, time_col, from_key, to_key)

@@ -362,3 +362,74 @@ def test_growth_rates_unit_aware_defaults(spark):
         .toPandas().set_index("bucket")
     )
     assert goty.loc[t("2023-01-01"), "yoy_growth"] == pytest.approx(0.30)
+
+
+def test_add_row_index_matches_global_sort(spark):
+    """Range-repartition + offsets + Arrow running position == the
+    single-partition row_number ground truth, at several partitionings."""
+    import numpy as np
+    import pandas as pd
+
+    from tablecloth_time_spark.operators.slice import add_row_index
+
+    rng = np.random.default_rng(31)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "a": rng.permutation(n).astype("int64"),
+            "b": rng.integers(0, 100, n).astype("int64"),
+        }
+    )
+    expected = (
+        pdf.sort_values("a", kind="stable").reset_index(drop=True)
+    )
+    for parts in (1, 7):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        got = (
+            add_row_index(df, ["a"])
+            .toPandas()
+            .sort_values("row_index", kind="stable")
+            .reset_index(drop=True)
+        )
+        assert got["row_index"].tolist() == list(range(n))
+        assert got["a"].tolist() == expected["a"].tolist()
+        assert got["b"].tolist() == expected["b"].tolist()
+
+
+def test_add_row_index_validation(spark):
+    from tablecloth_time_spark.operators.slice import add_row_index
+
+    from pyspark.sql import functions as SF
+
+    df = spark.range(5).select(SF.col("id").alias("a"))
+    with pytest.raises(ValueError, match="non-empty order_by"):
+        add_row_index(df, [])
+    with pytest.raises(ValueError, match="already exists"):
+        add_row_index(df.withColumn("row_index", SF.lit(0)), ["a"])
+
+
+def test_slice_indices_matches_reference_semantics(spark):
+    """Indices are FULL-dataset positions under the time order, filtered
+    to the slice — exactly the reference's :as-indices contract on a
+    time-sorted frame (slice.clj:114-137)."""
+    import pandas as pd
+
+    from tablecloth_time_spark.operators.slice import slice_indices
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, (t0 + pd.Timedelta(hours=3 * i)).to_pydatetime())
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = (
+        slice_indices(
+            df, "ts", "2024-01-02", "2024-01-03", order_by=["ts", "event_id"]
+        )
+        .select("row_index")
+        .toPandas()["row_index"]
+        .sort_values()
+        .tolist()
+    )
+    # rows 8..16 fall in [Jan 2 00:00, Jan 3 00:00] at 3h spacing
+    assert got == list(range(8, 17))
