@@ -779,6 +779,14 @@ def main() -> None:
         .agg(F.avg("dup_word_frac"), F.avg("dup_line_frac")).collect(),
     )
 
+    from tablecloth_time_spark.operators.slice import add_row_index
+
+    timed(
+        "add_row_index_events",
+        lambda: add_row_index(events, ["ts", "event_id"])
+        .agg(F.max("row_index")).collect(),
+    )
+
     from tablecloth_time_spark.functions.text import hygiene_gate
 
     timed(
