@@ -7097,8 +7097,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stickiness": q_stickiness,
         "star_rollup": q_star_rollup,
         "business_days": q_business_days,
-        # --- new in r5 (below the window; judge-verified via
-        # scripts/check_contract.py until the next rotation) ---
+        # --- new in r5 (below the window; verified via
+        # scripts/check_contract.py at sf0.001/0.01/0.1 — rotate into
+        # the scored window next round) ---
         "sax_symbols": q_sax_symbols,
         "sax_words": q_sax_words,
         "tier_diff": q_tier_diff,
