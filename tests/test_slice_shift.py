@@ -433,3 +433,38 @@ def test_slice_indices_matches_reference_semantics(spark):
     )
     # rows 8..16 fall in [Jan 2 00:00, Jan 3 00:00] at 3h spacing
     assert got == list(range(8, 17))
+
+
+def test_add_row_index_invariant_to_input_layout(spark):
+    """The assigned indices depend ONLY on the total order, not on the
+    input's partitioning or physical row order (hypothesis-style sweep
+    over shuffled layouts)."""
+    import numpy as np
+    import pandas as pd
+
+    from tablecloth_time_spark.operators.slice import add_row_index
+
+    rng = np.random.default_rng(47)
+    n = 1200
+    pdf = pd.DataFrame(
+        {
+            "a": rng.permutation(n).astype("int64"),
+            "v": rng.integers(0, 9, n).astype("int64"),
+        }
+    )
+    baseline = None
+    for seed in (1, 2, 3):
+        shuffled = pdf.sample(frac=1.0, random_state=seed)
+        df = spark.createDataFrame(shuffled).repartition(3 + seed)
+        got = (
+            add_row_index(df, ["a"])
+            .select("a", "row_index")
+            .toPandas()
+            .sort_values("a", kind="stable")
+            .reset_index(drop=True)
+        )
+        if baseline is None:
+            baseline = got
+        else:
+            pd.testing.assert_frame_equal(got, baseline)
+    assert baseline["row_index"].sort_values().tolist() == list(range(n))
